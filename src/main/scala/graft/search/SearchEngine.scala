@@ -1,0 +1,154 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Bm25, ParsedQuery, QueryParser, Snippets}
+import graft.index.IndexTables
+
+/** A ranked search hit (/root/reference/src/core/search_service.h:9-16). */
+final case class Hit(docId: Long, score: Double, snippet: String)
+
+/** Distributed BM25 scorer over the logical index tables — the dataflow form
+  * of the reference's EP3 `search_scored`
+  * (/root/reference/src/core/search_service.cpp:196-297).
+  *
+  * Plan (one wide exchange total):
+  *   1. scan postings with `term IN (query terms)` — predicate pushed to the
+  *      parquet scan, so only the query terms' posting rows are read;
+  *   2. per-(term,doc) BM25 partial as a column expression, idf from a
+  *      broadcast-sized literal map (|query terms| entries), corpus stats as
+  *      literals;
+  *   3. ONE groupBy(doc_id): count of distinct matched terms (drives AND
+  *      count-matching — a doc matching all |T| distinct terms is in the
+  *      intersection; reference's iterated sorted-merge intersect,
+  *      search_service.cpp:61-86, computes the same set) + a term->partial
+  *      map;
+  *   4. NOT exclusion as a left-anti join (reference's exclusion set,
+  *      search_service.cpp:222-230);
+  *   5. final score = fold over the query-term LIST in query order via
+  *      `aggregate` on a literal array — duplicate terms contribute once per
+  *      occurrence and float summation order matches the reference exactly
+  *      (SURVEY A5 caveat).
+  *
+  * Ranking: `orderBy(score desc, doc_id asc).limit(k)` plans
+  * TakeOrderedAndProject (per-partition heap + driver merge). The normative
+  * epsilon tie rule (|Δ|<1e-9 -> docId asc; score_order.h:8-21) is applied at
+  * the driver over the collected candidates — identical to the reference,
+  * which also sorts the materialized candidate list single-threadedly.
+  */
+final class SearchEngine(val index: IndexTables) extends Serializable {
+
+  import Bm25.{B, K1}
+
+  /** Unordered (doc_id long, score double) for all candidates of `query`. */
+  def scoredDF(query: String): DataFrame = scoredDF(QueryParser.parse(query))
+
+  def scoredDF(pq: ParsedQuery): DataFrame = {
+    val spark = index.postings.sparkSession
+    if (pq.terms.isEmpty) return emptyScored(spark)
+
+    val distinctTerms = pq.terms.distinct
+    val stats = index.stats
+    if (stats.n == 0L) return emptyScored(spark)
+
+    // global df for the query terms only — tiny driver-side map
+    val dfMap: Map[String, Long] = index.dfTable
+      .filter(col("term").isin(distinctTerms: _*))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val idfMap: Map[String, Double] =
+      dfMap.map { case (t, d) => t -> Bm25.idf(stats.n, d) }
+
+    val qPost = index.postings.filter(col("term").isin(distinctTerms: _*))
+
+    val normCol =
+      if (stats.avgdl > 0.0)
+        lit(1.0 - B) + lit(B) * col("dl").cast("double") / lit(stats.avgdl)
+      else lit(1.0)
+
+    val idfCol = element_at(typedLit(idfMap), col("term"))
+    val partCol = idfCol * (col("tf").cast("double") * lit(K1 + 1.0)) /
+      (col("tf").cast("double") + lit(K1) * normCol)
+
+    val perDoc = qPost
+      .withColumn("part", partCol)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        map_from_entries(collect_list(struct(col("term"), col("part")))).as("parts")
+      )
+
+    val candidates =
+      if (pq.isOr) perDoc
+      else perDoc.filter(col("n_matched") === lit(distinctTerms.size))
+
+    val afterNot =
+      if (pq.notTerms.isEmpty) candidates
+      else {
+        val notDocs = index.postings
+          .filter(col("term").isin(pq.notTerms.distinct: _*))
+          .select(col("doc_id"))
+          .distinct()
+        candidates.join(notDocs, Seq("doc_id"), "left_anti")
+      }
+
+    // fold in query-term order; duplicates contribute per occurrence
+    val termsArr = typedLit(pq.terms)
+    val scoreCol = aggregate(
+      termsArr,
+      lit(0.0),
+      (acc, t) => acc + coalesce(element_at(col("parts"), t), lit(0.0))
+    )
+    afterNot.select(col("doc_id"), scoreCol.as("score"))
+  }
+
+  private def emptyScored(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("score", DoubleType)))
+    )
+  }
+
+  /** Ranked top-k as a DataFrame — TakeOrderedAndProject shape. */
+  def topKDF(query: String, k: Int): DataFrame =
+    scoredDF(query).orderBy(col("score").desc, col("doc_id").asc).limit(k)
+
+  /** EP3 facade: full ranking with the reference's epsilon tie comparator at
+    * the driver. `k < 0` means no truncation (rank-parity tests). The
+    * reference also ranks the FULL candidate set before truncating
+    * (specs/phase3_ranking_query_engine.md:307-314).
+    */
+  def searchScored(query: String, k: Int = -1): Seq[(Long, Double)] = {
+    val all = scoredDF(query)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toIndexedSeq
+    val ranked = all.sorted(Bm25.hitOrdering)
+    if (k >= 0) ranked.take(math.max(1, k)) else ranked
+  }
+
+  /** Ranked docIds only (reference `search()`, search_service.cpp:138-146). */
+  def search(query: String): Seq[Long] = searchScored(query).map(_._1)
+
+  /** Top-k with snippets (reference `search_with_snippets`,
+    * search_service.cpp:148-194): rank, truncate, then decorate only the k
+    * surviving rows with text from the docstore.
+    */
+  def searchWithSnippets(query: String, k: Int = 10): Seq[Hit] = {
+    val pq = QueryParser.parse(query)
+    val top = searchScored(query, k)
+    if (top.isEmpty) return Nil
+    val ids = top.map(_._1)
+    val texts = index.docstore
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    top.map { case (id, s) =>
+      Hit(id, s, Snippets.makeSnippet(texts.getOrElse(id, ""), pq.terms))
+    }
+  }
+}
