@@ -166,7 +166,51 @@ object SparkEntry {
     // --- sha256 content invariant (input_hint) ---
     "q_sha256" -> ((s, dir) => {
       documents(s, dir).select(col("doc_id"), sha2(col("text"), 256).as("sha"))
-    })
+    }),
+
+    // ============ training-data pipeline extensions ============
+    // --- exact dedup (hash groupBy) ---
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.pipeline.Dedup.exactKeepers(documents(s, dir))),
+    // --- MinHash + LSH near-dup (shingle -> minhash -> band -> bucket join -> verify) ---
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.pipeline.Dedup.minhashNearDups(documents(s, dir), w = 3, jMicrosThreshold = 300000L)),
+    // --- SimHash signatures ---
+    "q_dedup_simhash" -> ((s, dir) =>
+      graft.pipeline.Dedup.simhash(documents(s, dir))),
+    // --- brute n-gram Jaccard near-dup over bounded id range ---
+    "q_ngram_jaccard" -> ((s, dir) =>
+      graft.pipeline.Dedup.ngramJaccard(documents(s, dir), w = 3, maxId = 150L, jMicrosThreshold = 100000L)),
+    // --- embedding-cosine near-dup ---
+    "q_dedup_embcos" -> ((s, dir) =>
+      graft.pipeline.Dedup.embeddingNearDups(
+        s.read.parquet(s"$dir/embeddings.parquet"), cosMicrosThreshold = 350000L)),
+    // --- ANN: brute-force cosine top-k ---
+    "q_ann_topk" -> ((s, dir) =>
+      graft.pipeline.Similarity.bruteForceTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), k = 10)),
+    // --- ANN: IVF-bucketed variant ---
+    "q_ann_ivf" -> ((s, dir) =>
+      graft.pipeline.Similarity.ivfTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), k = 5, centroidMod = 97L, nprobe = 2)),
+    // --- language-ID heuristic ---
+    "q_langid" -> ((s, dir) =>
+      graft.pipeline.TextStats.langId(documents(s, dir))),
+    // --- quality scoring ---
+    "q_textstats" -> ((s, dir) =>
+      graft.pipeline.TextStats.quality(documents(s, dir))),
+    // --- document fingerprint (bottom-4 shingle sketch) ---
+    "q_fingerprint" -> ((s, dir) =>
+      graft.pipeline.TextStats.fingerprint(documents(s, dir), w = 5)),
+    // --- hourly tumbling-window rollup (streaming twin in graft.streaming) ---
+    "q_events_hourly" -> ((s, dir) =>
+      graft.pipeline.Events.hourlyRollup(s.read.parquet(s"$dir/events.parquet"))),
+    // --- sessionization (gap > 30 min) ---
+    "q_sessions" -> ((s, dir) =>
+      graft.pipeline.Events.sessions(s.read.parquet(s"$dir/events.parquet"))),
+    // --- multimodal: binary column + batched stub decode ---
+    "q_mm_meta" -> ((s, dir) =>
+      graft.pipeline.Multimodal.extractMeta(documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -207,6 +251,176 @@ object SparkEntry {
     "q_src_docids" ->
       """SELECT repo, path, row_number() OVER (ORDER BY repo, path) AS src_doc_id
         |FROM (SELECT source AS repo, 'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path FROM documents)""".stripMargin,
-    "q_sha256" -> "SELECT doc_id, sha256(text) AS sha FROM documents"
+    "q_sha256" -> "SELECT doc_id, sha256(text) AS sha FROM documents",
+
+    // ============ training-data pipeline extensions ============
+    "q_dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY h)
+        |SELECT a.doc_id, k.keeper FROM h a JOIN k USING (h)""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""${shingleCte(3)},
+         |hi AS (SELECT doc_id, r.i, min(substr(md5(r.i || ':' || sh), 1, 16)) AS mh
+         |       FROM sh CROSS JOIN range(1, 13) r(i) GROUP BY doc_id, r.i),
+         |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hi GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |            b -> md5(b || '|' || sig[b*3+1] || sig[b*3+2] || sig[b*3+3]))) AS band_key FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p
+         |          JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b AND sa.sh = sb.sh
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) AS j_micros
+         |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) >= 300000""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""$tokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+         |c AS (SELECT doc_id, r.j,
+         |        sum(CASE WHEN substr(md5(term), CAST(r.j AS INT), 1) IN ('8','9','a','b','c','d','e','f')
+         |                 THEN tf ELSE -tf END) AS bitsum
+         |      FROM tf CROSS JOIN range(1, 17) r(j) GROUP BY doc_id, r.j)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN bitsum > 0 THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM c GROUP BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""${shingleCte(3, "WHERE doc_id < 150")},
+         |ids AS (SELECT DISTINCT doc_id FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p
+         |          JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b AND sa.sh = sb.sh
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) AS j_micros
+         |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) >= 100000""".stripMargin,
+    "q_dedup_embcos" ->
+      s"""$vecCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       CAST(round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6) AS BIGINT) AS cos_micros
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE CAST(round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6) AS BIGINT) >= 350000""".stripMargin,
+    "q_ann_topk" ->
+      s"""$vecCte,
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id IN (0, 1, 2)),
+         |s AS (SELECT q.query_id, n.vec_id,
+         |        CAST(round(list_dot_product(q.qe, n.e) / (q.qn * n.nrm) * 1e6) AS BIGINT) AS cos_micros
+         |      FROM q JOIN n ON n.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, cos_micros,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 10""".stripMargin,
+    "q_ann_ivf" ->
+      s"""$vecCte,
+         |cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 97 = 0),
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT n.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      CAST(round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn) * 1e6) AS BIGINT) DESC,
+         |      c.centroid_id ASC) AS rn
+         |  FROM n CROSS JOIN cents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id IN (0, 1, 2)),
+         |probes AS (SELECT query_id, centroid_id FROM (
+         |  SELECT q.query_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      CAST(round(list_dot_product(q.qe, c.ce) / (q.qn * c.cn) * 1e6) AS BIGINT) DESC,
+         |      c.centroid_id ASC) AS rn
+         |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+         |members AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a USING (centroid_id)),
+         |s AS (SELECT m.query_id, m.vec_id,
+         |        CAST(round(list_dot_product(q.qe, n.e) / (q.qn * n.nrm) * 1e6) AS BIGINT) AS cos_micros
+         |      FROM members m JOIN q ON q.query_id = m.query_id JOIN n ON n.vec_id = m.vec_id
+         |      WHERE m.vec_id <> m.query_id),
+         |r AS (SELECT query_id, vec_id, cos_micros,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin,
+    "q_langid" -> {
+      val perLang = graft.pipeline.TextStats.StopwordSets
+        .map { case (lang, words) =>
+          s"""SELECT doc_id, '$lang' AS lang,
+             |  CAST(sum(CASE WHEN term IN ${words.map(w => s"'$w'").mkString("(", ",", ")")} THEN 1 ELSE 0 END) AS BIGINT) AS hits
+             |FROM tok2 GROUP BY doc_id""".stripMargin
+        }
+        .mkString("\nUNION ALL\n")
+      s"""$tokCte,
+         |perlang AS ($perLang),
+         |r AS (SELECT doc_id, lang, hits,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM perlang)
+         |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred, hits
+         |FROM r WHERE rn = 1""".stripMargin
+    },
+    "q_textstats" -> {
+      val stops = graft.pipeline.TextStats.StopwordSets.toMap
+        .apply("en").map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS punct_chars
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_chars_calc, ws_tokens,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens, punct_chars,
+         |    CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS BIGINT) AS stop_hits
+         |  FROM base
+         |)
+         |SELECT doc_id, n_chars_calc, ws_tokens, n_tokens, punct_chars, stop_hits,
+         |  CAST(round((0.4 * least(1.0, n_tokens / 100.0)
+         |            + 0.3 * (1.0 - punct_chars / greatest(n_chars_calc, 1))
+         |            + 0.3 * (stop_hits / greatest(n_tokens, 1))) * 1e6) AS BIGINT) AS quality_micros
+         |FROM m""".stripMargin
+    },
+    "q_fingerprint" ->
+      s"""${shingleCte(5)}
+         |SELECT doc_id, array_to_string(list_sort(list(DISTINCT md5(sh)))[1:4], ',') AS fp
+         |FROM sh GROUP BY doc_id""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, event_type,
+        |       count(*) AS n, CAST(round(sum(value) * 1e6) AS BIGINT) AS sum_v_micros
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM o
+        |), s AS (
+        |  SELECT user_id,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_id
+        |  FROM f
+        |), g AS (SELECT user_id, session_id, count(*) AS ev FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(ev) AS max_session_events FROM g GROUP BY user_id""".stripMargin,
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(1 + length(text) % 640 AS BIGINT) AS width,
+        |  CAST(1 + ascii(substr(text, 1, 1)) % 480 AS BIGINT) AS height,
+        |  CAST(1 + length(text) % 7 AS BIGINT) AS frames,
+        |  CASE length(text) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END AS fmt
+        |FROM documents""".stripMargin
   )
+
+  /** Shared shingle CTE: ordered reference tokens -> distinct w-token
+    * shingles per doc (space-joined), mirroring Dedup.shingles.
+    */
+  private def shingleCte(w: Int, docFilter: String = ""): String =
+    s"""WITH ta AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents $docFilter
+       |), sh0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${w - 2}),
+       |    i -> ${(0 until w).map(o => s"toks[i+$o]").mkString(" || ' ' || ")})) AS sh
+       |  FROM ta WHERE len(toks) >= $w
+       |), sh AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
+
+  /** Shared embedding CTE: double-cast vectors + norms. */
+  private val vecCte =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
 }

@@ -1,0 +1,200 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators.
+  *
+  * All hashing is md5-based so every step is reproducible in ANSI SQL by the
+  * oracle — no engine-private hash functions on the contract surface. At
+  * 100 TB each operator is shuffle-bounded by design:
+  *   - exact:   one groupBy on the text hash (map-side partial agg);
+  *   - minhash: per-doc signatures are computed in a single aggregation; only
+  *     the LSH band keys (4 rows per doc) are shuffled for the bucket join —
+  *     candidate pairs, not all pairs, reach the expensive verify;
+  *   - simhash: one aggregation per doc (16 packed bit-sums).
+  */
+object Dedup {
+
+  val MinhashHashes = 12
+  val MinhashBands = 4
+  val MinhashRows = 3 // bands * rows == hashes
+
+  import graft.index.IndexBuilder.tokenizeUdf
+
+  /** Exact dedup: every doc mapped to the keeper (min doc_id) of its md5(text)
+    * group. Self-mapping rows included so the result is total.
+    */
+  def exactKeepers(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    hashed.join(keepers, Seq("h")).select(col("doc_id"), col("keeper"))
+  }
+
+  /** Distinct w-token shingles per document: (doc_id, sh). */
+  def shingles(docs: DataFrame, w: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokenizeUdf(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("toks")) - lit(w - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(w)))
+          )
+        ).as("sh")
+      )
+      .distinct()
+
+  /** h_i(s) = first 16 hex chars of md5(i || ':' || s) — lexicographic min on
+    * the hex string is the MinHash order (identical in the SQL oracle).
+    */
+  private def shingleHash(i: Column, sh: Column): Column =
+    substring(md5(concat(i.cast("string"), lit(":"), sh)), 1, 16)
+
+  /** MinHash signatures: (doc_id, sig array<string> of length MinhashHashes). */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(sequence(lit(1), lit(MinhashHashes))).as("i"), col("sh"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(shingleHash(col("i"), col("sh"))).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("i"), col("mh")))).as("m"))
+      .select(
+        col("doc_id"),
+        transform(sequence(lit(1), lit(MinhashHashes)), i => element_at(col("m"), i)).as("sig")
+      )
+
+  /** LSH band keys: (doc_id, band_key) — MinhashBands rows per doc. */
+  def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(MinhashBands - 1)),
+          b =>
+            md5(
+              concat(
+                b.cast("string"),
+                lit("|"),
+                concat_ws(
+                  "",
+                  slice(col("sig"), b * MinhashRows + lit(1), lit(MinhashRows))
+                )
+              )
+            )
+        )
+      ).as("band_key")
+    )
+
+  /** Candidate pairs sharing >= 1 LSH band (doc_a < doc_b), deduplicated. */
+  def lshCandidatePairs(bands: DataFrame): DataFrame =
+    bands
+      .as("a")
+      .join(bands.as("b"), col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Exact Jaccard over distinct shingle sets for the given pairs:
+    * (doc_a, doc_b, j_micros).
+    */
+  def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("i") * lit(1.0) / (col("na.n") + col("nb.n") - col("i")) * lit(1e6))
+          .cast("long")
+          .as("j_micros")
+      )
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
+    * bucket-join -> exact-Jaccard verify -> threshold (micro-units, applied
+    * to the ROUNDED value so the oracle agrees at the boundary).
+    */
+  def minhashNearDups(docs: DataFrame, w: Int = 3, jMicrosThreshold: Long = 300000L): DataFrame = {
+    val sh = shingles(docs, w).persist()
+    val pairs = lshCandidatePairs(lshBands(minhashSignatures(sh)))
+    jaccard(pairs, sh).filter(col("j_micros") >= jMicrosThreshold)
+  }
+
+  /** Direct all-pairs n-gram Jaccard over a bounded id range (the brute-force
+    * twin used to validate LSH recall and as its own oracle-checked operator).
+    */
+  def ngramJaccard(docs: DataFrame, w: Int, maxId: Long, jMicrosThreshold: Long): DataFrame = {
+    val sh = shingles(docs.filter(col("doc_id") < maxId), w)
+    val ids = sh.select(col("doc_id")).distinct()
+    val pairs = ids
+      .as("a")
+      .join(ids.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    jaccard(pairs, sh).filter(col("j_micros") >= jMicrosThreshold)
+  }
+
+  /** 16-bit SimHash per doc from md5 nibbles: bit j set iff the tf-weighted
+    * sum of (+1 if hex digit j of md5(term) has its high bit, else -1) is
+    * positive. (doc_id, simhash long).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokenizeUdf(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("term")))
+    val contrib = tf.select(
+      col("doc_id"),
+      posexplode(
+        transform(
+          sequence(lit(1), lit(16)),
+          j =>
+            when(substring(col("h"), j, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), col("tf"))
+              .otherwise(-col("tf"))
+        )
+      ).as(Seq("j0", "c"))
+    )
+    contrib
+      .groupBy(col("doc_id"), col("j0"))
+      .agg(sum(col("c")).as("bitsum"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("bitsum") > 0, expr("shiftleft(1L, cast(j0 as int))")).otherwise(lit(0L)))
+          .as("simhash")
+      )
+  }
+
+  /** Embedding cosine near-duplicates over all pairs (id_a < id_b):
+    * (id_a, id_b, cos_micros) for rounded cosine >= threshold micro-units.
+    * Brute force — the scale path buckets by IVF cells first (Similarity).
+    */
+  def embeddingNearDups(emb: DataFrame, cosMicrosThreshold: Long): DataFrame = {
+    val v = emb.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e")
+    )
+    val withNorm = v.withColumn(
+      "nrm",
+      sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x))
+    )
+    withNorm
+      .as("a")
+      .join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        round(
+          aggregate(zip_with(col("a.e"), col("b.e"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+            / (col("a.nrm") * col("b.nrm")) * lit(1e6)
+        ).cast("long").as("cos_micros")
+      )
+      .filter(col("cos_micros") >= cosMicrosThreshold)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * processed in partition-sized batches.
+  *
+  * The decode step is a clearly-marked deterministic STUB (this container has
+  * no image/audio codecs); everything around it — the binary column, the
+  * schema, the batched `mapPartitions` execution shape, the typed output —
+  * is the real plumbing a decoder would plug into: swap `stubDecode` for a
+  * JNI/FFmpeg call and nothing else changes.
+  */
+object Multimodal {
+
+  final case class BlobRow(doc_id: Long, blob: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      frames: Long,
+      fmt: String
+  )
+
+  /** STUB decoder — deterministic fake features from the raw bytes. A real
+    * implementation would parse the container header / run the codec here.
+    */
+  def stubDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    val first = if (n > 0) (bytes(0) & 0xff).toLong else 0L
+    MediaMeta(
+      doc_id = docId,
+      n_bytes = n,
+      width = 1L + n % 640L,
+      height = 1L + first % 480L,
+      frames = 1L + n % 7L,
+      fmt = (n % 3L) match {
+        case 0L => "img"
+        case 1L => "aud"
+        case _  => "vid"
+      }
+    )
+  }
+
+  /** Attach an opaque binary column (here derived from text — stand-in for
+    * real media bytes) and run the batched decode. Output columns:
+    * (doc_id, n_bytes, width, height, frames, fmt).
+    */
+  def extractMeta(docs: DataFrame): DataFrame = {
+    val blobs = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as(Encoders.product[BlobRow])
+    blobs
+      .mapPartitions { it => it.map(r => stubDecode(r.doc_id, r.blob)) }(Encoders.product[MediaMeta])
+      .toDF()
+  }
+}
