@@ -1,0 +1,105 @@
+package graft.index
+
+import java.io.ByteArrayOutputStream
+import scala.collection.mutable.ArrayBuffer
+
+/** Posting-block codec: docID-delta + varint (LEB128) compression with
+  * per-block max-score metadata (north_rule).
+  *
+  * Replaces the reference's fixed-width little-endian record stream
+  * (/root/reference/src/core/inverted_index.cpp:67-161) with a compressed,
+  * skippable layout: each block holds up to `BlockSize` postings
+  * (docId, tf, dl) — docIds delta-encoded within the block (first one
+  * absolute), tf and dl as plain varints — plus (minDoc, maxDoc, count,
+  * maxScore) so a scorer can skip a whole block when its score upper bound
+  * cannot beat the current top-k threshold (block-max WAND).
+  *
+  * dl rides in the block so the exact BM25 score is computable during the
+  * merge without any docstore lookup.
+  */
+object BlockCodec {
+
+  val BlockSize = 128
+
+  /** One encoded block of a posting list. */
+  final case class Block(
+      minDoc: Long,
+      maxDoc: Long,
+      count: Int,
+      maxScore: Double,
+      bytes: Array[Byte]
+  )
+
+  /** One decoded posting. */
+  final case class Posting(docId: Long, tf: Int, dl: Int)
+
+  // ------------------------------------------------------------------ varint
+  def writeVarLong(out: ByteArrayOutputStream, value: Long): Unit = {
+    require(value >= 0, s"varint requires non-negative, got $value")
+    var v = value
+    while ((v & ~0x7fL) != 0L) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  final class ByteReader(val bytes: Array[Byte]) {
+    private var pos = 0
+    def hasNext: Boolean = pos < bytes.length
+    def readVarLong(): Long = {
+      var shift = 0
+      var result = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff
+        pos += 1
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      result
+    }
+  }
+
+  // ------------------------------------------------------------------ blocks
+  /** Encode a docId-sorted posting list (with per-posting precomputed exact
+    * score for the block-max metadata) into blocks.
+    */
+  def encode(postings: Seq[(Posting, Double)]): IndexedSeq[Block] = {
+    val out = ArrayBuffer[Block]()
+    postings.grouped(BlockSize).foreach { group =>
+      val buf = new ByteArrayOutputStream(group.size * 4)
+      var prev = 0L
+      var first = true
+      var maxScore = Double.NegativeInfinity
+      group.foreach { case (p, score) =>
+        val delta = if (first) p.docId else p.docId - prev
+        require(first || delta > 0, s"postings must be strictly docId-ascending")
+        writeVarLong(buf, delta)
+        writeVarLong(buf, p.tf.toLong)
+        writeVarLong(buf, p.dl.toLong)
+        prev = p.docId
+        first = false
+        if (score > maxScore) maxScore = score
+      }
+      out += Block(group.head._1.docId, group.last._1.docId, group.size, maxScore, buf.toByteArray)
+    }
+    out.toIndexedSeq
+  }
+
+  def decode(block: Block): Array[Posting] = {
+    val r = new ByteReader(block.bytes)
+    val out = new Array[Posting](block.count)
+    var prev = 0L
+    var i = 0
+    while (i < block.count) {
+      val doc = if (i == 0) r.readVarLong() else prev + r.readVarLong()
+      val tf = r.readVarLong().toInt
+      val dl = r.readVarLong().toInt
+      out(i) = Posting(doc, tf, dl)
+      prev = doc
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,104 @@
+package graft.search
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import scala.collection.parallel.CollectionConverters._
+
+import graft.core.{Bm25, ParsedQuery, QueryParser}
+import graft.index.SegmentIndex
+import graft.index.SegmentIndex.LoadedSegment
+
+/** Query serving over on-disk segments (the scale path / EP2).
+  *
+  * Batch mode (how QPS is measured): queries are broadcast, segments are a
+  * Dataset of file paths fanned out over executors; each task loads (or hits
+  * the executor-local cache of) its segments and runs block-max WAND locally;
+  * per-(query, segment) top-k heaps come back — k+slack rows per query per
+  * segment, NOT candidate sets — and the driver merges with the reference's
+  * epsilon comparator. No shuffle on the query path at all.
+  *
+  * In-memory mode: all segments pinned in the JVM (the searchd serving model)
+  * for single-query latency benchmarks.
+  */
+object SegmentSearch {
+
+  /** Executor-local segment cache — one load per (executor, file) across all
+    * queries and jobs in the JVM.
+    */
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, LoadedSegment]()
+
+  def loadCached(path: String): LoadedSegment =
+    cache.computeIfAbsent(path, p => SegmentIndex.loadSegment(p))
+
+  final case class QueryHit(qid: Int, docId: Long, score: Double)
+
+  /** Distributed batch search: all queries against all segments.
+    * Returns per query the reference-ranked top-k (epsilon comparator).
+    */
+  def searchBatch(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Seq[String],
+      k: Int
+  ): Map[Int, Seq[(Long, Double)]] = {
+    val meta = SegmentIndex.readMeta(indexDir)
+    val files = SegmentIndex.segmentFiles(indexDir)
+    val parsed: Seq[(Int, ParsedQuery)] = queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
+    val bc = spark.sparkContext.broadcast(parsed)
+    val n = meta.n
+    val avgdl = meta.avgdl
+
+    import spark.implicits._
+    val hits = spark
+      .createDataset(files)(Encoders.STRING)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val seg = loadCached(p)
+          bc.value.iterator.flatMap { case (qid, pq) =>
+            Wand.searchSegment(seg, pq, n, avgdl, k).iterator
+              .map(h => QueryHit(qid, h.docId, h.score))
+          }
+        }
+      }(Encoders.product[QueryHit])
+      .collect()
+
+    mergeHits(hits, queries.size, k)
+  }
+
+  /** Same batch contract served from pre-loaded in-memory segments (no Spark
+    * job — the reference's HTTP serving model, for latency/QPS benchmarks on
+    * a warmed index). Parallelism = one task per segment via parallel
+    * collections.
+    */
+  def searchBatchInMemory(
+      segments: Seq[LoadedSegment],
+      meta: SegmentIndex.Meta,
+      queries: Seq[String],
+      k: Int
+  ): Map[Int, Seq[(Long, Double)]] = {
+    val parsed = queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
+    val hits = segments.par
+      .flatMap { seg =>
+        parsed.flatMap { case (qid, pq) =>
+          Wand.searchSegment(seg, pq, meta.n, meta.avgdl, k).map(h => QueryHit(qid, h.docId, h.score))
+        }
+      }
+      .seq
+      .toArray
+    mergeHits(hits, queries.size, k)
+  }
+
+  private def mergeHits(hits: Array[QueryHit], nQueries: Int, k: Int): Map[Int, Seq[(Long, Double)]] = {
+    val byQ = hits.groupBy(_.qid)
+    (0 until nQueries).map { qid =>
+      val ranked = byQ
+        .getOrElse(qid, Array.empty[QueryHit])
+        .map(h => (h.docId, h.score))
+        .toIndexedSeq
+        .sorted(Bm25.hitOrdering)
+        .take(k)
+      qid -> ranked
+    }.toMap
+  }
+}

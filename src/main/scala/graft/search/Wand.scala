@@ -1,0 +1,275 @@
+package graft.search
+
+import graft.core.{Bm25, ParsedQuery}
+import graft.index.BlockCodec
+import graft.index.SegmentIndex.LoadedSegment
+
+import scala.collection.mutable
+
+/** Block-max WAND top-k scorer over one loaded doc-partitioned segment.
+  *
+  * Semantics contract: identical candidate set and scores (within the 1e-9
+  * tolerance) to the reference's search_scored
+  * (/root/reference/src/core/search_service.cpp:196-297):
+  *   - AND: doc must contain every distinct positive term — evaluated as a
+  *     conjunctive k-way cursor merge (the reference's iterated sorted-merge
+  *     intersection, search_service.cpp:61-86, computes the same set);
+  *   - OR: union of term postings — evaluated with block-max WAND pruning;
+  *   - NOT terms exclude docs and never affect scores;
+  *   - duplicate query terms score once per occurrence (weight = count);
+  *   - ranking: rank fully, truncate last — pruning is UPPER-BOUND-SAFE with
+  *     the threshold relaxed by the 1e-9 tie epsilon, so no doc that could
+  *     appear in the reference's top-k (including epsilon ties) is dropped.
+  *
+  * Per-segment results are merged at the driver with the reference's exact
+  * epsilon comparator; `heapSlack` extra results per segment cover ties at
+  * the k-th boundary.
+  */
+object Wand {
+
+  final case class SegmentHit(docId: Long, score: Double)
+
+  val HeapSlack = 64
+
+  /** One term's cursor over its block list. curDoc == Long.MaxValue at end. */
+  private final class Cursor(
+      val weight: Double, // duplicate-occurrence count
+      val idf: Double,
+      val termUb: Double, // weight * max block score
+      blocks: IndexedSeq[BlockCodec.Block]
+  ) {
+    private var bi = 0
+    private var decoded: Array[BlockCodec.Posting] = _
+    private var pos = 0
+    loadBlock()
+
+    private def loadBlock(): Unit = {
+      if (bi < blocks.length) { decoded = BlockCodec.decode(blocks(bi)); pos = 0 }
+      else decoded = null
+    }
+
+    def curDoc: Long = if (decoded == null) Long.MaxValue else decoded(pos).docId
+    def curTf: Int = decoded(pos).tf
+    def curDl: Int = decoded(pos).dl
+
+    /** weight * current block's max single-posting score (0 at end). */
+    def blockUb: Double = if (decoded == null) 0.0 else weight * blocks(bi).maxScore
+
+    /** first docId after the current block (for shallow advance). */
+    def nextBlockBoundary: Long =
+      if (decoded == null) Long.MaxValue
+      else if (bi + 1 < blocks.length) blocks(bi).maxDoc + 1
+      else Long.MaxValue
+
+    def next(): Unit = {
+      if (decoded == null) return
+      pos += 1
+      if (pos >= decoded.length) { bi += 1; loadBlock() }
+    }
+
+    /** advance to the first doc >= target (block skip + in-block search). */
+    def advanceTo(target: Long): Unit = {
+      if (decoded == null || curDoc >= target) return
+      if (blocks(bi).maxDoc < target) {
+        while (bi < blocks.length && blocks(bi).maxDoc < target) bi += 1
+        loadBlock()
+        if (decoded == null) return
+      }
+      // block maxDoc >= target, so a qualifying position exists
+      var lo = pos
+      var hi = decoded.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (decoded(mid).docId < target) lo = mid + 1 else hi = mid
+      }
+      pos = lo
+    }
+
+    def score(avgdl: Double): Double =
+      weight * Bm25.termPart(curTf, idf, Bm25.norm(curDl.toDouble, avgdl))
+  }
+
+  /** Bounded top collector ordered by plain (score desc, docId asc); prune
+    * threshold reads the k-th best minus the tie epsilon.
+    */
+  private final class TopK(k: Int) {
+    private val cap = k + HeapSlack
+    // min-heap by (score asc, docId desc) — worst element on top
+    private val heap = mutable.PriorityQueue.empty[SegmentHit](Ordering.by(h => (-h.score, h.docId)))
+    def threshold: Double =
+      if (heap.size < k) Double.NegativeInfinity
+      else {
+        // k-th best score: with slack entries present, take the k-th largest
+        // (cheap: heap is small). Cached per insertion batch would be an
+        // optimization; sizes here are k+64 max.
+        val kth = heap.toSeq.map(_.score).sorted(Ordering[Double].reverse)(k - 1)
+        kth - Bm25.ScoreTieEpsilon
+      }
+    def offer(h: SegmentHit): Unit = {
+      heap.enqueue(h)
+      if (heap.size > cap) heap.dequeue()
+    }
+    def results: Seq[SegmentHit] = heap.toSeq
+  }
+
+  /** Score a parsed query against one segment; returns up to k + HeapSlack
+    * hits (unsorted — driver merges with the epsilon comparator).
+    */
+  def searchSegment(
+      seg: LoadedSegment,
+      pq: ParsedQuery,
+      n: Long,
+      avgdl: Double,
+      k: Int
+  ): Seq[SegmentHit] = {
+    if (pq.terms.isEmpty || n == 0) return Nil
+
+    // weights = occurrence counts in query order
+    val weights = mutable.LinkedHashMap[String, Int]()
+    pq.terms.foreach(t => weights.update(t, weights.getOrElse(t, 0) + 1))
+    val distinct = weights.keys.toIndexedSeq
+
+    // excluded docs from NOT terms (local to segment = global for its docs)
+    val excluded: java.util.HashSet[Long] = {
+      val s = new java.util.HashSet[Long]()
+      pq.notTerms.distinct.foreach { t =>
+        seg.postings(t).foreach(p => s.add(p.docId))
+      }
+      s
+    }
+
+    val cursors: IndexedSeq[Cursor] = distinct.flatMap { t =>
+      seg.terms.get(t).map { td =>
+        val w = weights(t).toDouble
+        new Cursor(w, Bm25.idf(n, td.df), w * td.maxScore, td.blocks)
+      }
+    }
+
+    if (!pq.isOr) {
+      // AND requires every distinct term present in the CORPUS-wide postings.
+      // A term absent from this segment but present globally still means no
+      // local doc can match (docs are whole within a segment); a term with
+      // GLOBAL df == 0 kills the query everywhere. Either way: all distinct
+      // terms must have a cursor here for any local match.
+      if (cursors.length < distinct.length) return Nil
+      andMerge(cursors, excluded, avgdl, k)
+    } else {
+      orWand(cursors, excluded, avgdl, k)
+    }
+  }
+
+  /** Conjunctive k-way merge with galloping; exact scoring per matched doc. */
+  private def andMerge(
+      cursors: IndexedSeq[Cursor],
+      excluded: java.util.HashSet[Long],
+      avgdl: Double,
+      k: Int
+  ): Seq[SegmentHit] = {
+    val top = new TopK(k)
+    if (cursors.isEmpty) return Nil
+    var continue = !cursors.exists(_.curDoc == Long.MaxValue)
+    while (continue) {
+      // galloping alignment on the current max doc
+      var target = Long.MinValue
+      cursors.foreach(c => if (c.curDoc > target) target = c.curDoc)
+      var allEq = true
+      var i = 0
+      while (i < cursors.length && continue) {
+        val c = cursors(i)
+        if (c.curDoc < target) c.advanceTo(target)
+        if (c.curDoc == Long.MaxValue) continue = false
+        else if (c.curDoc != target) allEq = false
+        i += 1
+      }
+      if (continue && allEq) {
+        if (!excluded.contains(target)) {
+          var s = 0.0
+          var j = 0
+          while (j < cursors.length) { s += cursors(j).score(avgdl); j += 1 }
+          top.offer(SegmentHit(target, s))
+        }
+        cursors.foreach(_.next())
+        if (cursors.exists(_.curDoc == Long.MaxValue)) continue = false
+      }
+    }
+    top.results
+  }
+
+  /** Disjunctive block-max WAND. */
+  private def orWand(
+      cursorsIn: IndexedSeq[Cursor],
+      excluded: java.util.HashSet[Long],
+      avgdl: Double,
+      k: Int
+  ): Seq[SegmentHit] = {
+    val top = new TopK(k)
+    val cursors = mutable.ArrayBuffer[Cursor](cursorsIn.filter(_.curDoc != Long.MaxValue): _*)
+
+    while (cursors.nonEmpty) {
+      // sort by current doc (few terms — insertion-cheap)
+      val sorted = cursors.sortBy(_.curDoc)
+      val theta = top.threshold
+
+      // pivot: first prefix whose term-UB sum exceeds theta
+      var acc = 0.0
+      var pivotIdx = -1
+      var i = 0
+      while (i < sorted.length && pivotIdx < 0) {
+        acc += sorted(i).termUb
+        if (acc > theta) pivotIdx = i
+        i += 1
+      }
+      if (pivotIdx < 0) return top.results // nothing can beat theta
+
+      val pivotDoc = sorted(pivotIdx).curDoc
+
+      // block-max check over the pivot prefix
+      var blockUb = 0.0
+      var j = 0
+      while (j <= pivotIdx) { blockUb += sorted(j).blockUb; j += 1 }
+
+      if (blockUb <= theta && theta > Double.NegativeInfinity) {
+        // Safe skip: every doc in [sorted(0).curDoc, d) is covered only by
+        // the prefix cursors' CURRENT blocks (UB sum <= theta), because d is
+        // capped at the earliest prefix block boundary, pivot+1, and the
+        // first post-pivot cursor's doc.
+        var d = pivotDoc + 1
+        var m = 0
+        while (m <= pivotIdx) {
+          val b = sorted(m).nextBlockBoundary
+          if (b < d) d = b
+          m += 1
+        }
+        if (pivotIdx + 1 < sorted.length && sorted(pivotIdx + 1).curDoc < d)
+          d = sorted(pivotIdx + 1).curDoc
+        if (d <= sorted(0).curDoc) d = sorted(0).curDoc + 1
+        sorted(0).advanceTo(d)
+      } else if (sorted(0).curDoc == pivotDoc) {
+        // fully evaluate pivotDoc
+        if (!excluded.contains(pivotDoc)) {
+          var s = 0.0
+          var m = 0
+          while (m < sorted.length && sorted(m).curDoc == pivotDoc) {
+            s += sorted(m).score(avgdl)
+            m += 1
+          }
+          top.offer(SegmentHit(pivotDoc, s))
+        }
+        var m = 0
+        while (m < sorted.length && sorted(m).curDoc == pivotDoc) { sorted(m).next(); m += 1 }
+      } else {
+        // advance laggards to the pivot
+        var m = 0
+        while (m < sorted.length && sorted(m).curDoc < pivotDoc) { sorted(m).advanceTo(pivotDoc); m += 1 }
+      }
+
+      // drop exhausted cursors
+      var c = cursors.length - 1
+      while (c >= 0) {
+        if (cursors(c).curDoc == Long.MaxValue) cursors.remove(c)
+        c -= 1
+      }
+    }
+    top.results
+  }
+}

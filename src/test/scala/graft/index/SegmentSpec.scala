@@ -1,0 +1,141 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+import scala.util.Random
+
+import graft.SparkTestBase
+import graft.core.{GoldenFixture, RefEngine}
+import graft.search.{SegmentSearch, Wand}
+import graft.core.Bm25
+
+class BlockCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import BlockCodec._
+
+  test("varint round-trip") {
+    val values = Seq(0L, 1L, 127L, 128L, 300L, 16383L, 16384L, Int.MaxValue.toLong, Long.MaxValue / 2)
+    val buf = new java.io.ByteArrayOutputStream()
+    values.foreach(writeVarLong(buf, _))
+    val r = new ByteReader(buf.toByteArray)
+    values.foreach(v => assert(r.readVarLong() == v))
+  }
+
+  test("block round-trip with multi-block lists and max-score metadata") {
+    val rnd = new Random(11)
+    var doc = 0L
+    val postings = (1 to 1000).map { _ =>
+      doc += 1 + rnd.nextInt(50)
+      val p = Posting(doc, 1 + rnd.nextInt(9), 1 + rnd.nextInt(200))
+      (p, rnd.nextDouble() * 3.0)
+    }
+    val blocks = encode(postings)
+    assert(blocks.length == math.ceil(1000.0 / BlockSize).toInt)
+    val decoded = blocks.flatMap(decode(_))
+    assert(decoded == postings.map(_._1))
+    blocks.foreach { b =>
+      val inBlock = postings.filter { case (p, _) => p.docId >= b.minDoc && p.docId <= b.maxDoc }
+      assert(math.abs(b.maxScore - inBlock.map(_._2).max) < 1e-15)
+      assert(b.count == inBlock.size)
+    }
+  }
+}
+
+class SegmentSpec extends SparkTestBase {
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-seg").toString
+
+  private def buildTiny(docs: Seq[(Long, String)], buckets: Int = 3): (String, Seq[SegmentIndex.Manifest]) = {
+    val dir = tmpDir()
+    val manifests = SegmentIndex.build(docsDF(docs), dir, buckets)
+    (dir, manifests)
+  }
+
+  test("segment save -> load: rank/score parity with RefEngine (golden fixture corpora)") {
+    for (c <- GoldenFixture.all) {
+      val (dir, _) = buildTiny(c.documents, buckets = 2)
+      val meta = SegmentIndex.readMeta(dir)
+      val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+      val got = SegmentSearch.searchBatchInMemory(segs, meta, Seq(c.query), k = 50)(0)
+      assert(got.map(_._1) == c.expected.map(_._1), s"case ${c.name}: got=$got exp=${c.expected}")
+      got.zip(c.expected).foreach { case ((_, s), (_, e)) => assert(math.abs(s - e) < 1e-9) }
+    }
+  }
+
+  test("manifests carry metrics + lineage; meta has stats") {
+    val docs = (1L to 40L).map(i => i -> s"alpha bravo token$i charlie")
+    val (dir, manifests) = buildTiny(docs, buckets = 4)
+    assert(manifests.nonEmpty)
+    assert(manifests.map(_.nDocs).sum == 40L)
+    assert(manifests.forall(m => m.bytes > 0 && m.fileSha256.length == 64))
+    val meta = SegmentIndex.readMeta(dir)
+    assert(meta.n == 40L && meta.avgdl > 0 && meta.schemaVersion == 1)
+    // manifest json files exist per bucket
+    manifests.foreach { m =>
+      assert(Files.exists(Paths.get(dir, f"manifest-${m.bucket}%05d.json")))
+    }
+  }
+
+  test("resume: deleting one segment rebuilds ONLY that bucket; others skipped; bytes identical") {
+    val docs = (1L to 60L).map(i => i -> s"alpha bravo token${i % 7} delta echo")
+    val (dir, m1) = buildTiny(docs, buckets = 4)
+    val victim = m1.head.bucket
+    val segPath = Paths.get(dir, f"segment-$victim%05d.bin")
+    val shaBefore = m1.map(m => m.bucket -> m.fileSha256).toMap
+    Files.delete(segPath)
+    Files.delete(Paths.get(dir, f"manifest-$victim%05d.json"))
+
+    val m2 = SegmentIndex.build(docsDF(docs), dir, 4)
+    val rebuilt = m2.find(_.bucket == victim).get
+    assert(!rebuilt.skipped, "victim bucket must be rewritten")
+    m2.filter(_.bucket != victim).foreach(m => assert(m.skipped, s"bucket ${m.bucket} should be skipped"))
+    // deterministic build: rebuilt file is byte-identical (same sha)
+    m2.foreach(m => assert(m.fileSha256 == shaBefore(m.bucket)))
+  }
+
+  test("build is deterministic: two builds from scratch produce identical file hashes") {
+    val docs = (1L to 50L).map(i => i -> s"foo bar baz${i % 5} qux quux corge")
+    val (dirA, mA) = buildTiny(docs, buckets = 3)
+    val (dirB, mB) = buildTiny(docs, buckets = 3)
+    assert(mA.map(m => m.bucket -> m.fileSha256).toMap == mB.map(m => m.bucket -> m.fileSha256).toMap)
+    assert(mA.map(m => m.bucket -> m.lineageXor).toMap == mB.map(m => m.bucket -> m.lineageXor).toMap)
+  }
+
+  test("property: WAND over segments rank/score-identical to RefEngine (random corpora+queries)") {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel", "india", "x9")
+    val rnd = new Random(1234)
+    for (trial <- 1 to 6) {
+      val nDocs = 5 + rnd.nextInt(40)
+      val docs = (1L to nDocs.toLong).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val (dir, _) = buildTiny(docs, buckets = 3)
+      val meta = SegmentIndex.readMeta(dir)
+      val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+      val ref = new RefEngine
+      docs.foreach { case (id, t) => ref.addDocument(id, t) }
+      val queries = Seq(
+        "alpha", "alpha bravo", "alpha bravo charlie", "alpha OR bravo",
+        "delta echo OR foxtrot", "alpha -bravo", "golf hotel -india",
+        "alpha alpha bravo", "x9", "zzz", "x9 OR zzz", "-alpha")
+      for ((q, qi) <- queries.zipWithIndex) {
+        val exp = ref.searchScored(q)
+        for (k <- Seq(3, 10, 1000)) {
+          val got = SegmentSearch.searchBatchInMemory(segs, meta, Seq(q), k)(0)
+          val expK = exp.take(k)
+          assert(got.map(_._1) == expK.map(_._1), s"trial=$trial q='$q' k=$k got=$got exp=$expK")
+          got.zip(expK).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+        }
+      }
+    }
+  }
+
+  test("distributed batch search over segments matches in-memory path") {
+    val docs = (1L to 80L).map(i => i -> s"alpha bravo word${i % 11} charlie delta")
+    val (dir, _) = buildTiny(docs, buckets = 4)
+    val meta = SegmentIndex.readMeta(dir)
+    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+    val queries = Seq("alpha charlie", "word3 OR word7", "bravo -word5")
+    val viaSpark = SegmentSearch.searchBatch(spark, dir, queries, k = 10)
+    val inMem = SegmentSearch.searchBatchInMemory(segs, meta, queries, k = 10)
+    assert(viaSpark == inMem)
+  }
+}
