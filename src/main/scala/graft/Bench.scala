@@ -1,24 +1,62 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Files
+
+import graft.bench.Workload
+import graft.index.SegmentIndex
+import graft.search.SegmentSearch
+
+/** Per-round benchmark main (driver contract): runs the headline workload on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Headline metrics (BASELINE.json north rule):
+  *   - index-build docs/sec (segment build incl. compression + manifests)
+  *   - BM25 top-k QPS, distributed (Spark fan-out over segments) and
+  *     in-memory (warmed searchd-style serving)
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.spark.Sessions.local(cpus, cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val out = Files.createTempDirectory("graft-bench-idx").toString
+
+    // --- index build (replicated corpus so the job is parallelism-bound) ---
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "8").toInt
+    val docs = Workload.replicatedDocs(spark, sfDir, replicas)
+    val nDocs = docs.count()
+    val (_, buildSec) = Workload.timed(SegmentIndex.build(docs, out, buckets = cpus))
+
+    // --- distributed batch query (cold executor caches) ---
+    val qs = Workload.queries(spark, sfDir, 200)
+    val (_, qSparkColdSec) = Workload.timed(SegmentSearch.searchBatch(spark, out, qs, k = 10))
+    // warm (segments cached in executor JVM); best-of-3 vs VM noise
+    val qSparkWarmSec = Workload.bestOf(3)(SegmentSearch.searchBatch(spark, out, qs, k = 10))
+
+    // --- in-memory serving QPS (searchd model: index pinned, many queries) ---
+    val meta = SegmentIndex.readMeta(out)
+    val segs = SegmentIndex.segmentFiles(out).map(SegmentIndex.loadSegment)
+    SegmentSearch.searchBatchInMemory(segs, meta, qs, 10) // warmup/JIT
+    val qMemSec = Workload.bestOf(3) {
+      SegmentSearch.searchBatchInMemory(segs, meta, qs, k = 10)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val buildDocsPerSec = nDocs / buildSec
+    val qpsSparkWarm = qs.size / qSparkWarmSec
+    val qpsMem = qs.size / qMemSec
+    val total = buildSec + qSparkColdSec + qSparkWarmSec + qMemSec
+
+    def f(d: Double) = f"$d%.4f".toDouble
+    val queriesJson =
+      s"""{"build_segments_sec":${f(buildSec)},"build_docs_per_sec":${f(buildDocsPerSec)},""" +
+        s""""docs_indexed":$nDocs,"query_spark_cold_sec":${f(qSparkColdSec)},""" +
+        s""""query_spark_warm_sec":${f(qSparkWarmSec)},"qps_spark_warm":${f(qpsSparkWarm)},""" +
+        s""""query_inmem_sec":${f(qMemSec)},"qps_inmem":${f(qpsMem)},"n_queries":${qs.size}}"""
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

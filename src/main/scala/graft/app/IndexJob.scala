@@ -1,0 +1,53 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.{DocIdAssigner, SegmentIndex}
+import graft.sources.SourceTable
+
+/** EP1 — the spark-submit index-build job (reference: `searchd --index`,
+  * SURVEY §3.1), over the input_hint source table:
+  *
+  *   source(repo, path, commit, lang, content)
+  *     -> sha256 invariant attached
+  *     -> deterministic dense docIds in (repo, path) order (P2)
+  *     -> resumable segment build (postings blocks + manifests + docstore)
+  *     -> invariant re-verified against the docstore materialization
+  *
+  * Usage: IndexJob <sourceParquetOrTable> <outDir> [buckets] [--code-aware]
+  * Exit codes mirror the reference: 0 ok, 2 usage, 3 build/verify failure.
+  */
+object IndexJob {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println("usage: IndexJob <source> <outDir> [buckets] [--code-aware]"); sys.exit(2) }
+    val source = args(0)
+    val outDir = args(1)
+    val buckets = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(32)
+    val codeAware = args.contains("--code-aware")
+
+    val spark = SparkSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val src = SourceTable.withSha(SourceTable.load(spark, source))
+      val withIds = DocIdAssigner.assign(src, Seq("repo", "path"), "doc_id")
+      val docs = withIds.select(col("doc_id"), col("content").as("text"), col("content_sha"))
+
+      val manifests = SegmentIndex.build(docs.select("doc_id", "text"), outDir, buckets, codeAware)
+
+      // invariant: the docstore materialization must re-hash to the source
+      val store = spark.read.parquet(s"$outDir/docstore")
+      val bad = store
+        .join(docs, Seq("doc_id"))
+        .filter(col("sha") =!= col("content_sha"))
+        .count()
+      if (bad != 0) { System.err.println(s"sha256 invariant VIOLATED on $bad rows"); sys.exit(3) }
+
+      val docsN = manifests.map(_.nDocs).sum
+      val bytes = manifests.map(_.bytes).sum
+      println(s"Indexing completed: docs=$docsN buckets=${manifests.size} segmentBytes=$bytes out=$outDir")
+    } catch {
+      case e: Throwable => System.err.println(s"index job failed: ${e.getMessage}"); sys.exit(3)
+    }
+  }
+}

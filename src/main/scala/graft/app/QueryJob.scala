@@ -1,0 +1,34 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+import graft.search.SegmentSearch
+
+/** EP2 — the spark-submit batch query job over a built segment index
+  * (reference: `searchd --serve` + /search, SURVEY §3.2 — batch query sets
+  * are how the baseline measures QPS).
+  *
+  * Usage: QueryJob <indexDir> <k> <query> [<query> ...]
+  * Prints one JSON line per query: {"query":…,"results":[{docId,score}…]}.
+  */
+object QueryJob {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) { System.err.println("usage: QueryJob <indexDir> <k> <query>..."); sys.exit(2) }
+    val indexDir = args(0)
+    val k = math.max(1, args(1).toInt)
+    val queries = args.drop(2).toSeq
+
+    val spark = SparkSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val results = SegmentSearch.searchBatch(spark, indexDir, queries, k)
+      def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+      queries.zipWithIndex.foreach { case (q, i) =>
+        val hits = results(i).map { case (d, s) => s"""{"docId":$d,"score":$s}""" }.mkString("[", ",", "]")
+        println(s"""{"query":"${esc(q)}","results":$hits}""")
+      }
+    } catch {
+      case e: Throwable => System.err.println(s"query job failed: ${e.getMessage}"); sys.exit(3)
+    }
+  }
+}

@@ -80,61 +80,80 @@ object SegmentIndex {
   ): Seq[Manifest] = {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(outDir))
+    val tok = if (codeAware) IndexBuilder.codeTokenizeUdf else IndexBuilder.tokenizeUdf
 
-    val index = IndexBuilder.build(docs, codeAware = codeAware)
-    val stats = index.stats
-    val maxDoc = index.docstore.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    val width = math.max(1L, (maxDoc + buckets) / buckets) // ceil((maxDoc+1)/buckets)
+    // CPU-bound stages (tokenize, hashing, block encode) need partition
+    // count >= cores even when the input is only a few MB of parquet —
+    // maxPartitionBytes would otherwise pack everything into 1-2 scan tasks
+    // and serialize the whole build. Only widen, never shrink.
+    def widened(df: DataFrame): DataFrame =
+      if (df.rdd.getNumPartitions < buckets) df.repartition(buckets) else df
 
-    // ---- docstore (bucketed parquet) + per-bucket lineage --------------
+    // ---- job 1: docstore parquet (doc_id, text, dl, sha, bucket), range-
+    // partitioned by doc_id; the SEGMENT BUCKET IS the range-partition id
+    // (balanced by sampling — skew-resistant — and frozen as a data column).
+    // Tokenize pass 1.
     val storePath = s"$outDir/docstore"
-    val docsB = index.docstore
-      .withColumn("bucket", (col("doc_id") / lit(width)).cast("int"))
-      .withColumn("sha", sha2(col("text"), 256))
     if (!Files.exists(Paths.get(storePath, "_SUCCESS"))) {
-      docsB.write.mode("overwrite").partitionBy("bucket").parquet(storePath)
+      widened(docs.select(col("doc_id").cast("long").as("doc_id"), col("text")))
+        .repartitionByRange(buckets, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("bucket", spark_partition_id())
+        .withColumn("dl", size(tok(col("text"))))
+        .withColumn("sha", sha2(col("text"), 256))
+        .write.mode("overwrite").parquet(storePath)
     }
-    // order-independent lineage: XOR of a 60-bit slice of
-    // sha256(doc_id:sha256(text)) per row — scalable, deterministic.
-    val lineage = docsB
+    val store = spark.read.parquet(storePath)
+
+    // ---- job 2: corpus scalars + per-bucket lineage in ONE pass over the
+    // column-pruned docstore (no text read). Lineage = order-independent XOR
+    // of a 60-bit slice of sha256(doc_id:sha256(text)) per row.
+    val bucketAgg = store
       .select(
         col("bucket"),
+        col("dl"),
         conv(substring(sha2(concat(col("doc_id").cast("string"), lit(":"), col("sha")), 256), 1, 15), 16, 10)
           .cast("long")
-          .as("h"),
-        col("dl")
+          .as("h")
       )
       .groupBy(col("bucket"))
-      .agg(
-        expr("bit_xor(h)").as("lineage_xor"),
-        count(lit(1)).as("n_docs")
-      )
+      .agg(expr("bit_xor(h)").as("lineage_xor"), count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    val n = bucketAgg.map(_.getLong(2)).sum
+    val avgdl = if (n == 0) 0.0 else bucketAgg.map(_.getLong(3).toDouble).sum / n
+    val lineage = bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
 
-    // ---- posting rows, doc-bucketed, df denormalized -------------------
-    val rows = index.postings
-      .join(index.dfTable, Seq("term"))
+    // ---- job 3: postings (tokenize pass 2) -> df denormalized -> bucketed
+    // segment write. The ONLY wide shuffles of the build: groupBy(term,
+    // doc_id) with map-side partial agg, the small df broadcast join, and the
+    // bucket exchange.
+    val tokens = widened(store)
+      .select(col("bucket"), col("doc_id"), col("dl"), explode(tok(col("text"))).as("term"))
+    val postings = tokens
+      .groupBy(col("bucket"), col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+    val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val rows = postings
+      .join(dfTable, Seq("term"))
       .select(
-        (col("doc_id") / lit(width)).cast("int").as("bucket"),
+        col("bucket"),
         col("term"),
         col("doc_id"),
         col("tf"),
-        col("dl"),
+        col("dl").cast("int").as("dl"),
         col("df")
       )
       .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
 
-    val n = stats.n
-    val avgdl = stats.avgdl
     val out = outDir
-
+    val nF = n
+    val avgdlF = avgdl
     val manifestEnc = Encoders.product[Manifest]
     val manifests = rows
       .mapPartitions { it =>
-        writePartition(it, out, n, avgdl, lineage)
+        writePartition(it, out, nF, avgdlF, lineage)
       }(manifestEnc)
       .collect()
       .toSeq

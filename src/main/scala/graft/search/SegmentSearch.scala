@@ -61,10 +61,31 @@ object SegmentSearch {
           }
         }
       }(Encoders.product[QueryHit])
+
+    // Per-query merge runs DISTRIBUTED (one group per query, epsilon
+    // comparator inside) so the driver collects only nQueries * k final rows
+    // — a driver-side merge would grow with segment count and anti-scale.
+    val kk = k
+    val merged = hits
+      .groupByKey(_.qid)(Encoders.scalaInt)
+      .flatMapGroups { (qid, it) =>
+        it.map(h => (h.docId, h.score))
+          .toIndexedSeq
+          .sorted(Bm25.hitOrdering)
+          .take(kk)
+          .zipWithIndex
+          .map { case ((d, s), i) => RankedHit(qid, i + 1, d, s) }
+          .iterator
+      }(Encoders.product[RankedHit])
       .collect()
 
-    mergeHits(hits, queries.size, k)
+    val byQ = merged.groupBy(_.qid)
+    (0 until queries.size).map { qid =>
+      qid -> byQ.getOrElse(qid, Array.empty[RankedHit]).sortBy(_.rank).map(h => (h.docId, h.score)).toSeq
+    }.toMap
   }
+
+  final case class RankedHit(qid: Int, rank: Int, docId: Long, score: Double)
 
   /** Same batch contract served from pre-loaded in-memory segments (no Spark
     * job — the reference's HTTP serving model, for latency/QPS benchmarks on

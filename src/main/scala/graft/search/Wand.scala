@@ -89,27 +89,37 @@ object Wand {
       weight * Bm25.termPart(curTf, idf, Bm25.norm(curDl.toDouble, avgdl))
   }
 
-  /** Bounded top collector ordered by plain (score desc, docId asc); prune
-    * threshold reads the k-th best minus the tie epsilon.
+  /** Bounded top collector: a k-sized min-heap (plain score order) gives an
+    * O(1) pruning threshold = kth-best - epsilon; hits evicted from the heap
+    * that still sit within epsilon of the CURRENT kth-best go to a bounded
+    * side buffer so epsilon ties at the k boundary survive to the driver
+    * merge (which applies the reference comparator).
     */
   private final class TopK(k: Int) {
-    private val cap = k + HeapSlack
-    // min-heap by (score asc, docId desc) — worst element on top
+    // min-heap: worst of the top-k on top (score asc, docId desc)
     private val heap = mutable.PriorityQueue.empty[SegmentHit](Ordering.by(h => (-h.score, h.docId)))
+    private var ties = List.empty[SegmentHit]
+    private var nTies = 0
+
     def threshold: Double =
       if (heap.size < k) Double.NegativeInfinity
-      else {
-        // k-th best score: with slack entries present, take the k-th largest
-        // (cheap: heap is small). Cached per insertion batch would be an
-        // optimization; sizes here are k+64 max.
-        val kth = heap.toSeq.map(_.score).sorted(Ordering[Double].reverse)(k - 1)
-        kth - Bm25.ScoreTieEpsilon
-      }
+      else heap.head.score - Bm25.ScoreTieEpsilon
+
     def offer(h: SegmentHit): Unit = {
-      heap.enqueue(h)
-      if (heap.size > cap) heap.dequeue()
+      if (heap.size < k) heap.enqueue(h)
+      else if (h.score > heap.head.score || (h.score >= heap.head.score - Bm25.ScoreTieEpsilon)) {
+        if (h.score > heap.head.score) {
+          val evicted = heap.dequeue()
+          heap.enqueue(h)
+          if (evicted.score >= heap.head.score - Bm25.ScoreTieEpsilon && nTies < HeapSlack) {
+            ties = evicted :: ties; nTies += 1
+          }
+        } else if (nTies < HeapSlack) { // within epsilon of kth but not above
+          ties = h :: ties; nTies += 1
+        }
+      }
     }
-    def results: Seq[SegmentHit] = heap.toSeq
+    def results: Seq[SegmentHit] = heap.toSeq ++ ties
   }
 
   /** Score a parsed query against one segment; returns up to k + HeapSlack

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twin of the batch hourly rollup
+  * (graft.pipeline.Events.hourlyRollup): readStream over a parquet directory,
+  * event-time tumbling window + watermark, append/complete to a sink.
+  *
+  * The reference engine has no streaming surface (explicit non-goal,
+  * /root/reference/specs/phase2_persistence.md:23-28); this exists for the
+  * training-data pipeline side of the engine, where event/feedback streams
+  * feed the same rollups the batch path computes. StreamingSpec asserts the
+  * streaming result equals the batch result on the same input.
+  */
+object EventStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Streaming hourly rollup with a 2-hour watermark. */
+  def hourlyRollupStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(inputDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")) * lit(1e6)).cast("long").as("sum_v_micros"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_v_micros")
+      )
+
+  /** Run the stream over all currently-available input (Trigger.AvailableNow)
+    * into an in-memory sink table; returns when the backlog is drained.
+    */
+  def runAvailableNow(spark: SparkSession, inputDir: String, sinkTable: String): StreamingQuery = {
+    val q = hourlyRollupStream(spark, inputDir).writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

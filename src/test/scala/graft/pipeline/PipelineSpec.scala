@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkTestBase {
+
+  test("exact dedup: keeper is min doc_id of identical texts") {
+    val df = docsDF(Seq(1L -> "aa bb", 2L -> "aa bb", 3L -> "cc"))
+    val out = Dedup.exactKeepers(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates and not unrelated docs") {
+    val base = (1 to 40).map(i => s"tok${i} word${i % 7} filler${i % 3}").mkString(" ")
+    val nearDup = base.replace("tok5", "tok5x") // tiny edit
+    val unrelated = (1 to 40).map(i => s"zzz${i} qqq${i}").mkString(" ")
+    val df = docsDF(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+    val pairs = Dedup.minhashNearDups(df, w = 3, jMicrosThreshold = 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs share signature; near docs within small hamming") {
+    val df = docsDF(Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot",
+      2L -> "alpha bravo charlie delta echo foxtrot",
+      3L -> "alpha bravo charlie delta echo golf"))
+    val sig = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(hamming <= 6, s"hamming=$hamming")
+    assert(sig.values.forall(s => s >= 0 && s < (1L << 17)))
+  }
+
+  test("embedding near-dups + brute-force ANN ranking") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.04f, 0.0f)), // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDups(vecs, 900000L).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSet == Set((0L, 1L)))
+    val ann = Similarity.bruteForceTopK(vecs, Seq(0L), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap // rank -> vec_id
+    assert(ann(1L) == 1L) // nearest neighbor of 0 is 1
+  }
+
+  test("IVF probes nearest cells and ranks members") {
+    val sp = spark
+    import sp.implicits._
+    // centroids at ids 0 and 97 (centroidMod = 97)
+    val vecs = (Seq(
+      (0L, Array(1.0f, 0.0f)), (97L, Array(0.0f, 1.0f)),
+      (5L, Array(0.95f, 0.1f)), (6L, Array(0.9f, 0.2f)),
+      (7L, Array(0.1f, 0.95f))
+    )).toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(vecs, Seq(0L), k = 3, centroidMod = 97L, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(res.head._2 == 5L) // rank 1 = closest member
+  }
+
+  test("langId picks dominant stopword language") {
+    val df = docsDF(Seq(
+      1L -> "the cat sat on the mat and the dog",
+      2L -> "der hund und die katze ist ein tier",
+      3L -> "zz qq ww")).withColumnRenamed("text", "text")
+    val out = TextStats.langId(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
+  }
+
+  test("quality metrics are sane") {
+    val df = docsDF(Seq(1L -> "The quick, brown fox! Jumps over 2 lazy dogs."))
+    val text = "The quick, brown fox! Jumps over 2 lazy dogs."
+    val r = TextStats.quality(df).collect()(0)
+    assert(r.getLong(1) == text.length.toLong) // n_chars
+    assert(r.getLong(2) == 9) // ws tokens
+    assert(r.getLong(3) == 9) // the quick brown fox jumps over 2 lazy dogs
+    assert(r.getLong(4) > 0) // punct
+    assert(r.getLong(6) > 0 && r.getLong(6) <= 1000000)
+  }
+
+  test("sessions: gap splits sessions per user") {
+    val sp = spark
+    import sp.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val ev = Seq(
+      (1L, ts(0), 7L, "a", 1.0, "{}"),
+      (2L, ts(10), 7L, "a", 1.0, "{}"),
+      (3L, ts(120), 7L, "a", 1.0, "{}"), // gap > 30 -> new session
+      (4L, ts(0), 8L, "a", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.sessions(ev).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(7L) == (2L, 2L)) // 2 sessions, max 2 events
+    assert(out(8L) == (1L, 1L))
+  }
+
+  test("multimodal stub decode: deterministic metadata from binary plumbing") {
+    val df = docsDF(Seq(1L -> "abc", 2L -> "")) // 3 bytes, 0 bytes
+    val out = Multimodal.extractMeta(df).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    assert(out(1L) == (3L, 4L, 98L, "img")) // n=3: w=1+3%640=4, h=1+'a'%480=98, fmt=img
+    assert(out(2L)._1 == 0L)
+  }
+}
