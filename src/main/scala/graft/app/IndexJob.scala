@@ -26,7 +26,11 @@ object IndexJob {
     val buckets = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(32)
     val codeAware = args.contains("--code-aware")
 
-    val spark = SparkSession.builder().getOrCreate()
+    // under spark-submit the master comes from the launcher; when driven
+    // directly (sbt runMain / tests) fall back to local[*]
+    val spark =
+      if (sys.props.contains("spark.master")) SparkSession.builder().getOrCreate()
+      else graft.spark.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, 16, "graft-job")
     spark.sparkContext.setLogLevel("WARN")
     try {
       val src = SourceTable.withSha(SourceTable.load(spark, source))

@@ -18,7 +18,11 @@ object QueryJob {
     val k = math.max(1, args(1).toInt)
     val queries = args.drop(2).toSeq
 
-    val spark = SparkSession.builder().getOrCreate()
+    // under spark-submit the master comes from the launcher; when driven
+    // directly (sbt runMain / tests) fall back to local[*]
+    val spark =
+      if (sys.props.contains("spark.master")) SparkSession.builder().getOrCreate()
+      else graft.spark.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, 16, "graft-job")
     spark.sparkContext.setLogLevel("WARN")
     try {
       val results = SegmentSearch.searchBatch(spark, indexDir, queries, k)

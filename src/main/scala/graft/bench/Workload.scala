@@ -40,7 +40,11 @@ object Workload {
     * Same expression both runs => identical input rows.
     */
   def replicatedDocs(spark: SparkSession, sfDir: String, times: Int): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
+    // repartition BEFORE the crossJoin so replication itself runs in
+    // parallel (the tiny source parquet is otherwise a single scan task)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     val n = 1000000L // id stride — far above any test-corpus max id
     docs
       .crossJoin(spark.range(times.toLong).select(col("id").as("rep")))

@@ -87,6 +87,29 @@ object BlockCodec {
     out.toIndexedSeq
   }
 
+  /** Columnar decoded form — primitive arrays, no per-posting object. */
+  final case class DecodedBlock(docIds: Array[Long], tfs: Array[Int], dls: Array[Int]) {
+    def length: Int = docIds.length
+  }
+
+  def decodePrimitive(block: Block): DecodedBlock = {
+    val r = new ByteReader(block.bytes)
+    val docIds = new Array[Long](block.count)
+    val tfs = new Array[Int](block.count)
+    val dls = new Array[Int](block.count)
+    var prev = 0L
+    var i = 0
+    while (i < block.count) {
+      val doc = if (i == 0) r.readVarLong() else prev + r.readVarLong()
+      docIds(i) = doc
+      tfs(i) = r.readVarLong().toInt
+      dls(i) = r.readVarLong().toInt
+      prev = doc
+      i += 1
+    }
+    DecodedBlock(docIds, tfs, dls)
+  }
+
   def decode(block: Block): Array[Posting] = {
     val r = new ByteReader(block.bytes)
     val out = new Array[Posting](block.count)

@@ -56,7 +56,18 @@ object SegmentIndex {
       codec: String
   )
 
-  final case class TermData(df: Long, maxScore: Double, blocks: IndexedSeq[BlockCodec.Block])
+  final case class TermData(df: Long, maxScore: Double, blocks: IndexedSeq[BlockCodec.Block]) {
+    /** Decode-once cache: blocks decompress to primitive arrays on first
+      * access and are reused by every subsequent query against this (live)
+      * segment. Benign racy fill — decoding is idempotent and deterministic.
+      */
+    @transient private lazy val decodedCache = new Array[BlockCodec.DecodedBlock](blocks.length)
+    def decoded(bi: Int): BlockCodec.DecodedBlock = {
+      var d = decodedCache(bi)
+      if (d == null) { d = BlockCodec.decodePrimitive(blocks(bi)); decodedCache(bi) = d }
+      d
+    }
+  }
 
   final case class LoadedSegment(bucket: Int, terms: Map[String, TermData]) {
     /** all docIds of a term's postings (decoded), ascending */

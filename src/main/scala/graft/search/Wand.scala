@@ -31,26 +31,28 @@ object Wand {
 
   val HeapSlack = 64
 
-  /** One term's cursor over its block list. curDoc == Long.MaxValue at end. */
+  /** One term's cursor over its block list. curDoc == Long.MaxValue at end.
+    * Blocks decode to primitive arrays once per segment lifetime (TermData's
+    * decode cache) — queries share the decoded form, no per-posting objects.
+    */
   private final class Cursor(
       val weight: Double, // duplicate-occurrence count
       val idf: Double,
       val termUb: Double, // weight * max block score
-      blocks: IndexedSeq[BlockCodec.Block]
+      td: graft.index.SegmentIndex.TermData
   ) {
+    private val blocks = td.blocks
     private var bi = 0
-    private var decoded: Array[BlockCodec.Posting] = _
+    private var decoded: BlockCodec.DecodedBlock = _
     private var pos = 0
     loadBlock()
 
     private def loadBlock(): Unit = {
-      if (bi < blocks.length) { decoded = BlockCodec.decode(blocks(bi)); pos = 0 }
+      if (bi < blocks.length) { decoded = td.decoded(bi); pos = 0 }
       else decoded = null
     }
 
-    def curDoc: Long = if (decoded == null) Long.MaxValue else decoded(pos).docId
-    def curTf: Int = decoded(pos).tf
-    def curDl: Int = decoded(pos).dl
+    def curDoc: Long = if (decoded == null) Long.MaxValue else decoded.docIds(pos)
 
     /** weight * current block's max single-posting score (0 at end). */
     def blockUb: Double = if (decoded == null) 0.0 else weight * blocks(bi).maxScore
@@ -76,17 +78,18 @@ object Wand {
         if (decoded == null) return
       }
       // block maxDoc >= target, so a qualifying position exists
+      val ids = decoded.docIds
       var lo = pos
       var hi = decoded.length - 1
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (decoded(mid).docId < target) lo = mid + 1 else hi = mid
+        if (ids(mid) < target) lo = mid + 1 else hi = mid
       }
       pos = lo
     }
 
     def score(avgdl: Double): Double =
-      weight * Bm25.termPart(curTf, idf, Bm25.norm(curDl.toDouble, avgdl))
+      weight * Bm25.termPart(decoded.tfs(pos), idf, Bm25.norm(decoded.dls(pos).toDouble, avgdl))
   }
 
   /** Bounded top collector: a k-sized min-heap (plain score order) gives an
@@ -151,7 +154,7 @@ object Wand {
     val cursors: IndexedSeq[Cursor] = distinct.flatMap { t =>
       seg.terms.get(t).map { td =>
         val w = weights(t).toDouble
-        new Cursor(w, Bm25.idf(n, td.df), w * td.maxScore, td.blocks)
+        new Cursor(w, Bm25.idf(n, td.df), w * td.maxScore, td)
       }
     }
 
