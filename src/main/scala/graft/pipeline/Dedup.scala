@@ -87,13 +87,33 @@ object Dedup {
       ).as("band_key")
     )
 
-  /** Candidate pairs sharing >= 1 LSH band (doc_a < doc_b), deduplicated. */
-  def lshCandidatePairs(bands: DataFrame): DataFrame =
-    bands
+  /** Candidate pairs sharing >= 1 LSH band (doc_a < doc_b), deduplicated.
+    *
+    * `maxBucket` is the EXPLICIT skew guard for the self-join: a band bucket
+    * of b docs emits b^2/2 pairs, and at corpus scale degenerate buckets
+    * (boilerplate, empty files, license headers) would dominate the shuffle.
+    * Buckets above the cap are dropped — their members are either true
+    * megadup clusters (already caught by exact dedup upstream) or rejoin via
+    * their other, more selective bands. <= 0 disables the cap (the
+    * oracle-checked configuration).
+    */
+  def lshCandidatePairs(bands: DataFrame, maxBucket: Long = 0L): DataFrame = {
+    val capped =
+      if (maxBucket <= 0) bands
+      else {
+        val ok = bands
+          .groupBy(col("band_key"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBucket)
+          .select(col("band_key"))
+        bands.join(ok, Seq("band_key"))
+      }
+    capped
       .as("a")
-      .join(bands.as("b"), col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .join(capped.as("b"), col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** Exact Jaccard over distinct shingle sets for the given pairs:
     * (doc_a, doc_b, j_micros).

@@ -110,6 +110,32 @@ object SegmentSearch {
     mergeHits(hits, queries.size, k)
   }
 
+  /** EP2 step 7: decorate one query's ranked top-k with snippets from the
+    * docstore parquet (doc_id pushdown prunes row groups — the store is
+    * doc_id-range sorted).
+    */
+  def searchWithSnippets(
+      spark: SparkSession,
+      indexDir: String,
+      query: String,
+      k: Int
+  ): Seq[Hit] = {
+    val top = searchBatch(spark, indexDir, Seq(query), k)(0)
+    if (top.isEmpty) return Nil
+    val ids = top.map(_._1)
+    val pq = QueryParser.parse(query)
+    val texts = spark.read
+      .parquet(s"$indexDir/docstore")
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(ids: _*))
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    top.map { case (id, s) =>
+      Hit(id, s, graft.core.Snippets.makeSnippet(texts.getOrElse(id, ""), pq.terms))
+    }
+  }
+
   private def mergeHits(hits: Array[QueryHit], nQueries: Int, k: Int): Map[Int, Seq[(Long, Double)]] = {
     val byQ = hits.groupBy(_.qid)
     (0 until nQueries).map { qid =>
