@@ -50,6 +50,18 @@ object IndexBuilder {
   val tokenizeUdf = udf((s: String) => Tokenizer.tokenize(s))
   val codeTokenizeUdf = udf((s: String) => Tokenizer.codeTokens(s))
 
+  /** Tokenizer as a Column: reference mode uses the native Catalyst
+    * expression (codegen-resident, byte-wise — graft.expr.RefTokenize);
+    * code-aware mode uses the Scala UDF. Parity native==pure is asserted in
+    * RefTokenizeSpec.
+    */
+  def tokenizerCol(spark: SparkSession, codeAware: Boolean): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    if (codeAware) c => codeTokenizeUdf(c)
+    else {
+      graft.expr.RefTokenize.register(spark)
+      c => call_function("ref_tokenize_native", c)
+    }
+
   def registerSql(spark: SparkSession): Unit = {
     spark.udf.register("ref_tokenize", (s: String) => Tokenizer.tokenize(s))
     spark.udf.register("code_tokenize", (s: String) => Tokenizer.codeTokens(s))
@@ -72,7 +84,7 @@ object IndexBuilder {
       textCol: String = "text",
       codeAware: Boolean = false
   ): IndexTables = {
-    val tok = if (codeAware) codeTokenizeUdf else tokenizeUdf
+    val tok = tokenizerCol(docs.sparkSession, codeAware)
     val tokens = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .withColumn("tokens", tok(col("text")))

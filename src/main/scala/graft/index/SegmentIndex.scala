@@ -91,7 +91,7 @@ object SegmentIndex {
   ): Seq[Manifest] = {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(outDir))
-    val tok = if (codeAware) IndexBuilder.codeTokenizeUdf else IndexBuilder.tokenizeUdf
+    val tok = IndexBuilder.tokenizerCol(spark, codeAware)
 
     // CPU-bound stages (tokenize, hashing, block encode) need partition
     // count >= cores even when the input is only a few MB of parquet —
