@@ -210,7 +210,18 @@ object SparkEntry {
       graft.pipeline.Events.sessions(s.read.parquet(s"$dir/events.parquet"))),
     // --- multimodal: binary column + batched stub decode ---
     "q_mm_meta" -> ((s, dir) =>
-      graft.pipeline.Multimodal.extractMeta(documents(s, dir)))
+      graft.pipeline.Multimodal.extractMeta(documents(s, dir))),
+    // --- P3: OCR policy predicate (thin text layer flag) ---
+    "q_ocr_policy" -> ((s, dir) =>
+      graft.sources.Ingest.withOcrPolicy(documents(s, dir))
+        .select(col("doc_id"), col("did_ocr"))),
+    // --- code-aware tokenization (north-rule extension; identifier splitting
+    //     is not SQL-expressible -> no oracle, rows-only check) ---
+    "q_code_postings" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.index.IndexBuilder.build(docs, codeAware = true).postings
+        .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -396,6 +407,11 @@ object SparkEntry {
         |  FROM f
         |), g AS (SELECT user_id, session_id, count(*) AS ev FROM s GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions, max(ev) AS max_session_events FROM g GROUP BY user_id""".stripMargin,
+    "q_ocr_policy" ->
+      """SELECT doc_id,
+        |  (length(text) < 50 OR
+        |   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) < 10) AS did_ocr
+        |FROM documents""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_bytes,

@@ -135,43 +135,66 @@ object SegmentIndex {
     val lineage = bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
 
     // ---- job 3: postings (tokenize pass 2) -> df denormalized -> bucketed
-    // segment write. The ONLY wide shuffles of the build: groupBy(term,
-    // doc_id) with map-side partial agg, the small df broadcast join, and the
-    // bucket exchange.
-    val tokens = widened(store)
-      .select(col("bucket"), col("doc_id"), col("dl"), explode(tok(col("text"))).as("term"))
-    val postings = tokens
-      .groupBy(col("bucket"), col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("int").as("tf"))
-    val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // segment write.
+    //
+    // Shuffle budget (the scale-critical part): tf is computed PER ROW from
+    // the token array (a doc's terms never span rows), so the classic
+    // groupBy(term, doc_id) exchange disappears entirely; the df aggregation
+    // shuffles only per-partition distinct terms (map-side partial agg); the
+    // ONE remaining big exchange is the bucket repartition that co-locates
+    // each segment's postings. Scan parallelism comes from a lowered
+    // maxPartitionBytes (not another full-text reshuffle).
+    val prevMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val manifests =
+      try {
+        val storeBytes = {
+          import scala.jdk.CollectionConverters._
+          Files.list(Paths.get(storePath)).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(Files.size).sum
+        }
+        val targetSplit = math.max(1L << 20, storeBytes / math.max(1, buckets * 2))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
+        val storeSplit = spark.read.parquet(storePath)
 
-    val rows = postings
-      .join(dfTable, Seq("term"))
-      .select(
-        col("bucket"),
-        col("term"),
-        col("doc_id"),
-        col("tf"),
-        col("dl").cast("int").as("dl"),
-        col("df")
-      )
-      .repartition(buckets, col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+        val postings = storeSplit
+          .select(
+            col("bucket"),
+            col("doc_id"),
+            col("dl").cast("int").as("dl"),
+            explode(termCountsUdf(tok(col("text")))).as(Seq("term", "tf"))
+          )
+        val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    val out = outDir
-    val nF = n
-    val avgdlF = avgdl
-    val manifestEnc = Encoders.product[Manifest]
-    val manifests = rows
-      .mapPartitions { it =>
-        writePartition(it, out, nF, avgdlF, lineage)
-      }(manifestEnc)
-      .collect()
-      .toSeq
-      .sortBy(_.bucket)
+        val rows = postings
+          .join(dfTable, Seq("term"))
+          .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+          .repartition(buckets, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+
+        val out = outDir
+        val nF = n
+        val avgdlF = avgdl
+        rows
+          .mapPartitions { it =>
+            writePartition(it, out, nF, avgdlF, lineage)
+          }(Encoders.product[Manifest])
+          .collect()
+          .toSeq
+          .sortBy(_.bucket)
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
 
     writeMeta(outDir, Meta(SchemaVersion, n, avgdl, buckets, BlockCodec.BlockSize, "delta-varint"))
     manifests
+  }
+
+  /** token array -> (term, tf) map, computed row-locally (a doc's terms never
+    * span rows, so no shuffle is needed for the tf aggregation).
+    */
+  private val termCountsUdf = udf { (tokens: Seq[String]) =>
+    val m = scala.collection.mutable.HashMap[String, Int]()
+    tokens.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
+    m.toMap
   }
 
   /** Stream one shuffle partition's rows (sorted by bucket, term, doc_id)
