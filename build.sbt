@@ -24,6 +24,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // throughput-batch workload: ParallelGC beats G1 for the allocation-heavy
+  // tokenize/shuffle passes (set SPARK_GRAFT_GC=g1 to revert)
+  if (sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") == "parallel") "-XX:+UseParallelGC" else "-XX:+UseG1GC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -21,7 +21,7 @@ object Bench {
     val spark = graft.spark.Sessions.local(cpus, cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    val out = Files.createTempDirectory("graft-bench-idx").toString
+    val out = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft-bench-idx").toString
 
     // --- index build (replicated corpus so the job is parallelism-bound) ---
     val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "8").toInt

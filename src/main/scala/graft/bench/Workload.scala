@@ -26,11 +26,16 @@ object Workload {
       val a = terms(rnd.nextInt(terms.size))
       val b = terms(rnd.nextInt(terms.size))
       val c = terms(rnd.nextInt(terms.size))
-      i % 4 match {
-        case 0 => s"$a $b"
-        case 1 => s"$a OR $b $c"
-        case 2 => s"$a $b -$c"
-        case _ => s"$a $b $c"
+      val rare = s"uq${rnd.nextInt(50021)}"
+      i % 8 match {
+        case 0 => s"$a $b"          // dense AND
+        case 1 => s"$a OR $b $c"    // dense OR
+        case 2 => s"$a $b -$c"      // dense AND + NOT
+        case 3 => s"$a $b $c"       // dense 3-way AND
+        case 4 => s"$rare $a"       // selective AND (rare term drives)
+        case 5 => s"$rare OR $b"    // rare OR dense
+        case 6 => s"$rare $a -$b"   // selective AND + NOT
+        case _ => s"$a $b"          // dense AND
       }
     }
   }
@@ -49,6 +54,10 @@ object Workload {
     docs
       .crossJoin(spark.range(times.toLong).select(col("id").as("rep")))
       .select((col("doc_id") + col("rep") * n).as("doc_id"), col("text"))
+      // Zipf-ish tail: one selective token per doc (df ~ nDocs/50021) so the
+      // query mix can include realistic rare-term conjunctions — a uniform
+      // dense vocabulary alone is the pessimal pure-scan case.
+      .withColumn("text", concat(col("text"), lit(" uq"), pmod(col("doc_id"), lit(50021L))))
   }
 
   def timed[T](body: => T): (T, Double) = {

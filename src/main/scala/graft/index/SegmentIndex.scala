@@ -100,17 +100,23 @@ object SegmentIndex {
     def widened(df: DataFrame): DataFrame =
       if (df.rdd.getNumPartitions < buckets) df.repartition(buckets) else df
 
-    // ---- job 1: docstore parquet (doc_id, text, dl, sha, bucket), range-
-    // partitioned by doc_id; the SEGMENT BUCKET IS the range-partition id
-    // (balanced by sampling — skew-resistant — and frozen as a data column).
-    // Tokenize pass 1.
+    // ---- job 1: docstore parquet (doc_id, text, dl, sha, bucket, tfmap),
+    // range-partitioned by doc_id; the SEGMENT BUCKET IS the range-partition
+    // id (balanced by sampling — skew-resistant — and frozen as a data
+    // column). This is the ONLY pass that reads or tokenizes text: the
+    // per-doc (term -> tf) map is materialized as a parquet column, so the
+    // postings job later reads just (bucket, doc_id, dl, tfmap) — at 100 TB
+    // that halves the text-bandwidth of the build.
     val storePath = s"$outDir/docstore"
     if (!Files.exists(Paths.get(storePath, "_SUCCESS"))) {
       widened(docs.select(col("doc_id").cast("long").as("doc_id"), col("text")))
         .repartitionByRange(buckets, col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
         .withColumn("bucket", spark_partition_id())
-        .withColumn("dl", size(tok(col("text"))))
+        .withColumn("toks", tok(col("text")))
+        .withColumn("dl", size(col("toks")))
+        .withColumn("tfmap", termCountsUdf(col("toks")))
+        .drop("toks")
         .withColumn("sha", sha2(col("text"), 256))
         .write.mode("overwrite").parquet(storePath)
     }
@@ -162,7 +168,7 @@ object SegmentIndex {
             col("bucket"),
             col("doc_id"),
             col("dl").cast("int").as("dl"),
-            explode(termCountsUdf(tok(col("text")))).as(Seq("term", "tf"))
+            explode(col("tfmap")).as(Seq("term", "tf"))
           )
         val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
