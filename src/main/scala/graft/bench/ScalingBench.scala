@@ -69,8 +69,7 @@ object ScalingBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "256").toInt
     val nQueries = 1000
-    val lo = 8
-    val hi = 32
+    val levels = Seq(2, 8, 32) // pairs evaluated: 2->8 and 8->32 (both N->4N)
 
     // Bucket count is FIXED (the dataset layout must not change with cluster
     // size) — both levels run the IDENTICAL job; only resources differ.
@@ -100,49 +99,58 @@ object ScalingBench {
     // level — the sandbox VM's throughput drifts over minutes, so paired
     // measurements beat sequential ones.
     runAt(8, 2, 40)
-    var (nDocsLo, buildLo, nqLo, queryLo) = (0L, Double.MaxValue, 0, Double.MaxValue)
-    var (nDocsHi, buildHi, nqHi, queryHi) = (0L, Double.MaxValue, 0, Double.MaxValue)
-    for (_ <- 1 to 2) {
-      val (nL, bL, qnL, qL) = runAt(lo, replicas, nQueries)
-      nDocsLo = nL; nqLo = qnL
-      buildLo = math.min(buildLo, bL); queryLo = math.min(queryLo, qL)
-      val (nH, bH, qnH, qH) = runAt(hi, replicas, nQueries)
-      nDocsHi = nH; nqHi = qnH
-      buildHi = math.min(buildHi, bH); queryHi = math.min(queryHi, qH)
+    val best = scala.collection.mutable.Map[Int, (Long, Double, Int, Double)]()
+    for (_ <- 1 to 2; cores <- levels) {
+      val (n, b, qn, q) = runAt(cores, replicas, nQueries)
+      val prev = best.get(cores)
+      best(cores) = (
+        n,
+        math.min(b, prev.map(_._2).getOrElse(Double.MaxValue)),
+        qn,
+        math.min(q, prev.map(_._4).getOrElse(Double.MaxValue))
+      )
     }
-    require(nDocsLo == nDocsHi && nqLo == nqHi, "both levels must run the same input")
+    require(best.values.map(_._1).toSet.size == 1, "all levels must run the same input")
+    val nDocs = best(levels.head)._1
+    val nq = best(levels.head)._3
 
-    val (cpuCeil, memCeil) = hostCeiling(lo, hi)
-
-    val buildThrLo = nDocsLo / buildLo
-    val buildThrHi = nDocsHi / buildHi
-    val qpsLo = nqLo / queryLo
-    val qpsHi = nqHi / queryHi
-    val factor = hi.toDouble / lo
-    val buildSp = buildThrHi / buildThrLo
-    val querySp = qpsHi / qpsLo
-    val hostCeil = math.min(cpuCeil, memCeil) // the workload is string/memory heavy
-
-    val md =
-      f"""## Scaling run — same job, same input, local[$lo] vs local[$hi]
-         |
-         |Input: $sfDir documents x$replicas replicas = $nDocsLo%,d docs; $nqLo BM25 top-10 queries
-         |(mixed dense/rare AND/OR/NOT batch). Index + shuffle on tmpfs (per-node disks scale with
-         |executors on a real cluster). Interleaved best-of-2 per level.
+    def pairReport(lo: Int, hi: Int): String = {
+      val (_, buildLo, _, queryLo) = best(lo)
+      val (_, buildHi, _, queryHi) = best(hi)
+      val (cpuCeil, memCeil) = hostCeiling(lo, hi)
+      val factor = hi.toDouble / lo
+      val buildSp = buildLo / buildHi
+      val querySp = queryLo / queryHi
+      val hostCeil = math.min(cpuCeil, memCeil) // string/memory-heavy workload
+      f"""### Pair local[$lo] -> local[$hi] (N -> 4N)
          |
          || metric | local[$lo] | local[$hi] | speedup | raw efficiency | host-normalized |
          ||---|---|---|---|---|---|
-         || segment index build (docs/sec) | ${buildThrLo.round}%,d | ${buildThrHi.round}%,d | $buildSp%.2fx | ${buildSp / factor}%.3f | ${buildSp / hostCeil}%.3f |
-         || BM25 top-10 batch QPS (Spark fan-out) | $qpsLo%.1f | $qpsHi%.1f | $querySp%.2fx | ${querySp / factor}%.3f | ${querySp / hostCeil}%.3f |
+         || segment index build (docs/sec) | ${(nDocs / buildLo).round}%,d | ${(nDocs / buildHi).round}%,d | $buildSp%.2fx | ${buildSp / factor}%.3f | ${buildSp / hostCeil}%.3f |
+         || BM25 top-10 batch QPS (Spark fan-out) | ${nq / queryLo}%.1f | ${nq / queryHi}%.1f | $querySp%.2fx | ${querySp / factor}%.3f | ${querySp / hostCeil}%.3f |
          |
          |Build wall: $buildLo%.2f s -> $buildHi%.2f s. Query wall: $queryLo%.2f s -> $queryHi%.2f s.
+         |Host ceiling $lo->$hi threads: pure-CPU $cpuCeil%.2fx, memory-stream $memCeil%.2fx → ceiling $hostCeil%.2fx of $factor%.0fx ideal.
+         |""".stripMargin
+    }
+
+    val md =
+      f"""## Scaling runs — same job, same input, three parallelism levels
          |
-         |**Host ceiling at the same thread counts** (what ANY program can achieve on this VM
-         |going $lo -> $hi threads; a real 4x-executor cluster scales memory/disk too):
-         |pure-CPU speedup ${cpuCeil}%.2fx, memory-stream speedup ${memCeil}%.2fx → ceiling ${hostCeil}%.2fx of $factor%.0fx ideal.
-         |Host-normalized efficiency = engine speedup / host ceiling. The engine's wide stages run at
-         |>= 85%% task-time utilization at local[$hi] (StageDiag), i.e. cores are busy — the gap to
-         |ideal is the shared memory system, which a multi-node cluster multiplies but one VM cannot.
+         |Input: $sfDir documents x$replicas replicas = $nDocs%,d docs; $nq BM25 top-10 queries
+         |(mixed dense/rare AND/OR/NOT batch). Index + shuffle on tmpfs (per-node disks scale with
+         |executors on a real cluster). Interleaved best-of-2 per level.
+         |
+         |${pairReport(2, 8)}
+         |${pairReport(8, 32)}
+         |**Reading the numbers.** This sandbox has no cluster: local[N] -> local[4N] multiplies
+         |threads only, while a real N -> 4N EXECUTOR scale-up multiplies memory bandwidth and
+         |disks too. The microbenchmark rows show this VM's hard ceiling for ANY program at the
+         |same thread counts (memory-stream saturates early). Host-normalized efficiency =
+         |engine speedup / host ceiling — the engine-attributable scaling. The engine's wide
+         |stages run at >= 85%% task-time utilization at local[32] (StageDiag): cores stay busy,
+         |and the residual gap is the shared memory system, which a multi-node cluster scales
+         |but one VM cannot.
          |""".stripMargin
 
     Files.createDirectories(Paths.get("BENCH"))

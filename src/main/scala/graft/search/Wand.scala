@@ -195,14 +195,42 @@ object Wand {
         i += 1
       }
       if (continue && allEq) {
-        if (!excluded.contains(target)) {
-          var s = 0.0
+        // block-max pruning (AND flavor): every doc inside the cursors'
+        // CURRENT blocks scores <= sum of block maxes; if that cannot beat
+        // the epsilon-relaxed threshold, jump all cursors to the earliest
+        // next block boundary (upper-bound-safe by construction).
+        val theta = top.threshold
+        var skipped = false
+        if (theta > Double.NegativeInfinity) {
+          var ubs = 0.0
           var j = 0
-          while (j < cursors.length) { s += cursors(j).score(avgdl); j += 1 }
-          top.offer(SegmentHit(target, s))
+          while (j < cursors.length) { ubs += cursors(j).blockUb; j += 1 }
+          if (ubs <= theta) {
+            var d = Long.MaxValue
+            var m = 0
+            while (m < cursors.length) {
+              val b = cursors(m).nextBlockBoundary
+              if (b < d) d = b
+              m += 1
+            }
+            if (d == Long.MaxValue) continue = false
+            else {
+              cursors.foreach(_.advanceTo(d))
+              if (cursors.exists(_.curDoc == Long.MaxValue)) continue = false
+            }
+            skipped = true
+          }
         }
-        cursors.foreach(_.next())
-        if (cursors.exists(_.curDoc == Long.MaxValue)) continue = false
+        if (continue && !skipped) {
+          if (!excluded.contains(target)) {
+            var s = 0.0
+            var j = 0
+            while (j < cursors.length) { s += cursors(j).score(avgdl); j += 1 }
+            top.offer(SegmentHit(target, s))
+          }
+          cursors.foreach(_.next())
+          if (cursors.exists(_.curDoc == Long.MaxValue)) continue = false
+        }
       }
     }
     top.results
