@@ -1,0 +1,80 @@
+package graft.bench
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors}
+
+import graft.index.SegmentIndex
+import graft.search.SegmentSearch
+
+/** Serving-latency harness — the reference's load test shape
+  * (/root/reference/scripts/load_test.py:6-9,41-47: 200 requests, 50
+  * concurrent, reports rps and p50/p95/p99) against the warmed in-memory
+  * segment index (the searchd serving model). Appends to BENCH/BASELINE.md.
+  *
+  * Usage: LatencyBench [requests] [concurrency]
+  */
+object LatencyBench {
+  @volatile private var sink: Int = 0
+  def main(args: Array[String]): Unit = {
+    val requests = args.lift(0).map(_.toInt).getOrElse(200)
+    val concurrency = args.lift(1).map(_.toInt).getOrElse(50)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "64").toInt
+
+    val spark = graft.spark.Sessions.local(32, 32, "graft-latency")
+    spark.sparkContext.setLogLevel("WARN")
+    val out = Files.createTempDirectory(Paths.get("/dev/shm"), "graft-latency-idx").toString
+    val docs = Workload.replicatedDocs(spark, sfDir, replicas)
+    SegmentIndex.build(docs, out, buckets = 32)
+    val meta = SegmentIndex.readMeta(out)
+    val segs = SegmentIndex.segmentFiles(out).map(SegmentIndex.loadSegment)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_QUERY_MODE", "mixed")
+    val queries = Workload.queries(spark, sfDir, requests, mode)
+    spark.stop()
+
+    // warm decode caches + JIT
+    SegmentSearch.searchBatchInMemory(segs, meta, queries.take(40), 10)
+
+    // one request = one full query (all segments scored serially within the
+    // request, like one searchd HTTP handler); `concurrency` parallel clients
+    val latenciesNs = new ConcurrentLinkedQueue[Long]()
+    val pool = Executors.newFixedThreadPool(concurrency)
+    val done = new CountDownLatch(requests)
+    val t0 = System.nanoTime()
+    queries.foreach { q =>
+      pool.execute { () =>
+        val s = System.nanoTime()
+        val pq = graft.core.QueryParser.parse(q)
+        val r = segs.flatMap(seg =>
+          graft.search.Wand.searchSegment(seg, pq, meta.n, meta.avgdl, 10))
+        val ranked = r.map(h => (h.docId, h.score)).sorted(graft.core.Bm25.hitOrdering).take(10)
+        sink = ranked.length // keep the result alive
+        latenciesNs.add(System.nanoTime() - s)
+        done.countDown()
+      }
+    }
+    done.await()
+    val wall = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+
+    import scala.jdk.CollectionConverters._
+    val ms = latenciesNs.asScala.map(_ / 1e6).toIndexedSeq.sorted
+    def pct(p: Double) = ms(math.min(ms.size - 1, (p * ms.size).toInt))
+    val rps = requests / wall
+
+    val md =
+      f"""## Serving latency — in-memory segment index (reference load-test shape)
+         |
+         |${meta.n}%,d docs, $requests requests, $concurrency concurrent clients, k=10, query mode: $mode.
+         |
+         || rps | p50 | p95 | p99 | reference targets |
+         ||---|---|---|---|---|
+         || $rps%.0f req/s | ${pct(0.50)}%.1f ms | ${pct(0.95)}%.1f ms | ${pct(0.99)}%.1f ms | 1000 req/s (README.md:197); p99 < 50 ms (README.md:200) |
+         |""".stripMargin
+    val path = Paths.get("BENCH/BASELINE.md")
+    Files.createDirectories(Paths.get("BENCH"))
+    val prev = if (Files.exists(path)) Files.readString(path) else ""
+    Files.writeString(path, prev + "\n" + md)
+    println(md)
+  }
+}

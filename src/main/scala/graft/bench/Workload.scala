@@ -11,7 +11,13 @@ object Workload {
   /** Deterministic query set over the corpus's own most-frequent terms:
     * a mix of 2-3 term AND, OR, and NOT queries (seeded, no wall clock).
     */
-  def queries(spark: SparkSession, sfDir: String, count: Int): Seq[String] = {
+  def queries(spark: SparkSession, sfDir: String, count: Int): Seq[String] =
+    queries(spark, sfDir, count, "mixed")
+
+  /** mode: "mixed" = dense+rare analytical batch; "selective" = every query
+    * anchored by a rare term (the interactive-serving shape).
+    */
+  def queries(spark: SparkSession, sfDir: String, count: Int, mode: String): Seq[String] = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val terms = graft.index.IndexBuilder
       .build(docs)
@@ -27,7 +33,8 @@ object Workload {
       val b = terms(rnd.nextInt(terms.size))
       val c = terms(rnd.nextInt(terms.size))
       val rare = s"uq${rnd.nextInt(50021)}"
-      i % 8 match {
+      val branch = if (mode == "selective") 4 + (i % 3) else i % 8
+      branch match {
         case 0 => s"$a $b"          // dense AND
         case 1 => s"$a OR $b $c"    // dense OR
         case 2 => s"$a $b -$c"      // dense AND + NOT

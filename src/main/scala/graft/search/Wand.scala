@@ -92,6 +92,20 @@ object Wand {
       weight * Bm25.termPart(decoded.tfs(pos), idf, Bm25.norm(decoded.dls(pos).toDouble, avgdl))
   }
 
+  /** Ascending-probe NOT-term exclusion over block cursors. */
+  private final class Excluder(cursors: Seq[Cursor]) {
+    def contains(doc: Long): Boolean = {
+      var i = 0
+      while (i < cursors.length) {
+        val c = cursors(i)
+        if (c.curDoc < doc) c.advanceTo(doc)
+        if (c.curDoc == doc) return true
+        i += 1
+      }
+      false
+    }
+  }
+
   /** Bounded top collector: a k-sized min-heap (plain score order) gives an
     * O(1) pruning threshold = kth-best - epsilon; hits evicted from the heap
     * that still sit within epsilon of the CURRENT kth-best go to a bounded
@@ -142,14 +156,13 @@ object Wand {
     pq.terms.foreach(t => weights.update(t, weights.getOrElse(t, 0) + 1))
     val distinct = weights.keys.toIndexedSeq
 
-    // excluded docs from NOT terms (local to segment = global for its docs)
-    val excluded: java.util.HashSet[Long] = {
-      val s = new java.util.HashSet[Long]()
-      pq.notTerms.distinct.foreach { t =>
-        seg.postings(t).foreach(p => s.add(p.docId))
-      }
-      s
-    }
+    // NOT-term exclusion via monotone cursors: candidates are produced in
+    // ascending docId order by both the conjunctive merge and WAND (cursors
+    // only advance), so exclusion probes gallop instead of materializing a
+    // hash set of the whole (often dense) NOT posting list per query.
+    val excluded = new Excluder(
+      pq.notTerms.distinct.flatMap(t => seg.terms.get(t))
+        .map(td => new Cursor(0.0, 0.0, 0.0, td)))
 
     val cursors: IndexedSeq[Cursor] = distinct.flatMap { t =>
       seg.terms.get(t).map { td =>
@@ -174,7 +187,7 @@ object Wand {
   /** Conjunctive k-way merge with galloping; exact scoring per matched doc. */
   private def andMerge(
       cursors: IndexedSeq[Cursor],
-      excluded: java.util.HashSet[Long],
+      excluded: Excluder,
       avgdl: Double,
       k: Int
   ): Seq[SegmentHit] = {
@@ -239,7 +252,7 @@ object Wand {
   /** Disjunctive block-max WAND. */
   private def orWand(
       cursorsIn: IndexedSeq[Cursor],
-      excluded: java.util.HashSet[Long],
+      excluded: Excluder,
       avgdl: Double,
       k: Int
   ): Seq[SegmentHit] = {
