@@ -24,7 +24,7 @@ object Bench {
     val out = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft-bench-idx").toString
 
     // --- index build (replicated corpus so the job is parallelism-bound) ---
-    val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "8").toInt
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "32").toInt
     val docs = Workload.replicatedDocs(spark, sfDir, replicas)
     val nDocs = docs.count()
     val (_, buildSec) = Workload.timed(SegmentIndex.build(docs, out, buckets = cpus))
