@@ -26,8 +26,8 @@ object Bench {
     // --- index build (replicated corpus so the job is parallelism-bound) ---
     val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "32").toInt
     val docs = Workload.replicatedDocs(spark, sfDir, replicas)
-    val nDocs = docs.count()
-    val (_, buildSec) = Workload.timed(SegmentIndex.build(docs, out, buckets = cpus))
+    val (manifests, buildSec) = Workload.timed(SegmentIndex.build(docs, out, buckets = cpus))
+    val nDocs = manifests.map(_.nDocs).sum
 
     // --- distributed batch query (cold executor caches) ---
     val qs = Workload.queries(spark, sfDir, 200)
