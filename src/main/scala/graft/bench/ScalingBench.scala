@@ -153,18 +153,7 @@ object ScalingBench {
          |but one VM cannot.
          |""".stripMargin
 
-    Files.createDirectories(Paths.get("BENCH"))
-    val path = Paths.get("BENCH/BASELINE.md")
-    val header =
-      """# BENCH/BASELINE — measured engine numbers
-        |
-        |North-rule gates (/root/repo/BASELINE.json): BM25 top-k QPS +
-        |index-build throughput, rank-identical results, scaling efficiency
-        |>= 0.8 from N to 4N parallelism (evidenced as local[8] vs local[32]
-        |on identical input — no real cluster in this sandbox).
-        |
-        |""".stripMargin
-    Files.writeString(path, header + "\n" + md)
+    BenchReport.replaceSection("## Scaling runs", md)
     println(md)
   }
 }
