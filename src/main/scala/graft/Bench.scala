@@ -54,8 +54,13 @@ object Bench {
         s""""docs_indexed":$nDocs,"query_spark_cold_sec":${f(qSparkColdSec)},""" +
         s""""query_spark_warm_sec":${f(qSparkWarmSec)},"qps_spark_warm":${f(qpsSparkWarm)},""" +
         s""""query_inmem_sec":${f(qMemSec)},"qps_inmem":${f(qpsMem)},"n_queries":${qs.size}}"""
-    println(
+    val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces vs log-prefix mangling: also persist the line bare.
+    Files.write(
+      java.nio.file.Paths.get("BENCH", "last_bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
     spark.stop()
   }

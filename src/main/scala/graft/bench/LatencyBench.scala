@@ -49,7 +49,7 @@ object LatencyBench {
           val pq = graft.core.QueryParser.parse(q)
           val r = segs.flatMap(seg =>
             graft.search.Wand.searchSegment(seg, pq, meta.n, meta.avgdl, 10))
-          val ranked = r.map(h => (h.docId, h.score)).sorted(graft.core.Bm25.hitOrdering).take(10)
+          val ranked = graft.core.Bm25.sortHits(r.map(h => (h.docId, h.score))).take(10)
           sink = ranked.length // keep the result alive
           latenciesNs.add(System.nanoTime() - s)
           done.countDown()

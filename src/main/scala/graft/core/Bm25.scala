@@ -42,14 +42,49 @@ object Bm25 extends Serializable {
 
   /** Reference result ordering: higher score first; |Δ| < 1e-9 is a tie,
     * broken by ascending docId. NOT a strict weak ordering (ties are
-    * non-transitive) — mirrored verbatim, applied only at the driver on the
-    * final candidate list, exactly like the reference's std::sort.
+    * non-transitive) — so it must never be handed to TimSort (`.sorted`),
+    * which throws "Comparison method violates its general contract" on
+    * epsilon-chained inputs. Use [[sortHits]] instead; this comparator is
+    * kept for pairwise comparisons and the insertion post-pass only.
     */
   val hitOrdering: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
     def compare(a: (Long, Double), b: (Long, Double)): Int = {
       if (!scoresTied(a._2, b._2)) java.lang.Double.compare(b._2, a._2)
       else java.lang.Long.compare(a._1, b._1)
     }
+  }
+
+  /** Strict weak order (TimSort-safe): score desc, docId asc. */
+  private val totalOrdering: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+    def compare(a: (Long, Double), b: (Long, Double)): Int = {
+      val c = java.lang.Double.compare(b._2, a._2)
+      if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+    }
+  }
+
+  /** Reference-identical final sort without giving the non-transitive epsilon
+    * comparator to TimSort: total-order sort first (score desc, docId asc —
+    * strict weak, safe), then a stable insertion post-pass applying the
+    * epsilon tie rule so epsilon-tied-but-unequal neighbours end up in
+    * ascending docId order, exactly the fixpoint the reference's std::sort
+    * reaches (/root/reference/src/core/score_order.h:8-21). Insertion sort is
+    * crash-free under any comparator; after the total sort elements move only
+    * within their epsilon chain, so the pass is near-linear in practice.
+    */
+  def sortHits(hits: Seq[(Long, Double)]): IndexedSeq[(Long, Double)] = {
+    val arr = hits.toArray
+    scala.util.Sorting.quickSort(arr)(totalOrdering)
+    var i = 1
+    while (i < arr.length) {
+      val cur = arr(i)
+      var j = i - 1
+      while (j >= 0 && hitOrdering.compare(cur, arr(j)) < 0) {
+        arr(j + 1) = arr(j); j -= 1
+      }
+      arr(j + 1) = cur
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
   }
 }
 
@@ -115,7 +150,7 @@ final class RefEngine {
         }
       }
       .toIndexedSeq
-    scored.sorted(Bm25.hitOrdering)
+    Bm25.sortHits(scored)
   }
 
   def stats: (Long, Double) = (n, avgdl)

@@ -37,6 +37,7 @@ object SegmentIndex {
   val SchemaVersion = 1
 
   final case class Manifest(
+      formatVersion: Int,
       bucket: Int,
       nTerms: Long,
       nPostings: Long,
@@ -46,6 +47,11 @@ object SegmentIndex {
       lineageXor: Long,
       skipped: Boolean
   )
+
+  /** Bumped when the segment byte layout changes; manifests from another
+    * format never satisfy the resume check.
+    */
+  val FormatVersion = 2
 
   final case class Meta(
       schemaVersion: Int,
@@ -75,7 +81,7 @@ object SegmentIndex {
       terms.get(term).iterator.flatMap(_.blocks.iterator.flatMap(BlockCodec.decode(_).iterator))
   }
 
-  private val Magic = "GRFTSEG1".getBytes(StandardCharsets.US_ASCII)
+  private val Magic = "GRFTSEG2".getBytes(StandardCharsets.US_ASCII)
 
   // ------------------------------------------------------------------- build
 
@@ -108,6 +114,37 @@ object SegmentIndex {
     // postings job later reads just (bucket, doc_id, dl, tfmap) — at 100 TB
     // that halves the text-bandwidth of the build.
     val storePath = s"$outDir/docstore"
+
+    // Resume validation (north_rule: resumable, but NEVER serve stale data).
+    // A leftover outDir is only reused when it provably matches this run:
+    //   - meta bucket count / schema / format must match, else everything is
+    //     invalidated (docId->bucket assignment changes with bucket count);
+    //   - a reused docstore must match the CURRENT corpus — row count plus an
+    //     order-independent lineage XOR of sha256(doc_id:sha256(text)),
+    //     computed on both sides (one extra read pass over the input, paid
+    //     ONLY on resume; a fresh build skips it entirely).
+    // Per-bucket segment staleness is caught later in writePartition by
+    // comparing the manifest's lineageXor/nDocs to this run's lineage.
+    if (Files.exists(Paths.get(storePath, "_SUCCESS"))) {
+      val metaOk = Files.exists(Paths.get(outDir, "index_meta.json")) && {
+        try { val m = readMeta(outDir); m.buckets == buckets } catch { case _: Exception => false }
+      }
+      val storeOk = metaOk && {
+        val lin = conv(
+          substring(sha2(concat(col("doc_id").cast("string"), lit(":"), col("sha")), 256), 1, 15), 16, 10
+        ).cast("long")
+        val st = spark.read.parquet(storePath)
+          .select(lin.as("h"))
+          .agg(expr("bit_xor(h)"), count(lit(1))).head()
+        val cur = docs
+          .select(col("doc_id").cast("long").as("doc_id"), sha2(col("text"), 256).as("sha"))
+          .select(lin.as("h"))
+          .agg(expr("bit_xor(h)"), count(lit(1))).head()
+        st == cur
+      }
+      if (!storeOk) invalidate(outDir)
+    }
+
     if (!Files.exists(Paths.get(storePath, "_SUCCESS"))) {
       widened(docs.select(col("doc_id").cast("long").as("doc_id"), col("text")))
         .repartitionByRange(buckets, col("doc_id"))
@@ -219,7 +256,13 @@ object SegmentIndex {
 
     while (buffered.hasNext) {
       val bucket = buffered.head.getInt(0)
-      val existing = readManifest(outDir, bucket)
+      // Skip ONLY when the existing manifest provably describes this run's
+      // data: same lineage XOR and doc count as the current corpus slice.
+      // A stale segment (source data changed under the same outDir) fails
+      // this check and is rebuilt in place.
+      val existing = readManifest(outDir, bucket).filter { m =>
+        lineage.get(bucket).exists { case (xor, nd) => m.lineageXor == xor && m.nDocs == nd }
+      }
       if (existing.isDefined) {
         // already complete from a previous run — drain and skip
         while (buffered.hasNext && buffered.head.getInt(0) == bucket) buffered.next()
@@ -231,6 +274,25 @@ object SegmentIndex {
     results.iterator
   }
 
+  /** Remove every index artifact under outDir (stale-resume invalidation). */
+  private def invalidate(outDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(outDir)
+    if (!Files.exists(dir)) return
+    // segments + manifests + meta
+    Files.list(dir).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.matches("segment-\\d+\\.bin(\\.tmp)?") || name.matches("manifest-\\d+\\.json(\\.tmp)?") ||
+        name.startsWith("index_meta.json"))
+        Files.deleteIfExists(p)
+    }
+    // docstore parquet dir
+    val store = dir.resolve("docstore")
+    if (Files.exists(store)) {
+      Files.walk(store).iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
   private def writeBucket(
       rows: scala.collection.BufferedIterator[org.apache.spark.sql.Row],
       bucket: Int,
@@ -239,38 +301,55 @@ object SegmentIndex {
       avgdl: Double,
       lineage: Map[Int, (Long, Long)]
   ): Manifest = {
-    // collect per-term postings for this bucket (rows arrive term-sorted)
-    val body = new ByteArrayOutputStream(1 << 20)
-    val bodyOut = new DataOutputStream(body)
+    // Stream terms straight to the .tmp file through a DigestOutputStream —
+    // the sha256 comes free and heap holds at most ONE term's posting list
+    // (the block encoder needs a whole list for max-score / block split), not
+    // the whole bucket. Rows arrive (term, doc_id)-sorted, so output bytes
+    // are deterministic (byte-identical rebuilds).
+    val file = Paths.get(outDir, f"segment-$bucket%05d.bin")
+    val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
+    val digest = MessageDigest.getInstance("SHA-256")
+    val fos = new FileOutputStream(tmp.toFile)
+    val out = new DataOutputStream(
+      new java.security.DigestOutputStream(new BufferedOutputStream(fos, 1 << 16), digest))
+
     var nTerms = 0L
     var nPostings = 0L
+    // doc count comes from the lineage pass when available (the normal case);
+    // the HashSet fallback is only for buckets the lineage pass never saw.
+    val trackDocs = !lineage.contains(bucket)
     val docsSeen = scala.collection.mutable.HashSet[Long]()
 
-    while (rows.hasNext && rows.head.getInt(0) == bucket) {
-      val term = rows.head.getString(1)
-      var df = 0L // GLOBAL df, denormalized on every posting row
-      val plist = scala.collection.mutable.ArrayBuffer[(BlockCodec.Posting, Double)]()
-      while (rows.hasNext && rows.head.getInt(0) == bucket && rows.head.getString(1) == term) {
-        val r = rows.next()
-        val docId = r.getLong(2)
-        val tf = r.getInt(3)
-        val dl = r.getInt(4)
-        df = r.getLong(5)
-        val score = Bm25.termPart(tf, Bm25.idf(n, df), Bm25.norm(dl.toDouble, avgdl))
-        plist += ((BlockCodec.Posting(docId, tf, dl), score))
-        docsSeen += docId
+    try {
+      out.write(Magic)
+      out.writeInt(bucket)
+      while (rows.hasNext && rows.head.getInt(0) == bucket) {
+        val term = rows.head.getString(1)
+        var df = 0L // GLOBAL df, denormalized on every posting row
+        val plist = scala.collection.mutable.ArrayBuffer[(BlockCodec.Posting, Double)]()
+        while (rows.hasNext && rows.head.getInt(0) == bucket && rows.head.getString(1) == term) {
+          val r = rows.next()
+          val docId = r.getLong(2)
+          val tf = r.getInt(3)
+          val dl = r.getInt(4)
+          df = r.getLong(5)
+          val score = Bm25.termPart(tf, Bm25.idf(n, df), Bm25.norm(dl.toDouble, avgdl))
+          plist += ((BlockCodec.Posting(docId, tf, dl), score))
+          if (trackDocs) docsSeen += docId
+        }
+        nTerms += 1
+        nPostings += plist.length
+        writeTerm(out, term, df, plist.toIndexedSeq)
       }
-      nTerms += 1
-      nPostings += plist.length
-      writeTerm(bodyOut, term, df, plist.toIndexedSeq)
-    }
-    bodyOut.flush()
+      out.flush()
+      fos.getFD.sync()
+    } finally out.close()
 
+    val bytes = Files.size(tmp)
+    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    val sha = digest.digest().map("%02x".format(_)).mkString
     val (lineageXor, nDocs) = lineage.getOrElse(bucket, (0L, docsSeen.size.toLong))
-    val payload = assembleFile(bucket, nPostings, body.toByteArray)
-    val file = Paths.get(outDir, f"segment-$bucket%05d.bin")
-    val sha = atomicWrite(file, payload)
-    val m = Manifest(bucket, nTerms, nPostings, docsSeen.size.toLong max nDocs, payload.length.toLong, sha, lineageXor, skipped = false)
+    val m = Manifest(FormatVersion, bucket, nTerms, nPostings, nDocs, bytes, sha, lineageXor, skipped = false)
     writeManifest(outDir, m)
     m
   }
@@ -298,25 +377,6 @@ object SegmentIndex {
     }
   }
 
-  private def assembleFile(bucket: Int, nPostings: Long, body: Array[Byte]): Array[Byte] = {
-    val head = new ByteArrayOutputStream(64)
-    val h = new DataOutputStream(head)
-    h.write(Magic)
-    h.writeInt(bucket)
-    h.writeLong(nPostings)
-    h.flush()
-    head.toByteArray ++ body
-  }
-
-  /** write-tmp-then-rename, returns sha256 hex of the payload. */
-  private def atomicWrite(file: Path, payload: Array[Byte]): String = {
-    val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
-    val os = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
-    try { os.write(payload); os.flush() } finally os.close()
-    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    sha256Hex(payload)
-  }
-
   def sha256Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(bytes).map("%02x".format(_)).mkString
 
@@ -339,9 +399,15 @@ object SegmentIndex {
     val p = manifestPath(outDir, bucket)
     if (!Files.exists(p)) None
     else {
-      val m = JsonMethods.parse(Files.readString(p)).extract[Manifest]
-      val seg = Paths.get(outDir, f"segment-$bucket%05d.bin")
-      if (Files.exists(seg) && Files.size(seg) == m.bytes) Some(m) else None
+      // Unparseable / older-format manifests (missing formatVersion) read as
+      // absent — the bucket is simply rebuilt.
+      val parsed =
+        try Some(JsonMethods.parse(Files.readString(p)).extract[Manifest])
+        catch { case _: Exception => None }
+      parsed.filter { m =>
+        val seg = Paths.get(outDir, f"segment-$bucket%05d.bin")
+        m.formatVersion == FormatVersion && Files.exists(seg) && Files.size(seg) == m.bytes
+      }
     }
   }
 
@@ -376,7 +442,6 @@ object SegmentIndex {
       in.readFully(magic)
       require(java.util.Arrays.equals(magic, Magic), s"bad magic in $path")
       val bucket = in.readInt()
-      in.readLong() // nPostings
       val terms = Map.newBuilder[String, TermData]
       while (in.available() > 0) {
         val tlen = in.readUnsignedShort()

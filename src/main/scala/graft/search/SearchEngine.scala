@@ -125,7 +125,7 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
       .toIndexedSeq
-    val ranked = all.sorted(Bm25.hitOrdering)
+    val ranked = Bm25.sortHits(all)
     if (k >= 0) ranked.take(math.max(1, k)) else ranked
   }
 

@@ -69,9 +69,7 @@ object SegmentSearch {
     val merged = hits
       .groupByKey(_.qid)(Encoders.scalaInt)
       .flatMapGroups { (qid, it) =>
-        it.map(h => (h.docId, h.score))
-          .toIndexedSeq
-          .sorted(Bm25.hitOrdering)
+        Bm25.sortHits(it.map(h => (h.docId, h.score)).toIndexedSeq)
           .take(kk)
           .zipWithIndex
           .map { case ((d, s), i) => RankedHit(qid, i + 1, d, s) }
@@ -139,11 +137,8 @@ object SegmentSearch {
   private def mergeHits(hits: Array[QueryHit], nQueries: Int, k: Int): Map[Int, Seq[(Long, Double)]] = {
     val byQ = hits.groupBy(_.qid)
     (0 until nQueries).map { qid =>
-      val ranked = byQ
-        .getOrElse(qid, Array.empty[QueryHit])
-        .map(h => (h.docId, h.score))
-        .toIndexedSeq
-        .sorted(Bm25.hitOrdering)
+      val ranked = Bm25
+        .sortHits(byQ.getOrElse(qid, Array.empty[QueryHit]).map(h => (h.docId, h.score)).toIndexedSeq)
         .take(k)
       qid -> ranked
     }.toMap

@@ -108,9 +108,15 @@ object Wand {
 
   /** Bounded top collector: a k-sized min-heap (plain score order) gives an
     * O(1) pruning threshold = kth-best - epsilon; hits evicted from the heap
-    * that still sit within epsilon of the CURRENT kth-best go to a bounded
-    * side buffer so epsilon ties at the k boundary survive to the driver
-    * merge (which applies the reference comparator).
+    * that still sit within epsilon of the CURRENT kth-best go to a side
+    * buffer so epsilon ties at the k boundary survive to the driver merge
+    * (which applies the reference comparator). The buffer is logically
+    * unbounded — a tie at the final k boundary is NEVER dropped (the
+    * reference ranks fully and truncates last) — but is compacted whenever it
+    * exceeds `HeapSlack`: entries that have fallen more than epsilon below
+    * the CURRENT kth-best can never re-enter the final top-k (the threshold
+    * only rises), so they are discarded; memory stays bounded by the number
+    * of genuinely live boundary ties.
     */
   private final class TopK(k: Int) {
     // min-heap: worst of the top-k on top (score asc, docId desc)
@@ -122,18 +128,23 @@ object Wand {
       if (heap.size < k) Double.NegativeInfinity
       else heap.head.score - Bm25.ScoreTieEpsilon
 
+    private def addTie(h: SegmentHit): Unit = {
+      if (nTies >= HeapSlack) { // compact: drop ties that are now stale
+        val th = threshold
+        ties = ties.filter(_.score >= th)
+        nTies = ties.size
+      }
+      ties = h :: ties; nTies += 1
+    }
+
     def offer(h: SegmentHit): Unit = {
       if (heap.size < k) heap.enqueue(h)
-      else if (h.score > heap.head.score || (h.score >= heap.head.score - Bm25.ScoreTieEpsilon)) {
-        if (h.score > heap.head.score) {
-          val evicted = heap.dequeue()
-          heap.enqueue(h)
-          if (evicted.score >= heap.head.score - Bm25.ScoreTieEpsilon && nTies < HeapSlack) {
-            ties = evicted :: ties; nTies += 1
-          }
-        } else if (nTies < HeapSlack) { // within epsilon of kth but not above
-          ties = h :: ties; nTies += 1
-        }
+      else if (h.score > heap.head.score) {
+        val evicted = heap.dequeue()
+        heap.enqueue(h)
+        if (evicted.score >= threshold) addTie(evicted)
+      } else if (h.score >= threshold) { // within epsilon of kth but not above
+        addTie(h)
       }
     }
     def results: Seq[SegmentHit] = heap.toSeq ++ ties
