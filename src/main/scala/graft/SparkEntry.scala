@@ -91,14 +91,21 @@ object SparkEntry {
        |${scoresCte(terms, isOr)}
        |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= $k""".stripMargin
 
-  /** Spark twin of bm25Sql's ranking projection over the REAL engine plan. */
+  /** Spark twin of bm25Sql's ranking projection over the REAL engine plan.
+    *
+    * Top-k via `orderBy(...).limit(k)` — Catalyst plans TakeOrderedAndProject
+    * (per-partition heaps + driver merge), so no global no-partition window
+    * funnels the full candidate set through one task. The row_number window
+    * that assigns ranks runs over the ALREADY-limited <= k rows only.
+    */
   private def bm25TopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
     val scored = engine(spark, dir).scoredDF(query)
     val w = Window.orderBy(col("score_r").desc, col("doc_id").asc)
     scored
       .select(col("doc_id"), micros(col("score")).as("score_r"))
+      .orderBy(col("score_r").desc, col("doc_id").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select(col("rank"), col("doc_id"), col("score_r"))
   }
 
@@ -215,11 +222,23 @@ object SparkEntry {
     "q_ocr_policy" -> ((s, dir) =>
       graft.sources.Ingest.withOcrPolicy(documents(s, dir))
         .select(col("doc_id"), col("did_ocr"))),
-    // --- code-aware tokenization (north-rule extension; identifier splitting
-    //     is not SQL-expressible -> no oracle, rows-only check) ---
+    // --- code-aware tokenization (north-rule extension). The corpus text is
+    //     all-lowercase, so a deterministic CamelCase+digit derivation
+    //     ("TableScanMerge...V<doc_id>") is built FIRST on both sides — the
+    //     gate actually exercises camel / upper-run / digit boundary
+    //     splitting, and the identifier-splitting semantics ARE
+    //     SQL-expressible (chained regexp_replace boundary injection). ---
     "q_code_postings" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      graft.index.IndexBuilder.build(docs, codeAware = true).postings
+      val camel = documents(s, dir).select(
+        col("doc_id"),
+        expr(
+          """concat(
+            |  array_join(transform(
+            |    filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''),
+            |    t -> concat(upper(substring(t, 1, 1)), substring(t, 2))), ''),
+            |  'V', cast(doc_id as string))""".stripMargin).as("text")
+      )
+      graft.index.IndexBuilder.build(camel, codeAware = true).postings
         .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))
     })
   )
@@ -412,6 +431,34 @@ object SparkEntry {
         |  (length(text) < 50 OR
         |   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) < 10) AS did_ocr
         |FROM documents""".stripMargin,
+    // code-aware tokenizer twin: same CamelCase+digit derivation, then
+    // identifier splitting via boundary-injecting regexp_replace chains
+    // (lower->Upper, Upper->Upper+lower, alpha<->digit — exactly
+    // Tokenizer.splitIdentifier's boundary set), plus the whole lowercased
+    // identifier (codeTokens emits subs only when the split is non-trivial).
+    "q_code_postings" ->
+      """WITH camel AS (
+        |  SELECT doc_id,
+        |    coalesce(list_aggregate(list_transform(
+        |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |      t -> upper(substr(t, 1, 1)) || substr(t, 2, length(t))), 'string_agg', ''), '')
+        |    || 'V' || CAST(doc_id AS VARCHAR) AS ident
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, lower(ident) AS whole,
+        |    list_filter(regexp_split_to_array(lower(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(ident,
+        |        '([A-Z])([A-Z][a-z])', '\1 \2', 'g'),
+        |        '([a-z])([A-Z])', '\1 \2', 'g'),
+        |        '([A-Za-z])([0-9])', '\1 \2', 'g'),
+        |        '([0-9])([A-Za-z])', '\1 \2', 'g')), ' '), x -> x <> '') AS subs
+        |  FROM camel
+        |), tk AS (
+        |  SELECT doc_id, whole AS term FROM sp
+        |  UNION ALL
+        |  SELECT doc_id, unnest(subs) AS term FROM sp WHERE len(subs) > 1
+        |)
+        |SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY term, doc_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_bytes,

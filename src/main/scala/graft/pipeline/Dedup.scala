@@ -20,7 +20,11 @@ object Dedup {
   val MinhashBands = 4
   val MinhashRows = 3 // bands * rows == hashes
 
-  import graft.index.IndexBuilder.tokenizeUdf
+  /** Reference tokenizer as a codegen-resident native Column (no Scala UDF
+    * in corpus-scan hot paths).
+    */
+  private def tok(df: DataFrame) =
+    graft.index.IndexBuilder.tokenizerCol(df.sparkSession, codeAware = false)
 
   /** Exact dedup: every doc mapped to the keeper (min doc_id) of its md5(text)
     * group. Self-mapping rows included so the result is total.
@@ -34,7 +38,7 @@ object Dedup {
   /** Distinct w-token shingles per document: (doc_id, sh). */
   def shingles(docs: DataFrame, w: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), tokenizeUdf(col(textCol)).as("toks"))
+      .select(col(idCol).as("doc_id"), tok(docs)(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= w)
       .select(
         col("doc_id"),
@@ -166,7 +170,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = docs
-      .select(col(idCol).as("doc_id"), explode(tokenizeUdf(col(textCol))).as("term"))
+      .select(col(idCol).as("doc_id"), explode(tok(docs)(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("term")))

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language-ID heuristic,
@@ -19,27 +18,39 @@ object TextStats {
     "fr" -> Seq("le", "la", "les", "des", "et", "est", "une", "dans")
   )
 
-  import graft.index.IndexBuilder.tokenizeUdf
+  /** Reference tokenizer as a codegen-resident native Column (no Scala UDF
+    * in corpus-scan hot paths).
+    */
+  private def tok(df: DataFrame) =
+    graft.index.IndexBuilder.tokenizerCol(df.sparkSession, codeAware = false)
 
   /** Language ID: tf-weighted stopword hits per language; winner by
     * (hits DESC, lang ASC); zero hits everywhere -> 'und'.
     * Output: (doc_id, lang_pred, hits).
+    *
+    * ONE pass, ZERO shuffle: every per-language hit count is a row-local
+    * `size(filter(tokens, ...))` over the single tokenize result, and the
+    * winner is a greatest + first-match projection — no per-language corpus
+    * rescans, no groupBy, no window.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokenizeUdf(col("text"))).as("term"))
-    val perLang = StopwordSets.map { case (lang, words) =>
-      toks
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("term").isin(words: _*), 1L).otherwise(0L)).as("hits"))
-        .select(col("doc_id"), lit(lang).as("lang"), col("hits"))
-    }.reduce(_ unionByName _)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("lang").asc)
-    perLang
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val langs = StopwordSets.map(_._1) // already lang-ASC
+    val withHits = docs.select(
+      col("doc_id") +: StopwordSets.map { case (lang, words) =>
+        size(filter(tok(docs)(col("text")), t => t.isin(words: _*))).cast("long").as(s"hits_$lang")
+      }: _*
+    )
+    val maxHits = greatest(langs.map(l => col(s"hits_$l")): _*)
+    // first language (ASC) whose hits equal the max — the oracle's
+    // row_number(ORDER BY hits DESC, lang ASC) winner
+    val winner = langs.foldRight(lit("und")) { (l, rest) =>
+      when(col(s"hits_$l") === col("hits"), lit(l)).otherwise(rest)
+    }
+    withHits
+      .withColumn("hits", maxHits)
       .select(
         col("doc_id"),
-        when(col("hits") > 0, col("lang")).otherwise(lit("und")).as("lang_pred"),
+        when(col("hits") > 0, winner).otherwise(lit("und")).as("lang_pred"),
         col("hits")
       )
   }
@@ -56,7 +67,7 @@ object TextStats {
       col("text"),
       length(col("text")).cast("long").as("n_chars_calc"),
       size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("ws_tokens"),
-      tokenizeUdf(col("text")).as("toks"),
+      tok(docs)(col("text")).as("toks"),
       length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long").as("punct_chars")
     )
     base
