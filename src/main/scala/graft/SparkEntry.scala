@@ -196,10 +196,14 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) =>
       graft.pipeline.Similarity.bruteForceTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), k = 10)),
-    // --- ANN: IVF-bucketed variant ---
+    // --- ANN: IVF-bucketed variant (fixed-count centroids, row-local assign) ---
     "q_ann_ivf" -> ((s, dir) =>
       graft.pipeline.Similarity.ivfTopK(
-        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), k = 5, centroidMod = 97L, nprobe = 2)),
+        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), k = 5, numCentroids = 8, nprobe = 2)),
+    // --- embedding near-dup, IVF-bucketed scale path (within-cell pairs only) ---
+    "q_dedup_embcos_ivf" -> ((s, dir) =>
+      graft.pipeline.Similarity.ivfNearDups(
+        s.read.parquet(s"$dir/embeddings.parquet"), numCentroids = 8, cosMicrosThreshold = 350000L)),
     // --- language-ID heuristic ---
     "q_langid" -> ((s, dir) =>
       graft.pipeline.TextStats.langId(documents(s, dir))),
@@ -342,7 +346,7 @@ object SparkEntry {
          |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 10""".stripMargin,
     "q_ann_ivf" ->
       s"""$vecCte,
-         |cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
          |asg AS (SELECT vec_id, centroid_id FROM (
          |  SELECT n.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -364,6 +368,20 @@ object SparkEntry {
          |r AS (SELECT query_id, vec_id, cos_micros,
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
          |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin,
+    "q_dedup_embcos_ivf" ->
+      s"""$vecCte,
+         |cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT n.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      CAST(round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn) * 1e6) AS BIGINT) DESC,
+         |      c.centroid_id ASC) AS rn
+         |  FROM n CROSS JOIN cents c) WHERE rn = 1)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       CAST(round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6) AS BIGINT) AS cos_micros
+         |FROM asg ja JOIN asg jb ON ja.centroid_id = jb.centroid_id AND ja.vec_id < jb.vec_id
+         |JOIN n a ON a.vec_id = ja.vec_id JOIN n b ON b.vec_id = jb.vec_id
+         |WHERE CAST(round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6) AS BIGINT) >= 350000""".stripMargin,
     "q_langid" -> {
       val perLang = graft.pipeline.TextStats.StopwordSets
         .map { case (lang, words) =>

@@ -197,7 +197,9 @@ object Dedup {
 
   /** Embedding cosine near-duplicates over all pairs (id_a < id_b):
     * (id_a, id_b, cos_micros) for rounded cosine >= threshold micro-units.
-    * Brute force — the scale path buckets by IVF cells first (Similarity).
+    * Brute force (the exact twin); the scale path is
+    * [[Similarity.ivfNearDups]] — same output contract, within-cell pairs
+    * only.
     */
   def embeddingNearDups(emb: DataFrame, cosMicrosThreshold: Long): DataFrame = {
     val v = emb.select(

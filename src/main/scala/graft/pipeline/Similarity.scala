@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,10 +9,18 @@ import org.apache.spark.sql.functions._
   * Baseline: brute-force cosine top-k (exact). Scale path: IVF — vectors are
   * bucketed to their nearest centroid once at index time; a query probes only
   * the `nprobe` closest cells, turning the O(N) scan into O(N * nprobe / C).
-  * Centroids here are a deterministic subset of the vectors (id % `centroidMod`
-  * == 0) so the oracle can replicate cell assignment exactly; on a real
-  * deployment they'd come from k-means, which changes only how the centroid
-  * table is produced, not the plan shape.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - the centroid table is a FIXED-size deterministic subset (first
+  *     `numCentroids` vectors by vec_id — a stand-in for k-means seeds; a real
+  *     deployment swaps in trained centroids without changing the plan), so
+  *     it is O(k) however large N grows;
+  *   - cell assignment is ROW-LOCAL: the centroid list is collected once
+  *     (O(k * dim)) and folded over per row as a literal array — no N x C
+  *     crossJoin, no window, ZERO shuffle for the assignment of N vectors;
+  *   - probe membership joins broadcast the tiny (query x nprobe) probe table
+  *     into the assignment scan, so candidate selection is shuffle-free too;
+  *     the only exchange on the query path is the final per-query top-k.
   *
   * All cosines are emitted as integer micro-units, and every ordering uses
   * (cos_micros DESC, vec_id ASC) so ranking is engine-independent.
@@ -52,54 +60,88 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_micros"))
   }
 
-  /** IVF cell assignment: every vector to its best centroid by
-    * (cos_micros DESC, centroid_id ASC). Output: (vec_id, centroid_id).
+  /** One collected centroid: (centroid_id, vector, norm). */
+  final case class Centroid(cid: Long, ce: Seq[Double], cn: Double)
+
+  /** Deterministic fixed-count centroids: the first `numCentroids` vectors by
+    * vec_id, collected to the driver (O(k * dim) — k is a constant, never a
+    * function of N).
     */
-  def ivfAssign(emb: DataFrame, centroidMod: Long): DataFrame = {
-    val v = prepared(emb)
-    val cents = v.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val scored = v
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"), cosMicros("e", "nrm", "ce", "cn").as("cm"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cm").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"))
+  def centroids(v: DataFrame, numCentroids: Int): Seq[Centroid] =
+    v.orderBy(col("vec_id")).limit(numCentroids)
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+
+  /** Row-local nearest-centroid expression over columns (e, nrm): folds the
+    * literal centroid array keeping the best (cos_micros DESC, cid ASC) —
+    * no join, no window, no shuffle. Returns the winning centroid_id.
+    */
+  private def nearestCentroid(cents: Seq[Centroid]): Column = {
+    val arr = typedLit(cents.map(c => (c.cid, c.ce, c.cn)))
+    val best = aggregate(
+      arr,
+      struct(lit(Long.MinValue).as("cm"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => {
+        val cm = round(
+          aggregate(zip_with(col("e"), c.getField("_2"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+            / (col("nrm") * c.getField("_3")) * lit(1e6)
+        ).cast("long")
+        when(
+          cm > acc.getField("cm") ||
+            (cm === acc.getField("cm") && c.getField("_1") < acc.getField("cid")),
+          struct(cm.as("cm"), c.getField("_1").cast("long").as("cid"))
+        ).otherwise(acc)
+      }
+    )
+    best.getField("cid")
   }
+
+  /** IVF cell assignment: every vector to its best centroid by
+    * (cos_micros DESC, centroid_id ASC), computed row-locally against the
+    * fixed centroid literal. Output: (vec_id, centroid_id) — zero shuffle.
+    */
+  def ivfAssign(emb: DataFrame, numCentroids: Int): DataFrame = {
+    val v = prepared(emb)
+    ivfAssignPrepared(v, centroids(v, numCentroids)).select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** Assignment carrying the vector columns (for joins that need them). */
+  private def ivfAssignPrepared(v: DataFrame, cents: Seq[Centroid]): DataFrame =
+    v.withColumn("centroid_id", nearestCentroid(cents))
 
   /** IVF-probed ANN: probe the `nprobe` best cells for each query, rank only
     * their member vectors. Output: (query_id, rank, vec_id, cos_micros).
     */
-  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, centroidMod: Long, nprobe: Int): DataFrame = {
-    val v = prepared(emb).persist()
-    val cents = v.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cn"))
-
-    val assign = {
-      val scored = v
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("centroid_id"), cosMicros("e", "nrm", "ce", "cn").as("cm"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cm").desc, col("centroid_id").asc)
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("centroid_id"))
-    }
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+    val v = prepared(emb)
+    val cents = centroids(v, numCentroids)
+    val assign = ivfAssignPrepared(v, cents)
 
     val q = v.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
 
+    // probes: |queries| x |cents| rows total — a per-query window over a
+    // literal-sized centroid table, never a function of N
+    val centsDf = {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      cents.map(c => (c.cid, c.ce, c.cn)).toDF("centroid_id", "ce", "cn")
+    }
     val probes = {
       val scored = q
-        .crossJoin(broadcast(cents))
+        .crossJoin(broadcast(centsDf))
         .select(col("query_id"), col("centroid_id"), cosMicros("qe", "qn", "ce", "cn").as("cm"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cm").desc, col("centroid_id").asc)
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
         .select(col("query_id"), col("centroid_id"))
     }
 
-    val members = probes.join(assign, Seq("centroid_id")).select(col("query_id"), col("vec_id"))
-    val scored = members
-      .join(q, Seq("query_id"))
-      .join(v, Seq("vec_id"))
+    // candidate members: broadcast the tiny probe table into the assignment
+    // scan (no shuffle of the N-row side), then broadcast the queries in
+    val scored = assign
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(q), Seq("query_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosMicros("qe", "qn", "e", "nrm").as("cos_micros"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_micros").desc, col("vec_id").asc)
@@ -107,5 +149,33 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_micros"))
+  }
+
+  /** IVF-bucketed embedding near-dup (the scale path Dedup.embeddingNearDups
+    * points to): assign every vector to a cell row-locally, then compare only
+    * WITHIN-cell pairs — the all-pairs N^2 collapses to sum of per-cell n_c^2,
+    * and the join shuffles on centroid_id instead of exploding a cross join.
+    * Recall is bounded by cell assignment (near-dups straddling a cell
+    * boundary are missed — the standard IVF trade; raise numCentroids'
+    * granularity or probe neighbors to tighten).
+    * Output: (id_a, id_b, cos_micros) with id_a < id_b.
+    */
+  def ivfNearDups(emb: DataFrame, numCentroids: Int, cosMicrosThreshold: Long): DataFrame = {
+    val v = prepared(emb)
+    val assign = ivfAssignPrepared(v, centroids(v, numCentroids))
+    assign.as("a")
+      .join(
+        assign.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col("a.vec_id") < col("b.vec_id")
+      )
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        round(
+          aggregate(zip_with(col("a.e"), col("b.e"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+            / (col("a.nrm") * col("b.nrm")) * lit(1e6)
+        ).cast("long").as("cos_micros")
+      )
+      .filter(col("cos_micros") >= cosMicrosThreshold)
   }
 }

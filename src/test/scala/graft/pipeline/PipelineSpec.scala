@@ -52,15 +52,24 @@ class PipelineSpec extends SparkTestBase {
   test("IVF probes nearest cells and ranks members") {
     val sp = spark
     import sp.implicits._
-    // centroids at ids 0 and 97 (centroidMod = 97)
+    // fixed-count centroids = first 2 vectors by id: 0 -> (1,0), 1 -> (0,1)
     val vecs = (Seq(
-      (0L, Array(1.0f, 0.0f)), (97L, Array(0.0f, 1.0f)),
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
       (5L, Array(0.95f, 0.1f)), (6L, Array(0.9f, 0.2f)),
       (7L, Array(0.1f, 0.95f))
     )).toDF("vec_id", "embedding")
-    val res = Similarity.ivfTopK(vecs, Seq(0L), k = 3, centroidMod = 97L, nprobe = 2)
+    val asg = Similarity.ivfAssign(vecs, numCentroids = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg(5L) == 0L && asg(6L) == 0L && asg(7L) == 1L)
+    val res = Similarity.ivfTopK(vecs, Seq(0L), k = 3, numCentroids = 2, nprobe = 2)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(res.head._2 == 5L) // rank 1 = closest member
+    // IVF-bucketed near-dup: within-cell pair (5,6) found; cross-cell pairs
+    // (cell 0 members vs 7 in cell 1) never compared
+    val nd = Similarity.ivfNearDups(vecs, numCentroids = 2, cosMicrosThreshold = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((5L, 6L)))
+    assert(Seq(0L, 5L, 6L).forall(a => !nd.contains((a, 7L))))
   }
 
   test("langId picks dominant stopword language") {
