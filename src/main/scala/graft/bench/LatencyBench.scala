@@ -34,10 +34,12 @@ object LatencyBench {
 
     // warm decode caches + JIT
     SegmentSearch.searchBatchInMemory(segs, meta, queries, 10)
+    val engine = new SegmentSearch.ServingEngine(segs.toIndexedSeq, meta)
 
-    // one request = one full query (all segments scored serially within the
-    // request, like one searchd HTTP handler); `concurrency` parallel
-    // clients; best-of-3 rounds against VM throughput drift
+    // one request = one full query through the serving engine (segments
+    // scored in parallel WITHIN the request on the shared FJ pool — the
+    // dense-query tail-latency fix); `concurrency` parallel clients;
+    // best-of-3 rounds against VM throughput drift
     def round(): (Double, IndexedSeq[Double]) = {
       val latenciesNs = new ConcurrentLinkedQueue[Long]()
       val pool = Executors.newFixedThreadPool(concurrency)
@@ -46,10 +48,7 @@ object LatencyBench {
       queries.foreach { q =>
         pool.execute { () =>
           val s = System.nanoTime()
-          val pq = graft.core.QueryParser.parse(q)
-          val r = segs.flatMap(seg =>
-            graft.search.Wand.searchSegment(seg, pq, meta.n, meta.avgdl, 10))
-          val ranked = graft.core.Bm25.sortHits(r.map(h => (h.docId, h.score))).take(10)
+          val ranked = engine.search(q, 10)
           sink = ranked.length // keep the result alive
           latenciesNs.add(System.nanoTime() - s)
           done.countDown()

@@ -4,15 +4,23 @@ import java.io.ByteArrayOutputStream
 import scala.collection.mutable.ArrayBuffer
 
 /** Posting-block codec: docID-delta + varint (LEB128) compression with
-  * per-block max-score metadata (north_rule).
+  * per-block max-score-BOUND metadata (north_rule).
   *
   * Replaces the reference's fixed-width little-endian record stream
   * (/root/reference/src/core/inverted_index.cpp:67-161) with a compressed,
   * skippable layout: each block holds up to `BlockSize` postings
   * (docId, tf, dl) — docIds delta-encoded within the block (first one
   * absolute), tf and dl as plain varints — plus (minDoc, maxDoc, count,
-  * maxScore) so a scorer can skip a whole block when its score upper bound
-  * cannot beat the current top-k threshold (block-max WAND).
+  * maxTf, minDl) so a scorer can skip a whole block when its score upper
+  * bound cannot beat the current top-k threshold (block-max WAND).
+  *
+  * The bound inputs are STATISTICS-FREE by design: BM25's term part is
+  * increasing in tf and decreasing in dl, so idf * part(maxTf, minDl) is a
+  * safe upper bound for every posting in the block under ANY (df, N, avgdl).
+  * That makes blocks immutable under incremental document adds — global
+  * stats change, baked bounds stay valid — at the cost of a slightly looser
+  * bound than an exact baked max-score (maxTf and minDl may come from
+  * different postings).
   *
   * dl rides in the block so the exact BM25 score is computable during the
   * merge without any docstore lookup.
@@ -26,7 +34,8 @@ object BlockCodec {
       minDoc: Long,
       maxDoc: Long,
       count: Int,
-      maxScore: Double,
+      maxTf: Int,
+      minDl: Int,
       bytes: Array[Byte]
   )
 
@@ -62,17 +71,18 @@ object BlockCodec {
   }
 
   // ------------------------------------------------------------------ blocks
-  /** Encode a docId-sorted posting list (with per-posting precomputed exact
-    * score for the block-max metadata) into blocks.
+  /** Encode a docId-sorted posting list into blocks with statistics-free
+    * bound metadata (per-block max tf and min dl).
     */
-  def encode(postings: Seq[(Posting, Double)]): IndexedSeq[Block] = {
+  def encode(postings: Seq[Posting]): IndexedSeq[Block] = {
     val out = ArrayBuffer[Block]()
     postings.grouped(BlockSize).foreach { group =>
       val buf = new ByteArrayOutputStream(group.size * 4)
       var prev = 0L
       var first = true
-      var maxScore = Double.NegativeInfinity
-      group.foreach { case (p, score) =>
+      var maxTf = 0
+      var minDl = Int.MaxValue
+      group.foreach { p =>
         val delta = if (first) p.docId else p.docId - prev
         require(first || delta > 0, s"postings must be strictly docId-ascending")
         writeVarLong(buf, delta)
@@ -80,9 +90,10 @@ object BlockCodec {
         writeVarLong(buf, p.dl.toLong)
         prev = p.docId
         first = false
-        if (score > maxScore) maxScore = score
+        if (p.tf > maxTf) maxTf = p.tf
+        if (p.dl < minDl) minDl = p.dl
       }
-      out += Block(group.head._1.docId, group.last._1.docId, group.size, maxScore, buf.toByteArray)
+      out += Block(group.head.docId, group.last.docId, group.size, maxTf, minDl, buf.toByteArray)
     }
     out.toIndexedSeq
   }

@@ -34,7 +34,7 @@ import graft.core.Bm25
   */
 object SegmentIndex {
 
-  val SchemaVersion = 1
+  val SchemaVersion = 2
 
   final case class Manifest(
       formatVersion: Int,
@@ -51,18 +51,49 @@ object SegmentIndex {
   /** Bumped when the segment byte layout changes; manifests from another
     * format never satisfy the resume check.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
+  /** Corpus-level stats. `sumDl` is the EXACT integer token total so that
+    * incremental adds recompute avgdl = (sumDl + delta) / (n + delta) with
+    * bit-identical results to a from-scratch rebuild (no float re-summation
+    * drift — the add-parity contract).
+    */
   final case class Meta(
       schemaVersion: Int,
       n: Long,
+      sumDl: Long,
       avgdl: Double,
       buckets: Int,
       blockSize: Int,
       codec: String
   )
 
-  final case class TermData(df: Long, maxScore: Double, blocks: IndexedSeq[BlockCodec.Block]) {
+  /** One term's postings inside ONE segment. `df` is the LOCAL document
+    * frequency (this segment only); the GLOBAL df used for idf is the sum of
+    * local dfs across segments — which is what lets new segments be appended
+    * without rewriting old ones (the Lucene sharding model). Score bounds are
+    * derived at query time from the blocks' statistics-free (maxTf, minDl)
+    * metadata plus the CURRENT (idf, avgdl).
+    */
+  final case class TermData(df: Long, blocks: IndexedSeq[BlockCodec.Block]) {
+    /** Safe score upper bound for one block under the current stats. */
+    @inline def blockBound(bi: Int, idf: Double, avgdl: Double): Double = {
+      val b = blocks(bi)
+      Bm25.termPart(b.maxTf, idf, Bm25.norm(b.minDl.toDouble, avgdl))
+    }
+
+    /** Safe term-level upper bound = max over blocks. */
+    def termBound(idf: Double, avgdl: Double): Double = {
+      var m = 0.0
+      var i = 0
+      while (i < blocks.length) {
+        val ub = blockBound(i, idf, avgdl)
+        if (ub > m) m = ub
+        i += 1
+      }
+      m
+    }
+
     /** Decode-once cache: blocks decompress to primitive arrays on first
       * access and are reused by every subsequent query against this (live)
       * segment. Benign racy fill — decoding is idempotent and deterministic.
@@ -81,7 +112,7 @@ object SegmentIndex {
       terms.get(term).iterator.flatMap(_.blocks.iterator.flatMap(BlockCodec.decode(_).iterator))
   }
 
-  private val Magic = "GRFTSEG2".getBytes(StandardCharsets.US_ASCII)
+  private val Magic = "GRFTSEG3".getBytes(StandardCharsets.US_ASCII)
 
   // ------------------------------------------------------------------- build
 
@@ -174,19 +205,20 @@ object SegmentIndex {
       .agg(expr("bit_xor(h)").as("lineage_xor"), count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .collect()
     val n = bucketAgg.map(_.getLong(2)).sum
-    val avgdl = if (n == 0) 0.0 else bucketAgg.map(_.getLong(3).toDouble).sum / n
+    val sumDl = bucketAgg.map(_.getLong(3)).sum // exact integer total
+    val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
     val lineage = bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
 
-    // ---- job 3: postings (tokenize pass 2) -> df denormalized -> bucketed
-    // segment write.
+    // ---- job 3: postings (from the tfmap column) -> bucketed segment write.
     //
     // Shuffle budget (the scale-critical part): tf is computed PER ROW from
     // the token array (a doc's terms never span rows), so the classic
-    // groupBy(term, doc_id) exchange disappears entirely; the df aggregation
-    // shuffles only per-partition distinct terms (map-side partial agg); the
-    // ONE remaining big exchange is the bucket repartition that co-locates
-    // each segment's postings. Scan parallelism comes from a lowered
-    // maxPartitionBytes (not another full-text reshuffle).
+    // groupBy(term, doc_id) exchange disappears entirely; df is LOCAL per
+    // segment (global df = sum over segments at query time), so the old
+    // df-denormalizing join — a second full-postings exchange — disappears
+    // too. The ONE wide exchange left is the bucket repartition that
+    // co-locates each segment's postings. Scan parallelism comes from a
+    // lowered maxPartitionBytes (not another full-text reshuffle).
     val prevMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
     val manifests =
       try {
@@ -200,34 +232,106 @@ object SegmentIndex {
         spark.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
         val storeSplit = spark.read.parquet(storePath)
 
-        val postings = storeSplit
+        val rows = storeSplit
           .select(
             col("bucket"),
             col("doc_id"),
             col("dl").cast("int").as("dl"),
             explode(col("tfmap")).as(Seq("term", "tf"))
           )
-        val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-
-        val rows = postings
-          .join(dfTable, Seq("term"))
-          .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+          .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
           .repartition(buckets, col("bucket"))
           .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
 
         val out = outDir
-        val nF = n
-        val avgdlF = avgdl
         rows
           .mapPartitions { it =>
-            writePartition(it, out, nF, avgdlF, lineage)
+            writePartition(it, out, lineage)
           }(Encoders.product[Manifest])
           .collect()
           .toSeq
           .sortBy(_.bucket)
       } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
 
-    writeMeta(outDir, Meta(SchemaVersion, n, avgdl, buckets, BlockCodec.BlockSize, "delta-varint"))
+    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, buckets, BlockCodec.BlockSize, "delta-varint"))
+    manifests
+  }
+
+  /** Incrementally add `delta` docs (doc_id, text) to an existing index:
+    * builds NEW segments in buckets [meta.buckets, meta.buckets+newBuckets),
+    * appends their rows to the docstore, and rewrites meta with the merged
+    * exact (n, sumDl) -> avgdl. Old segments are NEVER touched: global df is
+    * the sum of per-segment local dfs and block bounds are statistics-free,
+    * so existing files stay valid under the new corpus stats. This is the
+    * reference's add_document capability
+    * (/root/reference/src/core/search_service.cpp:31-57) in segment form;
+    * search results are bit-identical to a full rebuild of base+delta
+    * (SegmentSpec add-parity test). Caller contract: delta doc_ids must not
+    * collide with existing ones.
+    */
+  def addDocuments(
+      delta: DataFrame,
+      outDir: String,
+      newBuckets: Int,
+      codeAware: Boolean = false
+  ): Seq[Manifest] = {
+    val spark = delta.sparkSession
+    val old = readMeta(outDir)
+    val offset = old.buckets
+    val tok = IndexBuilder.tokenizerCol(spark, codeAware)
+    val storePath = s"$outDir/docstore"
+
+    delta
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .repartitionByRange(newBuckets, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("bucket", spark_partition_id() + lit(offset))
+      .withColumn("toks", tok(col("text")))
+      .withColumn("dl", size(col("toks")))
+      .withColumn("tfmap", termCountsUdf(col("toks")))
+      .drop("toks")
+      .withColumn("sha", sha2(col("text"), 256))
+      .write.mode("append").parquet(storePath)
+
+    // stats + lineage over the NEW buckets only (column-pruned, no text read)
+    val newStore = spark.read.parquet(storePath).filter(col("bucket") >= offset)
+    val bucketAgg = newStore
+      .select(
+        col("bucket"),
+        col("dl"),
+        conv(substring(sha2(concat(col("doc_id").cast("string"), lit(":"), col("sha")), 256), 1, 15), 16, 10)
+          .cast("long")
+          .as("h")
+      )
+      .groupBy(col("bucket"))
+      .agg(expr("bit_xor(h)").as("lineage_xor"), count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .collect()
+    val nDelta = bucketAgg.map(_.getLong(2)).sum
+    val sumDlDelta = bucketAgg.map(_.getLong(3)).sum
+    val lineage = bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val rows = newStore
+      .select(
+        col("bucket"),
+        col("doc_id"),
+        col("dl").cast("int").as("dl"),
+        explode(col("tfmap")).as(Seq("term", "tf"))
+      )
+      .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
+      .repartition(newBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+
+    val out = outDir
+    val manifests = rows
+      .mapPartitions(it => writePartition(it, out, lineage))(Encoders.product[Manifest])
+      .collect()
+      .toSeq
+      .sortBy(_.bucket)
+
+    val n = old.n + nDelta
+    val sumDl = old.sumDl + sumDlDelta
+    val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
+    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, offset + newBuckets, BlockCodec.BlockSize, "delta-varint"))
     manifests
   }
 
@@ -247,8 +351,6 @@ object SegmentIndex {
   private def writePartition(
       it: Iterator[org.apache.spark.sql.Row],
       outDir: String,
-      n: Long,
-      avgdl: Double,
       lineage: Map[Int, (Long, Long)]
   ): Iterator[Manifest] = {
     val results = scala.collection.mutable.ArrayBuffer[Manifest]()
@@ -268,7 +370,7 @@ object SegmentIndex {
         while (buffered.hasNext && buffered.head.getInt(0) == bucket) buffered.next()
         results += existing.get.copy(skipped = true)
       } else {
-        results += writeBucket(buffered, bucket, outDir, n, avgdl, lineage)
+        results += writeBucket(buffered, bucket, outDir, lineage)
       }
     }
     results.iterator
@@ -297,8 +399,6 @@ object SegmentIndex {
       rows: scala.collection.BufferedIterator[org.apache.spark.sql.Row],
       bucket: Int,
       outDir: String,
-      n: Long,
-      avgdl: Double,
       lineage: Map[Int, (Long, Long)]
   ): Manifest = {
     // Stream terms straight to the .tmp file through a DigestOutputStream —
@@ -325,21 +425,18 @@ object SegmentIndex {
       out.writeInt(bucket)
       while (rows.hasNext && rows.head.getInt(0) == bucket) {
         val term = rows.head.getString(1)
-        var df = 0L // GLOBAL df, denormalized on every posting row
-        val plist = scala.collection.mutable.ArrayBuffer[(BlockCodec.Posting, Double)]()
+        val plist = scala.collection.mutable.ArrayBuffer[BlockCodec.Posting]()
         while (rows.hasNext && rows.head.getInt(0) == bucket && rows.head.getString(1) == term) {
           val r = rows.next()
           val docId = r.getLong(2)
           val tf = r.getInt(3)
           val dl = r.getInt(4)
-          df = r.getLong(5)
-          val score = Bm25.termPart(tf, Bm25.idf(n, df), Bm25.norm(dl.toDouble, avgdl))
-          plist += ((BlockCodec.Posting(docId, tf, dl), score))
+          plist += BlockCodec.Posting(docId, tf, dl)
           if (trackDocs) docsSeen += docId
         }
         nTerms += 1
         nPostings += plist.length
-        writeTerm(out, term, df, plist.toIndexedSeq)
+        writeTerm(out, term, plist.toIndexedSeq)
       }
       out.flush()
       fos.getFD.sync()
@@ -357,21 +454,19 @@ object SegmentIndex {
   private def writeTerm(
       out: DataOutputStream,
       term: String,
-      df: Long,
-      plist: IndexedSeq[(BlockCodec.Posting, Double)]
+      plist: IndexedSeq[BlockCodec.Posting]
   ): Unit = {
     val tb = term.getBytes(StandardCharsets.UTF_8)
     out.writeShort(tb.length)
     out.write(tb)
-    out.writeLong(df)
-    out.writeDouble(if (plist.isEmpty) 0.0 else plist.map(_._2).max)
     val blocks = BlockCodec.encode(plist)
     out.writeInt(blocks.length)
     blocks.foreach { b =>
       out.writeLong(b.minDoc)
       out.writeLong(b.maxDoc)
       out.writeInt(b.count)
-      out.writeDouble(b.maxScore)
+      out.writeInt(b.maxTf)
+      out.writeInt(b.minDl)
       out.writeInt(b.bytes.length)
       out.write(b.bytes)
     }
@@ -448,20 +543,21 @@ object SegmentIndex {
         val tb = new Array[Byte](tlen)
         in.readFully(tb)
         val term = new String(tb, StandardCharsets.UTF_8)
-        val df = in.readLong()
-        val maxScore = in.readDouble()
         val blockCount = in.readInt()
+        var localDf = 0L
         val blocks = (0 until blockCount).map { _ =>
           val minDoc = in.readLong()
           val maxDoc = in.readLong()
           val count = in.readInt()
-          val bms = in.readDouble()
+          val maxTf = in.readInt()
+          val minDl = in.readInt()
           val blen = in.readInt()
           val bb = new Array[Byte](blen)
           in.readFully(bb)
-          BlockCodec.Block(minDoc, maxDoc, count, bms, bb)
+          localDf += count
+          BlockCodec.Block(minDoc, maxDoc, count, maxTf, minDl, bb)
         }
-        terms += term -> TermData(df, maxScore, blocks)
+        terms += term -> TermData(localDf, blocks)
       }
       LoadedSegment(bucket, terms.result())
     } finally in.close()

@@ -32,8 +32,27 @@ object SegmentSearch {
 
   final case class QueryHit(qid: Int, docId: Long, score: Double)
 
+  /** Global idf per positive query term from IN-MEMORY segments: global df =
+    * sum of per-segment local dfs (the Lucene sharding model — lets segments
+    * be appended incrementally without rewriting stats into old files).
+    */
+  def globalIdfs(
+      segments: Seq[LoadedSegment],
+      n: Long,
+      terms: Seq[String]
+  ): Map[String, Double] =
+    terms.distinct.flatMap { t =>
+      val df = segments.iterator.flatMap(_.terms.get(t)).map(_.df).sum
+      if (df > 0) Some(t -> Bm25.idf(n, df)) else None
+    }.toMap
+
   /** Distributed batch search: all queries against all segments.
     * Returns per query the reference-ranked top-k (epsilon comparator).
+    *
+    * Phase 1 (tiny): sum per-segment local dfs for the batch's query terms —
+    * |terms| x |segments| rows collected, and it warms the executor segment
+    * caches for phase 2. Phase 2: zero-shuffle WAND fan-out + distributed
+    * per-query merge.
     */
   def searchBatch(
       spark: SparkSession,
@@ -44,19 +63,36 @@ object SegmentSearch {
     val meta = SegmentIndex.readMeta(indexDir)
     val files = SegmentIndex.segmentFiles(indexDir)
     val parsed: Seq[(Int, ParsedQuery)] = queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
-    val bc = spark.sparkContext.broadcast(parsed)
     val n = meta.n
     val avgdl = meta.avgdl
 
     import spark.implicits._
-    val hits = spark
+    val fileDs = spark
       .createDataset(files)(Encoders.STRING)
       .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
+
+    // phase 1: global df for the batch's positive terms
+    val allTerms = parsed.flatMap(_._2.terms).distinct
+    val tbc = spark.sparkContext.broadcast(allTerms)
+    val idfs: Map[String, Double] = fileDs
       .mapPartitions { paths =>
         paths.flatMap { p =>
           val seg = loadCached(p)
-          bc.value.iterator.flatMap { case (qid, pq) =>
-            Wand.searchSegment(seg, pq, n, avgdl, k).iterator
+          tbc.value.iterator.flatMap(t => seg.terms.get(t).map(td => (t, td.df)))
+        }
+      }(Encoders.product[(String, Long)])
+      .collect()
+      .groupBy(_._1)
+      .map { case (t, v) => t -> Bm25.idf(n, v.map(_._2).sum) }
+    val bc = spark.sparkContext.broadcast((parsed, idfs))
+
+    val hits = fileDs
+      .mapPartitions { paths =>
+        val (qs, idfMap) = bc.value
+        paths.flatMap { p =>
+          val seg = loadCached(p)
+          qs.iterator.flatMap { case (qid, pq) =>
+            Wand.searchSegment(seg, pq, idfMap, avgdl, k).iterator
               .map(h => QueryHit(qid, h.docId, h.score))
           }
         }
@@ -97,10 +133,11 @@ object SegmentSearch {
       k: Int
   ): Map[Int, Seq[(Long, Double)]] = {
     val parsed = queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
+    val idfs = globalIdfs(segments, meta.n, parsed.flatMap(_._2.terms))
     val hits = segments.par
       .flatMap { seg =>
         parsed.flatMap { case (qid, pq) =>
-          Wand.searchSegment(seg, pq, meta.n, meta.avgdl, k).map(h => QueryHit(qid, h.docId, h.score))
+          Wand.searchSegment(seg, pq, idfs, meta.avgdl, k).map(h => QueryHit(qid, h.docId, h.score))
         }
       }
       .seq
@@ -131,6 +168,44 @@ object SegmentSearch {
       .toMap
     top.map { case (id, s) =>
       Hit(id, s, graft.core.Snippets.makeSnippet(texts.getOrElse(id, ""), pq.terms))
+    }
+  }
+
+  /** Long-lived in-memory serving engine (the searchd model): segments
+    * pinned, per-term global idf cached across requests, and — for the dense
+    * queries that dominate tail latency — segments scored IN PARALLEL within
+    * one request on the shared ForkJoin pool (work-stealing keeps total
+    * parallelism bounded under concurrent clients). One instance serves the
+    * HTTP endpoint and the latency benchmarks.
+    */
+  final class ServingEngine(
+      val segments: IndexedSeq[LoadedSegment],
+      val meta: SegmentIndex.Meta,
+      parallelSegments: Boolean = true
+  ) {
+    private val idfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+    private def idfOf(t: String): Double =
+      idfCache.computeIfAbsent(t, tt => {
+        val df = segments.iterator.flatMap(_.terms.get(tt)).map(_.df).sum
+        if (df > 0) Bm25.idf(meta.n, df) else Double.NaN // NaN marks absent
+      })
+
+    /** Ranked top-k (reference epsilon comparator) for one query. */
+    def search(query: String, k: Int): Seq[(Long, Double)] =
+      search(QueryParser.parse(query), k)
+
+    def search(pq: ParsedQuery, k: Int): Seq[(Long, Double)] = {
+      if (pq.terms.isEmpty) return Nil
+      val idfs = pq.terms.distinct
+        .flatMap { t => val v = idfOf(t); if (v.isNaN) None else Some(t -> v) }
+        .toMap
+      val raw =
+        if (parallelSegments && segments.length > 1)
+          segments.par.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, k)).seq
+        else
+          segments.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, k))
+      Bm25.sortHits(raw.map(h => (h.docId, h.score))).take(k)
     }
   }
 

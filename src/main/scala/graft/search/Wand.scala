@@ -38,7 +38,8 @@ object Wand {
   private final class Cursor(
       val weight: Double, // duplicate-occurrence count
       val idf: Double,
-      val termUb: Double, // weight * max block score
+      val termUb: Double, // weight * max block bound
+      val avgdlV: Double,
       td: graft.index.SegmentIndex.TermData
   ) {
     private val blocks = td.blocks
@@ -54,8 +55,14 @@ object Wand {
 
     def curDoc: Long = if (decoded == null) Long.MaxValue else decoded.docIds(pos)
 
-    /** weight * current block's max single-posting score (0 at end). */
-    def blockUb: Double = if (decoded == null) 0.0 else weight * blocks(bi).maxScore
+    /** weight * current block's score upper bound (0 at end). Derived from
+      * the block's statistics-free (maxTf, minDl) under the CURRENT
+      * (idf, avgdl) — safe for any index state, including after incremental
+      * document adds.
+      */
+    def blockUb: Double =
+      if (decoded == null) 0.0
+      else weight * Bm25.termPart(blocks(bi).maxTf, idf, Bm25.norm(blocks(bi).minDl.toDouble, avgdlV))
 
     /** first docId after the current block (for shallow advance). */
     def nextBlockBoundary: Long =
@@ -150,17 +157,21 @@ object Wand {
     def results: Seq[SegmentHit] = heap.toSeq ++ ties
   }
 
-  /** Score a parsed query against one segment; returns up to k + HeapSlack
-    * hits (unsorted — driver merges with the epsilon comparator).
+  /** Score a parsed query against one segment; returns up to k + slack hits
+    * (unsorted — driver merges with the epsilon comparator).
+    *
+    * `idfs` carries the GLOBAL idf per positive query term (global df = sum
+    * of per-segment local dfs, computed by the caller once per batch) —
+    * segments themselves only know local stats.
     */
   def searchSegment(
       seg: LoadedSegment,
       pq: ParsedQuery,
-      n: Long,
+      idfs: Map[String, Double],
       avgdl: Double,
       k: Int
   ): Seq[SegmentHit] = {
-    if (pq.terms.isEmpty || n == 0) return Nil
+    if (pq.terms.isEmpty) return Nil
 
     // weights = occurrence counts in query order
     val weights = mutable.LinkedHashMap[String, Int]()
@@ -173,12 +184,14 @@ object Wand {
     // hash set of the whole (often dense) NOT posting list per query.
     val excluded = new Excluder(
       pq.notTerms.distinct.flatMap(t => seg.terms.get(t))
-        .map(td => new Cursor(0.0, 0.0, 0.0, td)))
+        .map(td => new Cursor(0.0, 0.0, 0.0, avgdl, td)))
 
     val cursors: IndexedSeq[Cursor] = distinct.flatMap { t =>
+      // local presence implies global df >= 1, so idfs always has the term
       seg.terms.get(t).map { td =>
         val w = weights(t).toDouble
-        new Cursor(w, Bm25.idf(n, td.df), w * td.maxScore, td)
+        val idf = idfs(t)
+        new Cursor(w, idf, w * td.termBound(idf, avgdl), avgdl, td)
       }
     }
 

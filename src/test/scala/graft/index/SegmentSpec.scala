@@ -19,21 +19,21 @@ class BlockCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     values.foreach(v => assert(r.readVarLong() == v))
   }
 
-  test("block round-trip with multi-block lists and max-score metadata") {
+  test("block round-trip with multi-block lists and bound metadata") {
     val rnd = new Random(11)
     var doc = 0L
     val postings = (1 to 1000).map { _ =>
       doc += 1 + rnd.nextInt(50)
-      val p = Posting(doc, 1 + rnd.nextInt(9), 1 + rnd.nextInt(200))
-      (p, rnd.nextDouble() * 3.0)
+      Posting(doc, 1 + rnd.nextInt(9), 1 + rnd.nextInt(200))
     }
     val blocks = encode(postings)
     assert(blocks.length == math.ceil(1000.0 / BlockSize).toInt)
     val decoded = blocks.flatMap(decode(_))
-    assert(decoded == postings.map(_._1))
+    assert(decoded == postings)
     blocks.foreach { b =>
-      val inBlock = postings.filter { case (p, _) => p.docId >= b.minDoc && p.docId <= b.maxDoc }
-      assert(math.abs(b.maxScore - inBlock.map(_._2).max) < 1e-15)
+      val inBlock = postings.filter(p => p.docId >= b.minDoc && p.docId <= b.maxDoc)
+      assert(b.maxTf == inBlock.map(_.tf).max)
+      assert(b.minDl == inBlock.map(_.dl).min)
       assert(b.count == inBlock.size)
     }
   }
@@ -67,7 +67,8 @@ class SegmentSpec extends SparkTestBase {
     assert(manifests.map(_.nDocs).sum == 40L)
     assert(manifests.forall(m => m.bytes > 0 && m.fileSha256.length == 64))
     val meta = SegmentIndex.readMeta(dir)
-    assert(meta.n == 40L && meta.avgdl > 0 && meta.schemaVersion == 1)
+    assert(meta.n == 40L && meta.avgdl > 0 && meta.schemaVersion == SegmentIndex.SchemaVersion)
+    assert(meta.sumDl > 0 && meta.avgdl == meta.sumDl.toDouble / meta.n)
     // manifest json files exist per bucket
     manifests.foreach { m =>
       assert(Files.exists(Paths.get(dir, f"manifest-${m.bucket}%05d.json")))
@@ -125,6 +126,41 @@ class SegmentSpec extends SparkTestBase {
           got.zip(expK).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
         }
       }
+    }
+  }
+
+  test("incremental addDocuments: search parity with a full rebuild of base+delta") {
+    val rnd = new Random(77)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "rare9")
+    val all = (1L to 70L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val (base, delta) = all.splitAt(50)
+
+    // incremental: build base, then append delta as new segments
+    val dirInc = tmpDir()
+    SegmentIndex.build(docsDF(base), dirInc, buckets = 3)
+    val addManifests = SegmentIndex.addDocuments(docsDF(delta), dirInc, newBuckets = 2)
+    assert(addManifests.nonEmpty && addManifests.forall(_.bucket >= 3))
+
+    // full rebuild of the union
+    val dirFull = tmpDir()
+    SegmentIndex.build(docsDF(all), dirFull, buckets = 5)
+
+    val mInc = SegmentIndex.readMeta(dirInc)
+    val mFull = SegmentIndex.readMeta(dirFull)
+    assert(mInc.n == mFull.n && mInc.sumDl == mFull.sumDl && mInc.avgdl == mFull.avgdl)
+    assert(mInc.buckets == 5)
+
+    val segsInc = SegmentIndex.segmentFiles(dirInc).map(SegmentIndex.loadSegment)
+    val segsFull = SegmentIndex.segmentFiles(dirFull).map(SegmentIndex.loadSegment)
+    val queries = Seq(
+      "alpha", "alpha bravo", "alpha OR bravo charlie", "delta -echo",
+      "rare9", "golf foxtrot", "alpha alpha echo", "charlie OR rare9 -golf")
+    for (q <- queries; k <- Seq(5, 100)) {
+      val a = SegmentSearch.searchBatchInMemory(segsInc, mInc, Seq(q), k)(0)
+      val b = SegmentSearch.searchBatchInMemory(segsFull, mFull, Seq(q), k)(0)
+      assert(a == b, s"q='$q' k=$k inc=$a full=$b") // bit-identical scores
     }
   }
 
