@@ -161,6 +161,14 @@ object SparkEntry {
         .join(engine(s, dir).index.docstore.select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(col("rank"), col("doc_id"), snippetUdf(col("text")).as("snippet"))
     }),
+    // --- hit metadata decoration: ranked top-k joined with doc meta
+    //     (reference SearchHit.file_name/page_number, search_service.h:9-16;
+    //     code-corpus twins source/lang) ---
+    "q_hits_meta" -> ((s, dir) => {
+      bm25TopK(s, dir, "table scan merge", 10)
+        .join(documents(s, dir).select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+        .select(col("rank"), col("doc_id"), col("source"), col("lang"), col("score_r"))
+    }),
     // --- P2: deterministic dense docId assignment over a source-shaped table ---
     "q_src_docids" -> ((s, dir) => {
       val src = documents(s, dir).select(
@@ -282,6 +290,11 @@ object SparkEntry {
          |    120) AS snippet
          |FROM ranked k JOIN documents d ON k.doc_id = d.doc_id WHERE k.rank <= 10""".stripMargin
     },
+    "q_hits_meta" ->
+      s"""$tokCte,
+         |${scoresCte(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false)}
+         |SELECT k.rank, k.doc_id, d.source, d.lang, k.score_r
+         |FROM ranked k JOIN documents d ON k.doc_id = d.doc_id WHERE k.rank <= 10""".stripMargin,
     "q_src_docids" ->
       """SELECT repo, path, row_number() OVER (ORDER BY repo, path) AS src_doc_id
         |FROM (SELECT source AS repo, 'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path FROM documents)""".stripMargin,

@@ -36,7 +36,8 @@ object SearchCli {
     queries.foreach { q =>
       val hits = engine.searchWithSnippets(q, k)
       val body = hits.map(h =>
-        s"""{"docId":${h.docId},"score":${h.score},"snippet":"${esc(h.snippet)}"}"""
+        s"""{"docId":${h.docId},"score":${h.score},"snippet":"${esc(h.snippet)}",""" +
+          s""""source":"${esc(h.source)}","lang":"${esc(h.lang)}"}"""
       ).mkString("[", ",", "]")
       println(s"""{"query":"${esc(q)}","results":$body}""")
     }

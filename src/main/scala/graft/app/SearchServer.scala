@@ -1,0 +1,137 @@
+package graft.app
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicBoolean
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core.QueryParser
+import graft.index.SegmentIndex
+import graft.search.SegmentSearch
+
+/** Long-running HTTP serving endpoint — the twin of the reference's searchd
+  * (/root/reference/apps/searchd/main.cpp:423-489):
+  *
+  *   GET /health      -> 200 "OK" when ready and not shutting down, 503 else
+  *   GET /search?q&k  -> {"query":q,"results":[{docId,score,snippet,source,lang}]}
+  *                       k = max(1, k), default 10, invalid k ignored
+  *
+  * Serves from a warmed in-memory segment index (ServingEngine: pinned
+  * segments, cached idfs, per-segment parallel scoring within a request) plus
+  * an in-memory docstore for snippet/metadata decoration (the searchd memory
+  * model). JDK com.sun.net.httpserver — zero new dependencies.
+  *
+  * Usage: SearchServer <indexDir> [port]   (port 0 = ephemeral)
+  */
+object SearchServer {
+
+  final case class DocRow(text: String, source: String, lang: String)
+
+  /** Start serving; returns the bound server (caller stops it). */
+  def start(
+      engine: SegmentSearch.ServingEngine,
+      docs: Long => Option[DocRow],
+      port: Int
+  ): HttpServer = {
+    val ready = new AtomicBoolean(true)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.setExecutor(Executors.newFixedThreadPool(
+      math.max(8, Runtime.getRuntime.availableProcessors())))
+
+    server.createContext("/health", (ex: HttpExchange) => {
+      val (code, body) = if (ready.get) (200, "OK") else (503, "")
+      respond(ex, code, "text/plain", body)
+    })
+
+    server.createContext("/search", (ex: HttpExchange) => {
+      try {
+        val params = queryParams(ex)
+        val q = params.getOrElse("q", "")
+        val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
+        val pq = QueryParser.parse(q)
+        val top = engine.search(pq, k)
+        val body = top.map { case (docId, score) =>
+          val d = docs(docId).getOrElse(DocRow("", "", ""))
+          val snippet = graft.core.Snippets.makeSnippet(d.text, pq.terms)
+          s"""{"docId":$docId,"score":$score,"snippet":"${esc(snippet)}",""" +
+            s""""source":"${esc(d.source)}","lang":"${esc(d.lang)}"}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, "application/json", s"""{"query":"${esc(q)}","results":$body}""")
+      } catch {
+        case e: Exception => respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
+      }
+    })
+
+    server.start()
+    server
+  }
+
+  private def respond(ex: HttpExchange, code: Int, ctype: String, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      try os.write(bytes)
+      finally os.close()
+    }
+    ex.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split('&').filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          Some(java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Load everything into memory from an on-disk index dir (Spark used only
+    * for the one-time docstore read, then stopped — serving is Spark-free).
+    */
+  def load(indexDir: String): (SegmentSearch.ServingEngine, Map[Long, DocRow]) = {
+    val meta = SegmentIndex.readMeta(indexDir)
+    val segs = SegmentIndex.segmentFiles(indexDir).map(SegmentIndex.loadSegment).toIndexedSeq
+    val spark = graft.spark.Sessions.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
+      shufflePartitions = 8,
+      appName = "graft-searchd-load")
+    spark.sparkContext.setLogLevel("WARN")
+    val docMap =
+      try {
+        spark.read.parquet(s"$indexDir/docstore")
+          .select("doc_id", "text", "source", "lang")
+          .collect()
+          .map(r => r.getLong(0) -> DocRow(r.getString(1), r.getString(2), r.getString(3)))
+          .toMap
+      } finally spark.stop()
+    (new SegmentSearch.ServingEngine(segs, meta), docMap)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: SearchServer <indexDir> [port]")
+    val indexDir = args(0)
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val (engine, docMap) = load(indexDir)
+    val server = start(engine, docMap.get, port)
+    // Port binding succeeded before this line prints (reference contract:
+    // exactly one startup message after successful bind, main.cpp:497-520).
+    println(s"Server started on port ${server.getAddress.getPort} using index: $indexDir")
+    Thread.currentThread.join() // serve until killed
+  }
+}

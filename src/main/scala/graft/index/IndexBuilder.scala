@@ -43,6 +43,16 @@ final class IndexTables(
 
 object IndexBuilder {
 
+  /** Per-doc metadata carried through the docstore and emitted on hits —
+    * the code-corpus twin of the reference's DocMeta file_name/page_number
+    * (/root/reference/src/core/search_service.h:19-26). Missing input
+    * columns surface as empty strings so the docstore schema is stable.
+    */
+  val MetaCols: Seq[String] = Seq("source", "lang")
+
+  def metaColumns(docs: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Column] =
+    MetaCols.map(c => (if (docs.columns.contains(c)) col(c) else lit("")).as(c))
+
   /** Reference-mode tokenizer as a Spark function. A Scala UDF is
     * semantics-exact (SURVEY F1); the hot path of the segment build uses the
     * same function inside mapPartitions so the UDF never bottlenecks there.
@@ -86,11 +96,17 @@ object IndexBuilder {
   ): IndexTables = {
     val tok = tokenizerCol(docs.sparkSession, codeAware)
     val tokens = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .select(
+        Seq(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")) ++
+          metaColumns(docs): _*
+      )
       .withColumn("tokens", tok(col("text")))
 
     val docstore = tokens
-      .select(col("doc_id"), col("text"), size(col("tokens")).as("dl"))
+      .select(
+        Seq(col("doc_id"), col("text"), size(col("tokens")).as("dl")) ++
+          MetaCols.map(col): _*
+      )
 
     // dl is denormalized onto every posting row (like a norms file in a real
     // search index): the scorer then needs NO join with the docstore — the

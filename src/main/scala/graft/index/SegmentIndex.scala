@@ -177,7 +177,9 @@ object SegmentIndex {
     }
 
     if (!Files.exists(Paths.get(storePath, "_SUCCESS"))) {
-      widened(docs.select(col("doc_id").cast("long").as("doc_id"), col("text")))
+      widened(docs.select(
+        Seq(col("doc_id").cast("long").as("doc_id"), col("text")) ++
+          IndexBuilder.metaColumns(docs): _*))
         .repartitionByRange(buckets, col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
         .withColumn("bucket", spark_partition_id())
@@ -282,7 +284,9 @@ object SegmentIndex {
     val storePath = s"$outDir/docstore"
 
     delta
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .select(
+        Seq(col("doc_id").cast("long").as("doc_id"), col("text")) ++
+          IndexBuilder.metaColumns(delta): _*)
       .repartitionByRange(newBuckets, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("bucket", spark_partition_id() + lit(offset))

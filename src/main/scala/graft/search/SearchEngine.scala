@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.core.{Bm25, ParsedQuery, QueryParser, Snippets}
 import graft.index.IndexTables
 
-/** A ranked search hit (/root/reference/src/core/search_service.h:9-16). */
-final case class Hit(docId: Long, score: Double, snippet: String)
+/** A ranked search hit (/root/reference/src/core/search_service.h:9-16).
+  * `source`/`lang` are the code-corpus twins of the reference's
+  * file_name/page_number doc metadata (DocMeta, search_service.h:19-26).
+  */
+final case class Hit(docId: Long, score: Double, snippet: String, source: String, lang: String)
 
 /** Distributed BM25 scorer over the logical index tables — the dataflow form
   * of the reference's EP3 `search_scored`
@@ -141,14 +144,15 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     val top = searchScored(query, k)
     if (top.isEmpty) return Nil
     val ids = top.map(_._1)
-    val texts = index.docstore
+    val rows = index.docstore
       .filter(col("doc_id").isin(ids: _*))
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
       .collect()
-      .map(r => r.getLong(0) -> r.getString(1))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
       .toMap
     top.map { case (id, s) =>
-      Hit(id, s, Snippets.makeSnippet(texts.getOrElse(id, ""), pq.terms))
+      val (text, source, lang) = rows.getOrElse(id, ("", "", ""))
+      Hit(id, s, Snippets.makeSnippet(text, pq.terms), source, lang)
     }
   }
 }

@@ -159,15 +159,16 @@ object SegmentSearch {
     if (top.isEmpty) return Nil
     val ids = top.map(_._1)
     val pq = QueryParser.parse(query)
-    val texts = spark.read
+    val rows = spark.read
       .parquet(s"$indexDir/docstore")
       .filter(org.apache.spark.sql.functions.col("doc_id").isin(ids: _*))
-      .select("doc_id", "text")
+      .select("doc_id", "text", "source", "lang")
       .collect()
-      .map(r => r.getLong(0) -> r.getString(1))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
       .toMap
     top.map { case (id, s) =>
-      Hit(id, s, graft.core.Snippets.makeSnippet(texts.getOrElse(id, ""), pq.terms))
+      val (text, source, lang) = rows.getOrElse(id, ("", "", ""))
+      Hit(id, s, graft.core.Snippets.makeSnippet(text, pq.terms), source, lang)
     }
   }
 

@@ -51,6 +51,20 @@ class SparkEngineSpec extends SparkTestBase {
     assert(hits.map(_.docId) == Seq(1L))
     val s = hits.head.snippet.toLowerCase
     assert(s.contains("migration") && s.contains("schema") && hits.head.snippet.length <= 120)
+    // meta defaults to "" when the corpus has no source/lang columns
+    assert(hits.head.source == "" && hits.head.lang == "")
+  }
+
+  test("Spark engine: hits carry doc metadata (source, lang)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo", "repoX", "en"),
+      (2L, "bravo charlie", "repoY", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val eng = new SearchEngine(graft.index.IndexBuilder.build(docs))
+    val hits = eng.searchWithSnippets("alpha", k = 5)
+    assert(hits.map(h => (h.docId, h.source, h.lang)) == Seq((1L, "repoX", "en")))
   }
 
   test("property: Spark engine rank- and score-identical to RefEngine on random corpora") {
