@@ -37,8 +37,11 @@ object SearchServer {
   ): HttpServer = {
     val ready = new AtomicBoolean(true)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // daemon workers: an embedding JVM (bench, spec) exits cleanly after
+    // server.stop(); the standalone main stays alive via its explicit join
     server.setExecutor(Executors.newFixedThreadPool(
-      math.max(8, Runtime.getRuntime.availableProcessors())))
+      math.max(8, Runtime.getRuntime.availableProcessors()),
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
 
     server.createContext("/health", (ex: HttpExchange) => {
       val (code, body) = if (ready.get) (200, "OK") else (503, "")

@@ -11,6 +11,10 @@ import graft.search.SegmentSearch
   * concurrent, reports rps and p50/p95/p99) against the warmed in-memory
   * segment index (the searchd serving model). Appends to BENCH/BASELINE.md.
   *
+  * SPARK_GRAFT_LATENCY_HTTP=1 measures through the REAL HTTP endpoint
+  * (SearchServer on an ephemeral port, clients doing GET /search) instead of
+  * in-process engine calls — full network + JSON + snippet cost included.
+  *
   * Usage: LatencyBench [requests] [concurrency]
   */
 object LatencyBench {
@@ -20,6 +24,7 @@ object LatencyBench {
     val concurrency = args.lift(1).map(_.toInt).getOrElse(50)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "64").toInt
+    val overHttp = sys.env.get("SPARK_GRAFT_LATENCY_HTTP").contains("1")
 
     val spark = graft.spark.Sessions.local(32, 32, "graft-latency")
     spark.sparkContext.setLogLevel("WARN")
@@ -30,11 +35,38 @@ object LatencyBench {
     val segs = SegmentIndex.segmentFiles(out).map(SegmentIndex.loadSegment)
     val mode = sys.env.getOrElse("SPARK_GRAFT_QUERY_MODE", "mixed")
     val queries = Workload.queries(spark, sfDir, requests, mode)
+    val docMap: Map[Long, graft.app.SearchServer.DocRow] =
+      if (!overHttp) Map.empty
+      else spark.read.parquet(s"$out/docstore")
+        .select("doc_id", "text", "source", "lang")
+        .collect()
+        .map(r => r.getLong(0) ->
+          graft.app.SearchServer.DocRow(r.getString(1), r.getString(2), r.getString(3)))
+        .toMap
     spark.stop()
 
     // warm decode caches + JIT
     SegmentSearch.searchBatchInMemory(segs, meta, queries, 10)
     val engine = new SegmentSearch.ServingEngine(segs.toIndexedSeq, meta)
+
+    var httpServer: com.sun.net.httpserver.HttpServer = null
+    val httpBase: Option[String] =
+      if (!overHttp) None
+      else {
+        httpServer = graft.app.SearchServer.start(engine, docMap.get, port = 0)
+        Some(s"http://127.0.0.1:${httpServer.getAddress.getPort}")
+      }
+
+    def serveOne(q: String): Int = httpBase match {
+      case None => engine.search(q, 10).length
+      case Some(base) =>
+        val url = new java.net.URL(
+          s"$base/search?k=10&q=" + java.net.URLEncoder.encode(q, "UTF-8"))
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        body.length
+    }
 
     // one request = one full query through the serving engine (segments
     // scored in parallel WITHIN the request on the shared FJ pool — the
@@ -48,8 +80,7 @@ object LatencyBench {
       queries.foreach { q =>
         pool.execute { () =>
           val s = System.nanoTime()
-          val ranked = engine.search(q, 10)
-          sink = ranked.length // keep the result alive
+          sink = serveOne(q) // keep the result alive
           latenciesNs.add(System.nanoTime() - s)
           done.countDown()
         }
@@ -63,16 +94,28 @@ object LatencyBench {
     val (rps, ms) = (1 to 3).map(_ => round()).maxBy(_._1)
     def pct(p: Double) = ms(math.min(ms.size - 1, (p * ms.size).toInt))
 
+    val via = if (overHttp) "HTTP /search endpoint" else "in-memory engine"
+    val conc = if (concurrency == 50) "" else s", c=$concurrency"
+    val sectionKey =
+      if (overHttp) s"## Serving latency ($mode, http$conc)" else s"## Serving latency ($mode$conc)"
     val md =
-      f"""## Serving latency ($mode) — in-memory segment index (reference load-test shape)
+      f"""$sectionKey — $via (reference load-test shape)
          |
-         |${meta.n}%,d docs, $requests requests, $concurrency concurrent clients, k=10, query mode: $mode.
+         |${meta.n}%,d docs, $requests requests, $concurrency concurrent clients, k=10, query mode: $mode, via: $via.
          |
          || rps | p50 | p95 | p99 | reference targets |
          ||---|---|---|---|---|
          || $rps%.0f req/s | ${pct(0.50)}%.1f ms | ${pct(0.95)}%.1f ms | ${pct(0.99)}%.1f ms | 1000 req/s (README.md:197); p99 < 50 ms (README.md:200) |
          |""".stripMargin
-    BenchReport.replaceSection(s"## Serving latency ($mode)", md)
+    BenchReport.replaceSection(sectionKey, md)
     println(md)
+    // stop the endpoint so the forked JVM can exit (non-daemon server threads)
+    if (httpServer != null) {
+      httpServer.stop(0)
+      httpServer.getExecutor match {
+        case e: java.util.concurrent.ExecutorService => e.shutdownNow()
+        case _ =>
+      }
+    }
   }
 }

@@ -37,6 +37,21 @@ object Bm25 extends Serializable {
   @inline def termPartUpperBound(maxTf: Int, idf: Double): Double =
     idf * (maxTf * (K1 + 1.0)) / (maxTf + K1 * (1.0 - B))
 
+  /** Statistics-free block score bound. Rewrite termPart per posting p as
+    *   s_p = idf*(k1+1) / (1 + k1*(1-b)/tf_p + (k1*b/avgdl) * (dl_p/tf_p)),
+    * which is decreasing in 1/tf_p and in dl_p/tf_p for every avgdl > 0. So
+    * with maxTf = max tf_p and minDlOverTf = min (dl_p/tf_p) over the block,
+    *   idf*(k1+1) / (1 + k1*(1-b)/maxTf + (k1*b/avgdl)*minDlOverTf)
+    * dominates every posting's score under ANY (idf, avgdl) — bounds baked at
+    * build time stay valid after incremental corpus changes — and is exact
+    * whenever one posting attains both extremes (the common case).
+    */
+  @inline def partBound(maxTf: Int, minDlOverTf: Double, idf: Double, avgdl: Double): Double =
+    if (avgdl > 0.0)
+      idf * (K1 + 1.0) / (1.0 + K1 * (1.0 - B) / maxTf + K1 * B * minDlOverTf / avgdl)
+    else
+      idf * (K1 + 1.0) / (1.0 + K1 / maxTf) // norm == 1 when avgdl == 0
+
   @inline def scoresTied(a: Double, b: Double): Boolean =
     math.abs(a - b) < ScoreTieEpsilon
 

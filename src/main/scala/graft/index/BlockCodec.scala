@@ -29,13 +29,15 @@ object BlockCodec {
 
   val BlockSize = 128
 
-  /** One encoded block of a posting list. */
+  /** One encoded block of a posting list. `(maxTf, minDlOverTf)` feed
+    * Bm25.partBound — a safe score upper bound under any (idf, avgdl).
+    */
   final case class Block(
       minDoc: Long,
       maxDoc: Long,
       count: Int,
       maxTf: Int,
-      minDl: Int,
+      minDlOverTf: Double,
       bytes: Array[Byte]
   )
 
@@ -81,7 +83,7 @@ object BlockCodec {
       var prev = 0L
       var first = true
       var maxTf = 0
-      var minDl = Int.MaxValue
+      var minDlOverTf = Double.MaxValue
       group.foreach { p =>
         val delta = if (first) p.docId else p.docId - prev
         require(first || delta > 0, s"postings must be strictly docId-ascending")
@@ -91,9 +93,10 @@ object BlockCodec {
         prev = p.docId
         first = false
         if (p.tf > maxTf) maxTf = p.tf
-        if (p.dl < minDl) minDl = p.dl
+        val r = p.dl.toDouble / p.tf
+        if (r < minDlOverTf) minDlOverTf = r
       }
-      out += Block(group.head.docId, group.last.docId, group.size, maxTf, minDl, buf.toByteArray)
+      out += Block(group.head.docId, group.last.docId, group.size, maxTf, minDlOverTf, buf.toByteArray)
     }
     out.toIndexedSeq
   }

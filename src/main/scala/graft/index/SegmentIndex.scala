@@ -51,7 +51,7 @@ object SegmentIndex {
   /** Bumped when the segment byte layout changes; manifests from another
     * format never satisfy the resume check.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   /** Corpus-level stats. `sumDl` is the EXACT integer token total so that
     * incremental adds recompute avgdl = (sumDl + delta) / (n + delta) with
@@ -79,7 +79,7 @@ object SegmentIndex {
     /** Safe score upper bound for one block under the current stats. */
     @inline def blockBound(bi: Int, idf: Double, avgdl: Double): Double = {
       val b = blocks(bi)
-      Bm25.termPart(b.maxTf, idf, Bm25.norm(b.minDl.toDouble, avgdl))
+      Bm25.partBound(b.maxTf, b.minDlOverTf, idf, avgdl)
     }
 
     /** Safe term-level upper bound = max over blocks. */
@@ -112,7 +112,7 @@ object SegmentIndex {
       terms.get(term).iterator.flatMap(_.blocks.iterator.flatMap(BlockCodec.decode(_).iterator))
   }
 
-  private val Magic = "GRFTSEG3".getBytes(StandardCharsets.US_ASCII)
+  private val Magic = "GRFTSEG4".getBytes(StandardCharsets.US_ASCII)
 
   // ------------------------------------------------------------------- build
 
@@ -470,7 +470,7 @@ object SegmentIndex {
       out.writeLong(b.maxDoc)
       out.writeInt(b.count)
       out.writeInt(b.maxTf)
-      out.writeInt(b.minDl)
+      out.writeDouble(b.minDlOverTf)
       out.writeInt(b.bytes.length)
       out.write(b.bytes)
     }
@@ -554,12 +554,12 @@ object SegmentIndex {
           val maxDoc = in.readLong()
           val count = in.readInt()
           val maxTf = in.readInt()
-          val minDl = in.readInt()
+          val minDlOverTf = in.readDouble()
           val blen = in.readInt()
           val bb = new Array[Byte](blen)
           in.readFully(bb)
           localDf += count
-          BlockCodec.Block(minDoc, maxDoc, count, maxTf, minDl, bb)
+          BlockCodec.Block(minDoc, maxDoc, count, maxTf, minDlOverTf, bb)
         }
         terms += term -> TermData(localDf, blocks)
       }

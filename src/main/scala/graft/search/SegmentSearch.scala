@@ -134,10 +134,12 @@ object SegmentSearch {
   ): Map[Int, Seq[(Long, Double)]] = {
     val parsed = queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
     val idfs = globalIdfs(segments, meta.n, parsed.flatMap(_._2.terms))
+    val thetas = parsed.map { case (qid, _) => qid -> new Wand.SharedTheta }.toMap
     val hits = segments.par
       .flatMap { seg =>
         parsed.flatMap { case (qid, pq) =>
-          Wand.searchSegment(seg, pq, idfs, meta.avgdl, k).map(h => QueryHit(qid, h.docId, h.score))
+          Wand.searchSegment(seg, pq, idfs, meta.avgdl, k, thetas(qid))
+            .map(h => QueryHit(qid, h.docId, h.score))
         }
       }
       .seq
@@ -185,6 +187,14 @@ object SegmentSearch {
       parallelSegments: Boolean = true
   ) {
     private val idfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+    private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Adaptive intra-request parallelism: fan a request's segments out across
+    // cores only while few requests are in flight (cuts unloaded latency);
+    // under saturation each request runs serially on its own client thread —
+    // fanning out there only adds subtask queueing delay to the tail while
+    // total throughput is already core-bound.
+    private val parThreshold =
+      math.max(2, Runtime.getRuntime.availableProcessors() / 4)
 
     private def idfOf(t: String): Double =
       idfCache.computeIfAbsent(t, tt => {
@@ -198,15 +208,19 @@ object SegmentSearch {
 
     def search(pq: ParsedQuery, k: Int): Seq[(Long, Double)] = {
       if (pq.terms.isEmpty) return Nil
-      val idfs = pq.terms.distinct
-        .flatMap { t => val v = idfOf(t); if (v.isNaN) None else Some(t -> v) }
-        .toMap
-      val raw =
-        if (parallelSegments && segments.length > 1)
-          segments.par.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, k)).seq
-        else
-          segments.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, k))
-      Bm25.sortHits(raw.map(h => (h.docId, h.score))).take(k)
+      val load = inFlight.incrementAndGet()
+      try {
+        val idfs = pq.terms.distinct
+          .flatMap { t => val v = idfOf(t); if (v.isNaN) None else Some(t -> v) }
+          .toMap
+        val shared = new Wand.SharedTheta // cross-segment pruning for this request
+        val raw =
+          if (parallelSegments && segments.length > 1 && load <= parThreshold)
+            segments.par.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, k, shared)).seq
+          else
+            segments.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, k, shared))
+        Bm25.sortHits(raw.map(h => (h.docId, h.score))).take(k)
+      } finally inFlight.decrementAndGet()
     }
   }
 

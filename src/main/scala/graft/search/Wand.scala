@@ -31,6 +31,25 @@ object Wand {
 
   val HeapSlack = 64
 
+  /** Cross-segment threshold shared by the per-segment scorers of ONE query
+    * running in parallel: any segment's local kth-best score lower-bounds the
+    * GLOBAL kth-best (the global top-k pool is a superset of each segment's),
+    * so publishing the max across segments lets every segment prune with the
+    * tightest bound known so far. Lock-free monotone max over double bits.
+    */
+  final class SharedTheta {
+    private val bits = new java.util.concurrent.atomic.AtomicLong(
+      java.lang.Double.doubleToRawLongBits(Double.NegativeInfinity))
+    def get: Double = java.lang.Double.longBitsToDouble(bits.get)
+    def publish(v: Double): Unit = {
+      var cur = bits.get
+      while (v > java.lang.Double.longBitsToDouble(cur) &&
+        !bits.compareAndSet(cur, java.lang.Double.doubleToRawLongBits(v))) {
+        cur = bits.get
+      }
+    }
+  }
+
   /** One term's cursor over its block list. curDoc == Long.MaxValue at end.
     * Blocks decode to primitive arrays once per segment lifetime (TermData's
     * decode cache) — queries share the decoded form, no per-posting objects.
@@ -62,7 +81,7 @@ object Wand {
       */
     def blockUb: Double =
       if (decoded == null) 0.0
-      else weight * Bm25.termPart(blocks(bi).maxTf, idf, Bm25.norm(blocks(bi).minDl.toDouble, avgdlV))
+      else weight * Bm25.partBound(blocks(bi).maxTf, blocks(bi).minDlOverTf, idf, avgdlV)
 
     /** first docId after the current block (for shallow advance). */
     def nextBlockBoundary: Long =
@@ -125,15 +144,18 @@ object Wand {
     * only rises), so they are discarded; memory stays bounded by the number
     * of genuinely live boundary ties.
     */
-  private final class TopK(k: Int) {
+  private final class TopK(k: Int, shared: SharedTheta) {
     // min-heap: worst of the top-k on top (score asc, docId desc)
     private val heap = mutable.PriorityQueue.empty[SegmentHit](Ordering.by(h => (-h.score, h.docId)))
     private var ties = List.empty[SegmentHit]
     private var nTies = 0
 
-    def threshold: Double =
-      if (heap.size < k) Double.NegativeInfinity
-      else heap.head.score - Bm25.ScoreTieEpsilon
+    def threshold: Double = {
+      val local = if (heap.size < k) Double.NegativeInfinity else heap.head.score
+      val best = if (shared == null) local else math.max(local, shared.get)
+      if (best == Double.NegativeInfinity) Double.NegativeInfinity
+      else best - Bm25.ScoreTieEpsilon
+    }
 
     private def addTie(h: SegmentHit): Unit = {
       if (nTies >= HeapSlack) { // compact: drop ties that are now stale
@@ -145,10 +167,13 @@ object Wand {
     }
 
     def offer(h: SegmentHit): Unit = {
-      if (heap.size < k) heap.enqueue(h)
-      else if (h.score > heap.head.score) {
+      if (heap.size < k) {
+        heap.enqueue(h)
+        if (heap.size == k && shared != null) shared.publish(heap.head.score)
+      } else if (h.score > heap.head.score) {
         val evicted = heap.dequeue()
         heap.enqueue(h)
+        if (shared != null) shared.publish(heap.head.score)
         if (evicted.score >= threshold) addTie(evicted)
       } else if (h.score >= threshold) { // within epsilon of kth but not above
         addTie(h)
@@ -169,7 +194,8 @@ object Wand {
       pq: ParsedQuery,
       idfs: Map[String, Double],
       avgdl: Double,
-      k: Int
+      k: Int,
+      shared: SharedTheta = null
   ): Seq[SegmentHit] = {
     if (pq.terms.isEmpty) return Nil
 
@@ -202,9 +228,9 @@ object Wand {
       // GLOBAL df == 0 kills the query everywhere. Either way: all distinct
       // terms must have a cursor here for any local match.
       if (cursors.length < distinct.length) return Nil
-      andMerge(cursors, excluded, avgdl, k)
+      andMerge(cursors, excluded, avgdl, k, shared)
     } else {
-      orWand(cursors, excluded, avgdl, k)
+      orWand(cursors, excluded, avgdl, k, shared)
     }
   }
 
@@ -213,9 +239,10 @@ object Wand {
       cursors: IndexedSeq[Cursor],
       excluded: Excluder,
       avgdl: Double,
-      k: Int
+      k: Int,
+      shared: SharedTheta
   ): Seq[SegmentHit] = {
-    val top = new TopK(k)
+    val top = new TopK(k, shared)
     if (cursors.isEmpty) return Nil
     var continue = !cursors.exists(_.curDoc == Long.MaxValue)
     while (continue) {
@@ -278,9 +305,10 @@ object Wand {
       cursorsIn: IndexedSeq[Cursor],
       excluded: Excluder,
       avgdl: Double,
-      k: Int
+      k: Int,
+      shared: SharedTheta
   ): Seq[SegmentHit] = {
-    val top = new TopK(k)
+    val top = new TopK(k, shared)
     val cursors = mutable.ArrayBuffer[Cursor](cursorsIn.filter(_.curDoc != Long.MaxValue): _*)
 
     while (cursors.nonEmpty) {

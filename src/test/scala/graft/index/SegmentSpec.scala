@@ -33,8 +33,16 @@ class BlockCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     blocks.foreach { b =>
       val inBlock = postings.filter(p => p.docId >= b.minDoc && p.docId <= b.maxDoc)
       assert(b.maxTf == inBlock.map(_.tf).max)
-      assert(b.minDl == inBlock.map(_.dl).min)
+      assert(b.minDlOverTf == inBlock.map(p => p.dl.toDouble / p.tf).min)
       assert(b.count == inBlock.size)
+      // the bound dominates every posting's exact score for arbitrary stats
+      for (avgdl <- Seq(0.0, 1.0, 37.5, 1e6); idf <- Seq(0.3, 2.0)) {
+        val bound = graft.core.Bm25.partBound(b.maxTf, b.minDlOverTf, idf, avgdl)
+        inBlock.foreach { p =>
+          val s = graft.core.Bm25.termPart(p.tf, idf, graft.core.Bm25.norm(p.dl.toDouble, avgdl))
+          assert(s <= bound + 1e-12, s"posting $p score $s > bound $bound @avgdl=$avgdl")
+        }
+      }
     }
   }
 }
