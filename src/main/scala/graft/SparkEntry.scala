@@ -422,11 +422,13 @@ object SparkEntry {
          |  FROM documents
          |), m AS (
          |  SELECT doc_id, n_chars_calc, ws_tokens,
-         |    CAST(len(toks) AS BIGINT) AS n_tokens, punct_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens_est,
+         |    punct_chars,
          |    CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS BIGINT) AS stop_hits
          |  FROM base
          |)
-         |SELECT doc_id, n_chars_calc, ws_tokens, n_tokens, punct_chars, stop_hits,
+         |SELECT doc_id, n_chars_calc, ws_tokens, n_tokens, bpe_tokens_est, punct_chars, stop_hits,
          |  CAST(round((0.4 * least(1.0, n_tokens / 100.0)
          |            + 0.3 * (1.0 - punct_chars / greatest(n_chars_calc, 1))
          |            + 0.3 * (stop_hits / greatest(n_tokens, 1))) * 1e6) AS BIGINT) AS quality_micros

@@ -278,6 +278,9 @@ object SegmentIndex {
       codeAware: Boolean = false
   ): Seq[Manifest] = {
     val spark = delta.sparkSession
+    // bootstrap: adding to a not-yet-existing index is just a build
+    if (!Files.exists(Paths.get(outDir, "index_meta.json")))
+      return build(delta, outDir, newBuckets, codeAware)
     val old = readMeta(outDir)
     val offset = old.buckets
     val tok = IndexBuilder.tokenizerCol(spark, codeAware)

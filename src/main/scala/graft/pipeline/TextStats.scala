@@ -57,8 +57,11 @@ object TextStats {
 
   /** Quality metrics + composite score (micro-units):
     * quality = 0.4*min(1, n_tokens/100) + 0.3*(1 - punct_ratio) + 0.3*stop_ratio.
-    * Output: (doc_id, n_chars_calc, ws_tokens, n_tokens, punct_chars,
-    *          stop_hits, quality_micros).
+    * `bpe_tokens_est` is the BPE-ish subword count: ceil(len/4) per reference
+    * token (the classic ~4-chars-per-token budget rule) — deterministic and
+    * reproducible in ANSI SQL, unlike a real learned merges table.
+    * Output: (doc_id, n_chars_calc, ws_tokens, n_tokens, bpe_tokens_est,
+    *          punct_chars, stop_hits, quality_micros).
     */
   def quality(docs: DataFrame): DataFrame = {
     val enStops = StopwordSets.toMap.apply("en")
@@ -73,6 +76,10 @@ object TextStats {
     base
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn(
+        "bpe_tokens_est",
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+      )
+      .withColumn(
         "stop_hits",
         size(filter(col("toks"), t => t.isin(enStops: _*))).cast("long")
       )
@@ -86,7 +93,7 @@ object TextStats {
       )
       .select(
         col("doc_id"), col("n_chars_calc"), col("ws_tokens"), col("n_tokens"),
-        col("punct_chars"), col("stop_hits"), col("quality_micros")
+        col("bpe_tokens_est"), col("punct_chars"), col("stop_hits"), col("quality_micros")
       )
   }
 

@@ -54,4 +54,46 @@ object EventStream {
     q.awaitTermination()
     q
   }
+
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType),
+    StructField("lang", StringType)
+  ))
+
+  /** Streaming INDEX ingestion: readStream over a document directory ->
+    * foreachBatch appending each micro-batch as new segments via
+    * SegmentIndex.addDocuments. Because the segment design is append-only
+    * with update-proof per-file stats (local df, statistics-free block
+    * bounds, exact integer sumDl), a stream of N micro-batches yields an
+    * index whose SEARCH RESULTS are bit-identical to one batch rebuild of
+    * everything seen — the streaming twin of the reference's add_document
+    * loop (search_service.cpp:31-57). Checkpointed: restart resumes from the
+    * last committed micro-batch.
+    */
+  def indexIngestStream(
+      spark: SparkSession,
+      inputDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      bucketsPerBatch: Int = 2
+  ): StreamingQuery = {
+    val q = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.index.SegmentIndex.addDocuments(batch, indexDir, bucketsPerBatch)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

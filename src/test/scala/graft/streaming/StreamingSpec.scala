@@ -32,6 +32,52 @@ class StreamingSpec extends SparkTestBase {
     assert(streaming == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming index ingestion (foreachBatch addDocuments) == one batch rebuild") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "rare7")
+    val docs = (1L to 60L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        s"repo${id % 3}", "en")
+    }
+    val inDir = Files.createTempDirectory("graft-stream-docs").toString
+    // three source files -> three micro-batches (maxFilesPerTrigger=1)
+    docs.grouped(20).zipWithIndex.foreach { case (g, i) =>
+      g.toDF("doc_id", "text", "source", "lang")
+        .coalesce(1).write.mode("overwrite").parquet(s"$inDir/part$i")
+    }
+    // the streaming file source wants one flat dir of files: copy each
+    // group's single part-file in as batch<i>.parquet
+    val flat = Files.createTempDirectory("graft-stream-flat").toString
+    (0 until 3).foreach { i =>
+      val src = java.nio.file.Paths.get(s"$inDir/part$i")
+      import scala.jdk.CollectionConverters._
+      Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, java.nio.file.Paths.get(flat, s"batch$i.parquet")))
+    }
+
+    val idxDir = Files.createTempDirectory("graft-stream-idx").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    EventStream.indexIngestStream(spark, flat, idxDir, ckpt, bucketsPerBatch = 2)
+
+    val full = Files.createTempDirectory("graft-full-idx").toString
+    graft.index.SegmentIndex.build(
+      docs.toDF("doc_id", "text", "source", "lang"), full, buckets = 2)
+
+    val mA = graft.index.SegmentIndex.readMeta(idxDir)
+    val mB = graft.index.SegmentIndex.readMeta(full)
+    assert(mA.n == mB.n && mA.sumDl == mB.sumDl && mA.avgdl == mB.avgdl)
+    val segsA = graft.index.SegmentIndex.segmentFiles(idxDir).map(graft.index.SegmentIndex.loadSegment)
+    val segsB = graft.index.SegmentIndex.segmentFiles(full).map(graft.index.SegmentIndex.loadSegment)
+    for (q <- Seq("alpha", "alpha bravo", "charlie OR rare7", "delta -echo", "rare7 rare7")) {
+      val a = graft.search.SegmentSearch.searchBatchInMemory(segsA, mA, Seq(q), 100)(0)
+      val b = graft.search.SegmentSearch.searchBatchInMemory(segsB, mB, Seq(q), 100)(0)
+      assert(a == b, s"q='$q' streamed=$a full=$b")
+    }
+  }
 }
 
 class SourceTableSpec extends SparkTestBase {
