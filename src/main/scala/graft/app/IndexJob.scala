@@ -35,9 +35,12 @@ object IndexJob {
     try {
       val src = SourceTable.withSha(SourceTable.load(spark, source))
       val withIds = DocIdAssigner.assign(src, Seq("repo", "path"), "doc_id")
-      val docs = withIds.select(col("doc_id"), col("content").as("text"), col("content_sha"))
+      val docs = withIds.select(
+        col("doc_id"), col("content").as("text"), col("content_sha"),
+        col("repo").as("source"), col("lang"))
 
-      val manifests = SegmentIndex.build(docs.select("doc_id", "text"), outDir, buckets, codeAware)
+      val manifests =
+        SegmentIndex.build(docs.select("doc_id", "text", "source", "lang"), outDir, buckets, codeAware)
 
       // invariant: the docstore materialization must re-hash to the source
       val store = spark.read.parquet(s"$outDir/docstore")

@@ -181,5 +181,11 @@ class SegmentSpec extends SparkTestBase {
     val viaSpark = SegmentSearch.searchBatch(spark, dir, queries, k = 10)
     val inMem = SegmentSearch.searchBatchInMemory(segs, meta, queries, k = 10)
     assert(viaSpark == inMem)
+    // the long-lived serving engine (cached idfs, shared theta, adaptive
+    // parallelism) returns the same ranked lists
+    val engine = new SegmentSearch.ServingEngine(segs.toIndexedSeq, meta)
+    queries.zipWithIndex.foreach { case (q, i) =>
+      assert(engine.search(q, 10) == inMem(i), s"q='$q'")
+    }
   }
 }
