@@ -190,6 +190,12 @@ object SparkEntry {
     // --- MinHash + LSH near-dup (shingle -> minhash -> band -> bucket join -> verify) ---
     "q_dedup_minhash" -> ((s, dir) =>
       graft.pipeline.Dedup.minhashNearDups(documents(s, dir), w = 3, jMicrosThreshold = 300000L)),
+    // --- MinHash + LSH with the super-bucket skew cap ENABLED (the 100 TB
+    //     configuration — degenerate band buckets dropped before the
+    //     self-join) so the scale-safe path is itself oracle-verified ---
+    "q_dedup_minhash_capped" -> ((s, dir) =>
+      graft.pipeline.Dedup.minhashNearDups(
+        documents(s, dir), w = 3, jMicrosThreshold = 300000L, maxBucket = 2L)),
     // --- SimHash signatures ---
     "q_dedup_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(documents(s, dir))),
@@ -305,22 +311,8 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |k AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY h)
         |SELECT a.doc_id, k.keeper FROM h a JOIN k USING (h)""".stripMargin,
-    "q_dedup_minhash" ->
-      s"""${shingleCte(3)},
-         |hi AS (SELECT doc_id, r.i, min(substr(md5(r.i || ':' || sh), 1, 16)) AS mh
-         |       FROM sh CROSS JOIN range(1, 13) r(i) GROUP BY doc_id, r.i),
-         |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hi GROUP BY doc_id),
-         |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
-         |            b -> md5(b || '|' || sig[b*3+1] || sig[b*3+2] || sig[b*3+3]))) AS band_key FROM sig),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p
-         |          JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b AND sa.sh = sb.sh
-         |          GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) AS j_micros
-         |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
-         |WHERE CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) >= 300000""".stripMargin,
+    "q_dedup_minhash" -> minhashOracle(maxBucket = 0L),
+    "q_dedup_minhash_capped" -> minhashOracle(maxBucket = 2L),
     "q_dedup_simhash" ->
       s"""$tokCte,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
@@ -501,6 +493,34 @@ object SparkEntry {
         |  CASE length(text) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END AS fmt
         |FROM documents""".stripMargin
   )
+
+  /** MinHash+LSH near-dup oracle; maxBucket > 0 replicates the super-bucket
+    * skew cap (band buckets larger than the cap dropped before the self-join
+    * — Dedup.lshCandidatePairs).
+    */
+  private def minhashOracle(maxBucket: Long): String = {
+    val cappedBands =
+      if (maxBucket <= 0) "bands"
+      else
+        s"""(SELECT b.doc_id, b.band_key FROM bands b
+           | JOIN (SELECT band_key FROM bands GROUP BY band_key HAVING count(*) <= $maxBucket) ok
+           | USING (band_key))""".stripMargin
+    s"""${shingleCte(3)},
+       |hi AS (SELECT doc_id, r.i, min(substr(md5(r.i || ':' || sh), 1, 16)) AS mh
+       |       FROM sh CROSS JOIN range(1, 13) r(i) GROUP BY doc_id, r.i),
+       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hi GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+       |            b -> md5(b || '|' || sig[b*3+1] || sig[b*3+2] || sig[b*3+3]))) AS band_key FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM $cappedBands a JOIN $cappedBands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p
+       |          JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b AND sa.sh = sb.sh
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) AS j_micros
+       |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) >= 300000""".stripMargin
+  }
 
   /** Shared shingle CTE: ordered reference tokens -> distinct w-token
     * shingles per doc (space-joined), mirroring Dedup.shingles.

@@ -342,6 +342,67 @@ object SegmentIndex {
     manifests
   }
 
+  /** Compact an index into `dstDir` at a new bucket count WITHOUT
+    * re-tokenizing: the docstore already materializes per-doc (dl, tfmap), so
+    * compaction is a re-range-partition + segment rewrite over those columns
+    * only — no text read, no tokenize. This is the maintenance op that folds
+    * the many small delta segments accumulated by addDocuments / streaming
+    * ingest back into `buckets` balanced segments (search results are
+    * unchanged: stats are corpus-level, doc->bucket placement is not
+    * semantic). The source dir is untouched; callers swap directories.
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String, buckets: Int): Seq[Manifest] = {
+    val meta = readMeta(srcDir)
+    Files.createDirectories(Paths.get(dstDir))
+    val dstStore = s"$dstDir/docstore"
+
+    spark.read.parquet(s"$srcDir/docstore")
+      .drop("bucket")
+      .repartitionByRange(buckets, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("bucket", spark_partition_id())
+      .write.mode("overwrite").parquet(dstStore)
+
+    val store = spark.read.parquet(dstStore)
+    val bucketAgg = store
+      .select(
+        col("bucket"),
+        col("dl"),
+        conv(substring(sha2(concat(col("doc_id").cast("string"), lit(":"), col("sha")), 256), 1, 15), 16, 10)
+          .cast("long")
+          .as("h")
+      )
+      .groupBy(col("bucket"))
+      .agg(expr("bit_xor(h)").as("lineage_xor"), count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .collect()
+    val lineage = bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(
+      bucketAgg.map(_.getLong(2)).sum == meta.n && bucketAgg.map(_.getLong(3)).sum == meta.sumDl,
+      s"compact: docstore stats disagree with $srcDir meta — refusing to write"
+    )
+
+    val rows = store
+      .select(
+        col("bucket"),
+        col("doc_id"),
+        col("dl").cast("int").as("dl"),
+        explode(col("tfmap")).as(Seq("term", "tf"))
+      )
+      .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+
+    val out = dstDir
+    val manifests = rows
+      .mapPartitions(it => writePartition(it, out, lineage))(Encoders.product[Manifest])
+      .collect()
+      .toSeq
+      .sortBy(_.bucket)
+
+    writeMeta(dstDir, Meta(SchemaVersion, meta.n, meta.sumDl, meta.avgdl, buckets, BlockCodec.BlockSize, "delta-varint"))
+    manifests
+  }
+
   /** token array -> (term, tf) map, computed row-locally (a doc's terms never
     * span rows, so no shuffle is needed for the tf aggregation).
     */

@@ -145,9 +145,14 @@ object Dedup {
     * bucket-join -> exact-Jaccard verify -> threshold (micro-units, applied
     * to the ROUNDED value so the oracle agrees at the boundary).
     */
-  def minhashNearDups(docs: DataFrame, w: Int = 3, jMicrosThreshold: Long = 300000L): DataFrame = {
+  def minhashNearDups(
+      docs: DataFrame,
+      w: Int = 3,
+      jMicrosThreshold: Long = 300000L,
+      maxBucket: Long = 0L
+  ): DataFrame = {
     val sh = shingles(docs, w).persist()
-    val pairs = lshCandidatePairs(lshBands(minhashSignatures(sh)))
+    val pairs = lshCandidatePairs(lshBands(minhashSignatures(sh)), maxBucket)
     jaccard(pairs, sh).filter(col("j_micros") >= jMicrosThreshold)
   }
 

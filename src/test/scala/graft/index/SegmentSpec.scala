@@ -172,6 +172,36 @@ class SegmentSpec extends SparkTestBase {
     }
   }
 
+  test("compact: folds delta segments into fewer buckets, search unchanged, no re-tokenize") {
+    val rnd = new Random(31)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "rare3")
+    val all = (1L to 90L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val groups = all.grouped(30).toSeq
+    val dir = tmpDir()
+    SegmentIndex.build(docsDF(groups(0)), dir, buckets = 2)
+    SegmentIndex.addDocuments(docsDF(groups(1)), dir, newBuckets = 2)
+    SegmentIndex.addDocuments(docsDF(groups(2)), dir, newBuckets = 2)
+    assert(SegmentIndex.segmentFiles(dir).size == 6)
+
+    val dst = tmpDir()
+    val manifests = SegmentIndex.compact(spark, dir, dst, buckets = 3)
+    assert(manifests.map(_.bucket) == Seq(0, 1, 2))
+    assert(SegmentIndex.segmentFiles(dst).size == 3)
+
+    val mA = SegmentIndex.readMeta(dir)
+    val mB = SegmentIndex.readMeta(dst)
+    assert(mA.n == mB.n && mA.sumDl == mB.sumDl && mA.avgdl == mB.avgdl)
+    val segsA = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+    val segsB = SegmentIndex.segmentFiles(dst).map(SegmentIndex.loadSegment)
+    for (q <- Seq("alpha", "alpha bravo", "charlie OR rare3", "delta -echo"); k <- Seq(5, 100)) {
+      val a = SegmentSearch.searchBatchInMemory(segsA, mA, Seq(q), k)(0)
+      val b = SegmentSearch.searchBatchInMemory(segsB, mB, Seq(q), k)(0)
+      assert(a == b, s"q='$q' k=$k pre=$a post=$b")
+    }
+  }
+
   test("distributed batch search over segments matches in-memory path") {
     val docs = (1L to 80L).map(i => i -> s"alpha bravo word${i % 11} charlie delta")
     val (dir, _) = buildTiny(docs, buckets = 4)
