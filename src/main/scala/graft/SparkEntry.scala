@@ -236,6 +236,13 @@ object SparkEntry {
     // --- multimodal: binary column + batched stub decode ---
     "q_mm_meta" -> ((s, dir) =>
       graft.pipeline.Multimodal.extractMeta(documents(s, dir))),
+    // --- deterministic hash sampling (reproducible train/eval splits) ---
+    "q_sample" -> ((s, dir) =>
+      graft.pipeline.Sampling.sampleDeterministic(documents(s, dir), rateMicros = 150000L, salt = "s1")
+        .select(col("doc_id"))),
+    // --- corpus mix accounting (docs/tokens/share per lang x source) ---
+    "q_mix" -> ((s, dir) =>
+      graft.pipeline.Sampling.mix(documents(s, dir))),
     // --- P3: OCR policy predicate (thin text layer flag) ---
     "q_ocr_policy" -> ((s, dir) =>
       graft.sources.Ingest.withOcrPolicy(documents(s, dir))
@@ -451,6 +458,17 @@ object SparkEntry {
         |  FROM f
         |), g AS (SELECT user_id, session_id, count(*) AS ev FROM s GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions, max(ev) AS max_session_events FROM g GROUP BY user_id""".stripMargin,
+    "q_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < 150000""".stripMargin,
+    "q_mix" ->
+      s"""$tokCte
+         |SELECT d.lang, d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS tokens,
+         |  CAST(round(sum(dl) * 1e6 / (SELECT sum(dl) FROM dls)) AS BIGINT) AS share_micros
+         |FROM documents d JOIN dls ON d.doc_id = dls.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "q_ocr_policy" ->
       """SELECT doc_id,
         |  (length(text) < 50 OR

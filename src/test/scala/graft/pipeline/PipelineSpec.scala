@@ -72,6 +72,34 @@ class PipelineSpec extends SparkTestBase {
     assert(Seq(0L, 5L, 6L).forall(a => !nd.contains((a, 7L))))
   }
 
+  test("deterministic sampling: stable, rate-proportional, stable under corpus growth") {
+    val docs = docsDF((1L to 2000L).map(i => i -> s"word$i text"))
+    val s1 = Sampling.sampleDeterministic(docs, 250000L, "s1").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sampleDeterministic(docs, 250000L, "s1").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // pure function of (salt, id)
+    assert(math.abs(s1.size / 2000.0 - 0.25) < 0.05, s"rate off: ${s1.size}")
+    // growth stability: the first 1000 docs' membership is unchanged
+    val small = Sampling.sampleDeterministic(docsDF((1L to 1000L).map(i => i -> "t")), 250000L, "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small == s1.filter(_ <= 1000L))
+  }
+
+  test("mix: token shares sum to ~1e6 and respect per-group token counts") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "web"), (2L, "d e", "en", "web"),
+      (3L, "f g h i", "de", "code"), (4L, "j", "de", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = Sampling.mix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(("en", "web")) == ((2L, 5L, 500000L)))
+    assert(rows(("de", "code"))._2 == 4L && rows(("de", "web"))._2 == 1L)
+    assert(math.abs(rows.values.map(_._3).sum - 1000000L) <= rows.size) // rounding slack
+  }
+
   test("langId picks dominant stopword language") {
     val df = docsDF(Seq(
       1L -> "the cat sat on the mat and the dog",
