@@ -27,6 +27,11 @@ object SegmentSearch {
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, LoadedSegment]()
 
+  /** Driver-side global-df cache, keyed by index state (dir, n, sumDl). */
+  @transient private lazy val dfCaches =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), java.util.concurrent.ConcurrentHashMap[String, Long]]()
+
   def loadCached(path: String): LoadedSegment =
     cache.computeIfAbsent(path, p => SegmentIndex.loadSegment(p))
 
@@ -71,19 +76,33 @@ object SegmentSearch {
       .createDataset(files)(Encoders.STRING)
       .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
 
-    // phase 1: global df for the batch's positive terms
+    // phase 1: global df for the batch's positive terms. Results are cached
+    // per INDEX STATE (dir + n + sumDl — any add/compact changes the key),
+    // so repeated batches against a warm index skip the job entirely.
+    val cacheKey = (indexDir, meta.n, meta.sumDl)
+    val dfCache = dfCaches.computeIfAbsent(
+      cacheKey, _ => new java.util.concurrent.ConcurrentHashMap[String, Long]())
     val allTerms = parsed.flatMap(_._2.terms).distinct
-    val tbc = spark.sparkContext.broadcast(allTerms)
-    val idfs: Map[String, Double] = fileDs
-      .mapPartitions { paths =>
-        paths.flatMap { p =>
-          val seg = loadCached(p)
-          tbc.value.iterator.flatMap(t => seg.terms.get(t).map(td => (t, td.df)))
-        }
-      }(Encoders.product[(String, Long)])
-      .collect()
-      .groupBy(_._1)
-      .map { case (t, v) => t -> Bm25.idf(n, v.map(_._2).sum) }
+    val missing = allTerms.filterNot(dfCache.containsKey)
+    if (missing.nonEmpty) {
+      val tbc = spark.sparkContext.broadcast(missing)
+      val found = fileDs
+        .mapPartitions { paths =>
+          paths.flatMap { p =>
+            val seg = loadCached(p)
+            tbc.value.iterator.flatMap(t => seg.terms.get(t).map(td => (t, td.df)))
+          }
+        }(Encoders.product[(String, Long)])
+        .collect()
+        .groupBy(_._1)
+        .map { case (t, v) => t -> v.map(_._2).sum }
+      missing.foreach(t => dfCache.put(t, found.getOrElse(t, 0L)))
+    }
+    val idfs: Map[String, Double] =
+      allTerms.flatMap { t =>
+        val df = dfCache.get(t)
+        if (df > 0) Some(t -> Bm25.idf(n, df)) else None
+      }.toMap
     val bc = spark.sparkContext.broadcast((parsed, idfs))
 
     val hits = fileDs
