@@ -65,6 +65,9 @@ class SegmentSpec extends SparkTestBase {
       val got = SegmentSearch.searchBatchInMemory(segs, meta, Seq(c.query), k = 50)(0)
       assert(got.map(_._1) == c.expected.map(_._1), s"case ${c.name}: got=$got exp=${c.expected}")
       got.zip(c.expected).foreach { case ((_, s), (_, e)) => assert(math.abs(s - e) < 1e-9) }
+      // the serving engine (cached idfs + shared theta) hits the fixture too
+      val served = new SegmentSearch.ServingEngine(segs.toIndexedSeq, meta).search(c.query, 50)
+      assert(served.map(_._1) == c.expected.map(_._1), s"case ${c.name} (served): $served")
     }
   }
 
