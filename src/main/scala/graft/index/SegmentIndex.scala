@@ -128,7 +128,6 @@ object SegmentIndex {
   ): Seq[Manifest] = {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(outDir))
-    val tok = IndexBuilder.tokenizerCol(spark, codeAware)
 
     // CPU-bound stages (tokenize, hashing, block encode) need partition
     // count >= cores even when the input is only a few MB of parquet —
@@ -177,16 +176,15 @@ object SegmentIndex {
     }
 
     if (!Files.exists(Paths.get(storePath, "_SUCCESS"))) {
-      widened(docs.select(
-        Seq(col("doc_id").cast("long").as("doc_id"), col("text")) ++
-          IndexBuilder.metaColumns(docs): _*))
-        .repartitionByRange(buckets, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .withColumn("bucket", spark_partition_id())
-        .withColumn("toks", tok(col("text")))
-        .withColumn("dl", size(col("toks")))
-        .withColumn("tfmap", termCountsUdf(col("toks")))
-        .drop("toks")
+      withDlTfmap(
+        widened(docs.select(
+          Seq(col("doc_id").cast("long").as("doc_id"), col("text")) ++
+            IndexBuilder.metaColumns(docs): _*))
+          .repartitionByRange(buckets, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .withColumn("bucket", spark_partition_id()),
+        codeAware
+      )
         .withColumn("sha", sha2(col("text"), 256))
         .write.mode("overwrite").parquet(storePath)
     }
@@ -283,20 +281,18 @@ object SegmentIndex {
       return build(delta, outDir, newBuckets, codeAware)
     val old = readMeta(outDir)
     val offset = old.buckets
-    val tok = IndexBuilder.tokenizerCol(spark, codeAware)
     val storePath = s"$outDir/docstore"
 
-    delta
-      .select(
-        Seq(col("doc_id").cast("long").as("doc_id"), col("text")) ++
-          IndexBuilder.metaColumns(delta): _*)
-      .repartitionByRange(newBuckets, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .withColumn("bucket", spark_partition_id() + lit(offset))
-      .withColumn("toks", tok(col("text")))
-      .withColumn("dl", size(col("toks")))
-      .withColumn("tfmap", termCountsUdf(col("toks")))
-      .drop("toks")
+    withDlTfmap(
+      delta
+        .select(
+          Seq(col("doc_id").cast("long").as("doc_id"), col("text")) ++
+            IndexBuilder.metaColumns(delta): _*)
+        .repartitionByRange(newBuckets, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("bucket", spark_partition_id() + lit(offset)),
+      codeAware
+    )
       .withColumn("sha", sha2(col("text"), 256))
       .write.mode("append").parquet(storePath)
 
@@ -403,9 +399,26 @@ object SegmentIndex {
     manifests
   }
 
-  /** token array -> (term, tf) map, computed row-locally (a doc's terms never
-    * span rows, so no shuffle is needed for the tf aggregation).
+  /** Attach (dl, tfmap) — computed row-locally (a doc's terms never span
+    * rows, so no shuffle is needed for the tf aggregation). Reference mode
+    * uses the fused native expression (one byte scan, codegen-resident);
+    * code-aware mode tokenizes through the Scala code tokenizer + a
+    * counting UDF.
     */
+  private def withDlTfmap(df: DataFrame, codeAware: Boolean): DataFrame =
+    if (!codeAware) {
+      graft.expr.RefTokenizeTf.register(df.sparkSession)
+      df.withColumn("tt", call_function("ref_tokenize_tf", col("text")))
+        .withColumn("dl", col("tt.dl"))
+        .withColumn("tfmap", col("tt.tfmap"))
+        .drop("tt")
+    } else {
+      df.withColumn("toks", IndexBuilder.codeTokenizeUdf(col("text")))
+        .withColumn("dl", size(col("toks")))
+        .withColumn("tfmap", termCountsUdf(col("toks")))
+        .drop("toks")
+    }
+
   private val termCountsUdf = udf { (tokens: Seq[String]) =>
     val m = scala.collection.mutable.HashMap[String, Int]()
     tokens.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))

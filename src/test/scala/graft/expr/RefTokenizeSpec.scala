@@ -40,4 +40,24 @@ class RefTokenizeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan) // asterisk = inside WholeStageCodegen
   }
+  test("fused ref_tokenize_tf: dl and tf counts match the pure tokenizer") {
+    val sp = spark
+    import sp.implicits._
+    graft.expr.RefTokenizeTf.register(spark)
+    val inputs = Seq(
+      "Foo-Bar Baz foo BAR bar", "Hello, World! 123 hello", "", "...",
+      "a a a b", "caf\u00e9 na\u00efve caf\u00e9", "x1y2 X1Y2", " dup dup DUP "
+    )
+    val rows = inputs.toDF("text")
+      .selectExpr("ref_tokenize_tf(text) AS tt")
+      .select(col("tt.dl"), col("tt.tfmap"))
+      .collect()
+    inputs.zip(rows).foreach { case (in, r) =>
+      val toks = Tokenizer.tokenize(in)
+      assert(r.getInt(0) == toks.size, s"dl mismatch for '$in'")
+      val got = r.getMap[String, Int](1).toMap
+      val exp = toks.groupBy(identity).map { case (t, v) => t -> v.size }
+      assert(got == exp, s"tfmap mismatch for '$in': got=$got exp=$exp")
+    }
+  }
 }
