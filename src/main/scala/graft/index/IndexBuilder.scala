@@ -94,33 +94,44 @@ object IndexBuilder {
       textCol: String = "text",
       codeAware: Boolean = false
   ): IndexTables = {
-    val tok = tokenizerCol(docs.sparkSession, codeAware)
-    val tokens = docs
-      .select(
-        Seq(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")) ++
-          metaColumns(docs): _*
-      )
-      .withColumn("tokens", tok(col("text")))
-
-    val docstore = tokens
-      .select(
-        Seq(col("doc_id"), col("text"), size(col("tokens")).as("dl")) ++
-          MetaCols.map(col): _*
-      )
+    val base = docs.select(
+      Seq(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")) ++
+        metaColumns(docs): _*
+    )
 
     // dl is denormalized onto every posting row (like a norms file in a real
     // search index): the scorer then needs NO join with the docstore — the
     // tf AND dl travel with the row (obsoletes the reference's O(1) tf-lookup
     // map, inverted_index.cpp:48-54).
-    val postings = tokens
-      .select(
-        col("doc_id"),
-        size(col("tokens")).as("dl"),
-        explode(col("tokens")).as("term")
-      )
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    //
+    // Reference mode: the fused native expression yields (dl, term->tf map)
+    // in ONE byte scan per doc, and exploding the map REPLACES the classic
+    // groupBy(term, doc_id) — A1's wide exchange disappears from the
+    // dataflow path entirely (tf is row-local: a doc's terms never span
+    // rows). Code-aware mode keeps the Scala tokenizer + explode + groupBy.
+    val (docstore, postings) =
+      if (!codeAware) {
+        graft.expr.RefTokenizeTf.register(docs.sparkSession)
+        val t = base.withColumn("tt", call_function("ref_tokenize_tf", col("text")))
+        val store = t.select(
+          Seq(col("doc_id"), col("text"), col("tt.dl").as("dl")) ++ MetaCols.map(col): _*
+        )
+        val posts = t
+          .select(col("doc_id"), col("tt.dl").as("dl"), explode(col("tt.tfmap")).as(Seq("term", "tf")))
+          .select(col("term"), col("doc_id"), col("tf").cast("int").as("tf"), col("dl"))
+        (store, posts)
+      } else {
+        val t = base.withColumn("tokens", codeTokenizeUdf(col("text")))
+        val store = t.select(
+          Seq(col("doc_id"), col("text"), size(col("tokens")).as("dl")) ++ MetaCols.map(col): _*
+        )
+        val posts = t
+          .select(col("doc_id"), size(col("tokens")).as("dl"), explode(col("tokens")).as("term"))
+          .groupBy(col("term"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).cast("int").as("tf"))
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        (store, posts)
+      }
 
     val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
