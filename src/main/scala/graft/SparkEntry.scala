@@ -196,6 +196,10 @@ object SparkEntry {
     "q_dedup_minhash_capped" -> ((s, dir) =>
       graft.pipeline.Dedup.minhashNearDups(
         documents(s, dir), w = 3, jMicrosThreshold = 300000L, maxBucket = 2L)),
+    // --- transitive near-dup clusters (connected components over pairs) ---
+    "q_dedup_clusters" -> ((s, dir) =>
+      graft.pipeline.Dedup.nearDupClusters(
+        graft.pipeline.Dedup.minhashNearDups(documents(s, dir), w = 3, jMicrosThreshold = 300000L))),
     // --- SimHash signatures ---
     "q_dedup_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(documents(s, dir))),
@@ -320,6 +324,7 @@ object SparkEntry {
         |SELECT a.doc_id, k.keeper FROM h a JOIN k USING (h)""".stripMargin,
     "q_dedup_minhash" -> minhashOracle(maxBucket = 0L),
     "q_dedup_minhash_capped" -> minhashOracle(maxBucket = 2L),
+    "q_dedup_clusters" -> clustersOracle,
     "q_dedup_simhash" ->
       s"""$tokCte,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
@@ -516,7 +521,8 @@ object SparkEntry {
     * skew cap (band buckets larger than the cap dropped before the self-join
     * — Dedup.lshCandidatePairs).
     */
-  private def minhashOracle(maxBucket: Long): String = {
+  /** CTE chain through `inter`/`sizes` for the MinHash pipeline. */
+  private def minhashCtes(maxBucket: Long): String = {
     val cappedBands =
       if (maxBucket <= 0) "bands"
       else
@@ -534,11 +540,34 @@ object SparkEntry {
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p
        |          JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b AND sa.sh = sb.sh
-       |          GROUP BY 1, 2)
+       |          GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def minhashOracle(maxBucket: Long): String =
+    s"""${minhashCtes(maxBucket)}
        |SELECT doc_a, doc_b, CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) AS j_micros
        |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
        |WHERE CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) >= 300000""".stripMargin
-  }
+
+  /** Near-dup transitive clusters: recursive closure over the dup pairs;
+    * cluster_id = min reachable doc_id (matches Dedup.nearDupClusters'
+    * min-label propagation fixpoint).
+    */
+  private def clustersOracle: String =
+    s"""${minhashCtes(0L)},
+       |dups AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+       |  WHERE CAST(round(i * 1.0 / (na.n + nb.n - i) * 1e6) AS BIGINT) >= 300000),
+       |eds AS (SELECT doc_a AS a, doc_b AS b FROM dups UNION SELECT doc_b, doc_a FROM dups),
+       |nodes AS (SELECT DISTINCT a AS doc FROM eds),
+       |reach(doc, r) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT reach.doc, e.b FROM reach JOIN eds e ON reach.r = e.a)
+       |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc"""
+      .stripMargin
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** Shared shingle CTE: ordered reference tokens -> distinct w-token
     * shingles per doc (space-joined), mirroring Dedup.shingles.

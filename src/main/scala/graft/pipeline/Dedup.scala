@@ -169,6 +169,50 @@ object Dedup {
     jaccard(pairs, sh).filter(col("j_micros") >= jMicrosThreshold)
   }
 
+  /** Connected components over a near-dup pair list: every doc that appears
+    * in at least one pair is labeled with its cluster id = the MINIMUM doc_id
+    * reachable through pairs (so transitively-linked docs a-b, b-c share one
+    * cluster and its keeper). Iterative min-label propagation — each round is
+    * one join + one aggregation, rounds bounded by the cluster graph's
+    * diameter (near-dup clusters are shallow; the 50-round cap is a safety
+    * net). This is how cluster-level keeper selection works at 100 TB
+    * (GraphFrames-style CC without the dependency).
+    * Output: (doc_id, cluster_id).
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("doc_id"))
+        .groupBy(col("a"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("a"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("new_label"),
+          col("cluster_id").as("old_label")
+        )
+        .persist()
+      changed = updated.filter(col("new_label") < col("old_label")).count()
+      val next = updated.select(col("doc_id"), col("new_label").as("cluster_id")).persist()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 16-bit SimHash per doc from md5 nibbles: bit j set iff the tf-weighted
     * sum of (+1 if hex digit j of md5(term) has its high bit, else -1) is
     * positive. (doc_id, simhash long).

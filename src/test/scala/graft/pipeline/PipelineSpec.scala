@@ -72,6 +72,16 @@ class PipelineSpec extends SparkTestBase {
     assert(Seq(0L, 5L, 6L).forall(a => !nd.contains((a, 7L))))
   }
 
+  test("nearDupClusters: transitive chains collapse to one cluster labeled by min id") {
+    val sp = spark
+    import sp.implicits._
+    // chain 1-2-3 (1-3 never paired directly), isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("deterministic sampling: stable, rate-proportional, stable under corpus growth") {
     val docs = docsDF((1L to 2000L).map(i => i -> s"word$i text"))
     val s1 = Sampling.sampleDeterministic(docs, 250000L, "s1").select("doc_id")
