@@ -247,6 +247,12 @@ object SparkEntry {
     // --- corpus mix accounting (docs/tokens/share per lang x source) ---
     "q_mix" -> ((s, dir) =>
       graft.pipeline.Sampling.mix(documents(s, dir))),
+    // --- multimodal: aspect-fit resize planning (integer math) ---
+    "q_mm_resize" -> ((s, dir) =>
+      graft.pipeline.Multimodal.resizePlan(documents(s, dir), maxW = 320L, maxH = 240L)),
+    // --- multimodal: deterministic frame sampling (flatMap row explosion) ---
+    "q_mm_frames" -> ((s, dir) =>
+      graft.pipeline.Multimodal.frameSample(documents(s, dir), everyN = 2)),
     // --- P3: OCR policy predicate (thin text layer flag) ---
     "q_ocr_policy" -> ((s, dir) =>
       graft.sources.Ingest.withOcrPolicy(documents(s, dir))
@@ -514,7 +520,27 @@ object SparkEntry {
         |  CAST(1 + ascii(substr(text, 1, 1)) % 480 AS BIGINT) AS height,
         |  CAST(1 + length(text) % 7 AS BIGINT) AS frames,
         |  CASE length(text) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END AS fmt
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(1 + length(text) % 640 AS BIGINT) AS width,
+        |    CAST(1 + ascii(substr(text, 1, 1)) % 480 AS BIGINT) AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width * 240 <= height * 320 THEN (width * 240) // height ELSE 320 END AS out_w,
+        |  CASE WHEN width * 240 <= height * 320 THEN 240 ELSE (height * 320) // width END AS out_h
+        |FROM m""".stripMargin,
+    "q_mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(1 + length(text) % 7 AS BIGINT) AS frames FROM documents
+        |), f AS (
+        |  SELECT doc_id, unnest(range(0, frames, 2)) AS frame_idx FROM m
+        |)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+        |FROM f""".stripMargin
   )
 
   /** MinHash+LSH near-dup oracle; maxBucket > 0 replicates the super-bucket

@@ -56,4 +56,43 @@ object Multimodal {
       .mapPartitions { it => it.map(r => stubDecode(r.doc_id, r.blob)) }(Encoders.product[MediaMeta])
       .toDF()
   }
+
+  /** Aspect-fit resize planning: output dimensions for fitting each medium
+    * into a maxW x maxH box, integer arithmetic only (integral division), so
+    * the plan is bit-reproducible in ANSI SQL. The pixel resample itself is
+    * the pluggable codec step; the planning + plumbing are the real Spark
+    * work. Output: (doc_id, width, height, out_w, out_h).
+    */
+  def resizePlan(docs: DataFrame, maxW: Long, maxH: Long): DataFrame =
+    extractMeta(docs)
+      .select(
+        col("doc_id"),
+        col("width"),
+        col("height"),
+        when(
+          col("width") * lit(maxH) <= col("height") * lit(maxW),
+          expr(s"(width * $maxH) DIV height")
+        ).otherwise(lit(maxW)).as("out_w"),
+        when(
+          col("width") * lit(maxH) <= col("height") * lit(maxW),
+          lit(maxH)
+        ).otherwise(expr(s"(height * $maxW) DIV width")).as("out_h")
+      )
+
+  /** Deterministic frame sampling: every `everyN`-th frame index of each
+    * medium, with a stub per-frame fingerprint (md5(doc_id:idx) — a real
+    * pipeline would hash decoded frame bytes). A row explosion (flatMap
+    * shape): N media rows -> sum(frames/everyN) frame rows, fully
+    * distributed. Output: (doc_id, frame_idx, frame_sha).
+    */
+  def frameSample(docs: DataFrame, everyN: Int): DataFrame =
+    extractMeta(docs)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0L), col("frames") - 1, lit(everyN.toLong))).as("frame_idx")
+      )
+      .withColumn(
+        "frame_sha",
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string")))
+      )
 }
