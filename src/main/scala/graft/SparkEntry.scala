@@ -406,11 +406,13 @@ object SparkEntry {
          |JOIN n a ON a.vec_id = ja.vec_id JOIN n b ON b.vec_id = jb.vec_id
          |WHERE CAST(round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6) AS BIGINT) >= 350000""".stripMargin,
     "q_langid" -> {
+      // domain = ALL documents (LEFT JOIN): a zero-token doc still yields
+      // (doc_id, 'und', 0), matching the Spark side's per-row projection
       val perLang = graft.pipeline.TextStats.StopwordSets
         .map { case (lang, words) =>
-          s"""SELECT doc_id, '$lang' AS lang,
-             |  CAST(sum(CASE WHEN term IN ${words.map(w => s"'$w'").mkString("(", ",", ")")} THEN 1 ELSE 0 END) AS BIGINT) AS hits
-             |FROM tok2 GROUP BY doc_id""".stripMargin
+          s"""SELECT d.doc_id, '$lang' AS lang,
+             |  CAST(coalesce(sum(CASE WHEN t.term IN ${words.map(w => s"'$w'").mkString("(", ",", ")")} THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+             |FROM documents d LEFT JOIN tok2 t ON d.doc_id = t.doc_id GROUP BY d.doc_id""".stripMargin
         }
         .mkString("\nUNION ALL\n")
       s"""$tokCte,

@@ -29,9 +29,7 @@ object SearchCli {
     val stats = engine.index.stats
     System.err.println(s"[graft] indexed n=${stats.n} docs, avgdl=${stats.avgdl}")
 
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    import graft.core.JsonText.esc
 
     queries.foreach { q =>
       val hits = engine.searchWithSnippets(q, k)

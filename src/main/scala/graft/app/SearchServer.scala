@@ -2,11 +2,12 @@ package graft.app
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.Executors
+import java.util.concurrent.{ExecutorService, Executors}
 import java.util.concurrent.atomic.AtomicBoolean
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
+import graft.core.JsonText.esc
 import graft.core.QueryParser
 import graft.index.SegmentIndex
 import graft.search.SegmentSearch
@@ -29,16 +30,34 @@ object SearchServer {
 
   final case class DocRow(text: String, source: String, lang: String)
 
-  /** Start serving; returns the bound server (caller stops it). */
+  /** Handle to a started server. `beginShutdown()` flips /health to 503
+    * (drain phase — a load balancer stops routing while in-flight /search
+    * requests still complete, the reference's g_shutdown_in_progress
+    * semantics); `stop()` then closes sockets and workers.
+    */
+  final class Running private[SearchServer] (http: HttpServer, ready: AtomicBoolean) {
+    def port: Int = http.getAddress.getPort
+    def beginShutdown(): Unit = ready.set(false)
+    def stop(delaySeconds: Int = 0): Unit = {
+      ready.set(false)
+      http.stop(delaySeconds)
+      http.getExecutor match {
+        case e: ExecutorService => e.shutdownNow()
+        case _ =>
+      }
+    }
+  }
+
+  /** Start serving; returns the running handle (caller stops it). */
   def start(
       engine: SegmentSearch.ServingEngine,
       docs: Long => Option[DocRow],
       port: Int
-  ): HttpServer = {
+  ): Running = {
     val ready = new AtomicBoolean(true)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     // daemon workers: an embedding JVM (bench, spec) exits cleanly after
-    // server.stop(); the standalone main stays alive via its explicit join
+    // stop(); the standalone main stays alive via its explicit join
     server.setExecutor(Executors.newFixedThreadPool(
       math.max(8, Runtime.getRuntime.availableProcessors()),
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
@@ -68,7 +87,7 @@ object SearchServer {
     })
 
     server.start()
-    server
+    new Running(server, ready)
   }
 
   private def respond(ex: HttpExchange, code: Int, ctype: String, body: String): Unit = {
@@ -95,14 +114,16 @@ object SearchServer {
     }.toMap
   }
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  /** Pin a docstore in memory for snippet/metadata decoration. */
+  def docMapFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String
+  ): Map[Long, DocRow] =
+    spark.read.parquet(s"$indexDir/docstore")
+      .select("doc_id", "text", "source", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> DocRow(r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
 
   /** Load everything into memory from an on-disk index dir (Spark used only
     * for the one-time docstore read, then stopped — serving is Spark-free).
@@ -116,13 +137,8 @@ object SearchServer {
       appName = "graft-searchd-load")
     spark.sparkContext.setLogLevel("WARN")
     val docMap =
-      try {
-        spark.read.parquet(s"$indexDir/docstore")
-          .select("doc_id", "text", "source", "lang")
-          .collect()
-          .map(r => r.getLong(0) -> DocRow(r.getString(1), r.getString(2), r.getString(3)))
-          .toMap
-      } finally spark.stop()
+      try docMapFromStore(spark, indexDir)
+      finally spark.stop()
     (new SegmentSearch.ServingEngine(segs, meta), docMap)
   }
 
@@ -131,10 +147,11 @@ object SearchServer {
     val indexDir = args(0)
     val port = args.lift(1).map(_.toInt).getOrElse(8080)
     val (engine, docMap) = load(indexDir)
-    val server = start(engine, docMap.get, port)
+    val running = start(engine, docMap.get, port)
     // Port binding succeeded before this line prints (reference contract:
     // exactly one startup message after successful bind, main.cpp:497-520).
-    println(s"Server started on port ${server.getAddress.getPort} using index: $indexDir")
+    println(s"Server started on port ${running.port} using index: $indexDir")
+    sys.addShutdownHook(running.beginShutdown()) // drain semantics on SIGTERM
     Thread.currentThread.join() // serve until killed
   }
 }

@@ -37,24 +37,19 @@ object LatencyBench {
     val queries = Workload.queries(spark, sfDir, requests, mode)
     val docMap: Map[Long, graft.app.SearchServer.DocRow] =
       if (!overHttp) Map.empty
-      else spark.read.parquet(s"$out/docstore")
-        .select("doc_id", "text", "source", "lang")
-        .collect()
-        .map(r => r.getLong(0) ->
-          graft.app.SearchServer.DocRow(r.getString(1), r.getString(2), r.getString(3)))
-        .toMap
+      else graft.app.SearchServer.docMapFromStore(spark, out)
     spark.stop()
 
     // warm decode caches + JIT
     SegmentSearch.searchBatchInMemory(segs, meta, queries, 10)
     val engine = new SegmentSearch.ServingEngine(segs.toIndexedSeq, meta)
 
-    var httpServer: com.sun.net.httpserver.HttpServer = null
+    var httpServer: graft.app.SearchServer.Running = null
     val httpBase: Option[String] =
       if (!overHttp) None
       else {
         httpServer = graft.app.SearchServer.start(engine, docMap.get, port = 0)
-        Some(s"http://127.0.0.1:${httpServer.getAddress.getPort}")
+        Some(s"http://127.0.0.1:${httpServer.port}")
       }
 
     def serveOne(q: String): Int = httpBase match {
@@ -109,13 +104,7 @@ object LatencyBench {
          |""".stripMargin
     BenchReport.replaceSection(sectionKey, md)
     println(md)
-    // stop the endpoint so the forked JVM can exit (non-daemon server threads)
-    if (httpServer != null) {
-      httpServer.stop(0)
-      httpServer.getExecutor match {
-        case e: java.util.concurrent.ExecutorService => e.shutdownNow()
-        case _ =>
-      }
-    }
+    // stop the endpoint so the forked JVM exits promptly
+    if (httpServer != null) httpServer.stop()
   }
 }

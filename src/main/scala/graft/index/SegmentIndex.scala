@@ -65,7 +65,8 @@ object SegmentIndex {
       avgdl: Double,
       buckets: Int,
       blockSize: Int,
-      codec: String
+      codec: String,
+      codeAware: Boolean
   )
 
   /** One term's postings inside ONE segment. `df` is the LOCAL document
@@ -156,18 +157,28 @@ object SegmentIndex {
     // Per-bucket segment staleness is caught later in writePartition by
     // comparing the manifest's lineageXor/nDocs to this run's lineage.
     if (Files.exists(Paths.get(storePath, "_SUCCESS"))) {
+      // mode matters: a docstore tokenized code-aware is NOT reusable for a
+      // reference-mode build (tfmap differs) and vice versa — meta records it
       val metaOk = Files.exists(Paths.get(outDir, "index_meta.json")) && {
-        try { val m = readMeta(outDir); m.buckets == buckets } catch { case _: Exception => false }
+        try {
+          val m = readMeta(outDir); m.buckets == buckets && m.codeAware == codeAware
+        } catch { case _: Exception => false }
       }
       val storeOk = metaOk && {
+        // the reuse hash covers METADATA too (source/lang) — same text with
+        // changed metadata must rebuild, or hits would serve stale meta
         val lin = conv(
-          substring(sha2(concat(col("doc_id").cast("string"), lit(":"), col("sha")), 256), 1, 15), 16, 10
+          substring(
+            sha2(concat_ws(":", col("doc_id").cast("string"), col("sha"), col("source"), col("lang")), 256),
+            1, 15), 16, 10
         ).cast("long")
         val st = spark.read.parquet(storePath)
           .select(lin.as("h"))
           .agg(expr("bit_xor(h)"), count(lit(1))).head()
         val cur = docs
-          .select(col("doc_id").cast("long").as("doc_id"), sha2(col("text"), 256).as("sha"))
+          .select(
+            Seq(col("doc_id").cast("long").as("doc_id"), sha2(col("text"), 256).as("sha")) ++
+              IndexBuilder.metaColumns(docs): _*)
           .select(lin.as("h"))
           .agg(expr("bit_xor(h)"), count(lit(1))).head()
         st == cur
@@ -253,7 +264,7 @@ object SegmentIndex {
           .sortBy(_.bucket)
       } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
 
-    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, buckets, BlockCodec.BlockSize, "delta-varint"))
+    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, buckets, BlockCodec.BlockSize, "delta-varint", codeAware))
     manifests
   }
 
@@ -282,6 +293,35 @@ object SegmentIndex {
     val old = readMeta(outDir)
     val offset = old.buckets
     val storePath = s"$outDir/docstore"
+
+    // Crash safety / idempotent replay (the streaming foreachBatch contract):
+    // a previous add that died between the docstore append and the meta
+    // rewrite leaves orphan rows with bucket >= offset. The append wrote
+    // those rows into their OWN part files, so deleting exactly those files
+    // (plus any orphan segments/manifests at bucket >= offset) fully undoes
+    // the half-finished add before this one re-appends.
+    {
+      val orphanFiles = spark.read.parquet(storePath)
+        .filter(col("bucket") >= offset)
+        .select(input_file_name().as("f"))
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+      orphanFiles.foreach { f =>
+        Files.deleteIfExists(Paths.get(java.net.URI.create(f).getPath))
+      }
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(outDir)).iterator().asScala.toSeq.foreach { p =>
+        val name = p.getFileName.toString
+        val seg = "segment-(\\d+)\\.bin(\\.tmp)?".r
+        val man = "manifest-(\\d+)\\.json(\\.tmp)?".r
+        name match {
+          case seg(b, _) if b.toInt >= offset => Files.deleteIfExists(p)
+          case man(b, _) if b.toInt >= offset => Files.deleteIfExists(p)
+          case _ =>
+        }
+      }
+    }
 
     withDlTfmap(
       delta
@@ -334,7 +374,7 @@ object SegmentIndex {
     val n = old.n + nDelta
     val sumDl = old.sumDl + sumDlDelta
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
-    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, offset + newBuckets, BlockCodec.BlockSize, "delta-varint"))
+    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, offset + newBuckets, BlockCodec.BlockSize, "delta-varint", codeAware))
     manifests
   }
 
@@ -395,7 +435,7 @@ object SegmentIndex {
       .toSeq
       .sortBy(_.bucket)
 
-    writeMeta(dstDir, Meta(SchemaVersion, meta.n, meta.sumDl, meta.avgdl, buckets, BlockCodec.BlockSize, "delta-varint"))
+    writeMeta(dstDir, Meta(SchemaVersion, meta.n, meta.sumDl, meta.avgdl, buckets, BlockCodec.BlockSize, "delta-varint", meta.codeAware))
     manifests
   }
 

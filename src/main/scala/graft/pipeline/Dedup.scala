@@ -185,9 +185,10 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .persist()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
+    var persisted = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist()
+    var labels = persisted
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -195,21 +196,25 @@ object Dedup {
         .join(labels, edges("b") === labels("doc_id"))
         .groupBy(col("a"))
         .agg(min(col("cluster_id")).as("nmin"))
-      val updated = labels
+      val next = labels
         .join(neighborMin, labels("doc_id") === neighborMin("a"), "left")
         .select(
           col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("new_label"),
-          col("cluster_id").as("old_label")
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          (col("cluster_id") > coalesce(col("nmin"), col("cluster_id"))).as("moved")
         )
         .persist()
-      changed = updated.filter(col("new_label") < col("old_label")).count()
-      val next = updated.select(col("doc_id"), col("new_label").as("cluster_id")).persist()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("moved")).count() // also materializes `next`
+      persisted.unpersist() // the PERSISTED frame, not a derived view
+      persisted = next
+      labels = next.drop("moved")
       iter += 1
     }
     edges.unpersist()
+    // A cap hit means labels have NOT converged — wrong cluster ids. Fail
+    // loudly rather than silently returning partial propagation (deep chains
+    // of incrementally-edited boilerplate are exactly the 100 TB case).
+    require(changed == 0, s"nearDupClusters did not converge within $maxIters iterations")
     labels
   }
 

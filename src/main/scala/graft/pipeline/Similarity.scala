@@ -114,7 +114,7 @@ object Similarity {
     * their member vectors. Output: (query_id, rank, vec_id, cos_micros).
     */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
-    val v = prepared(emb)
+    val v = prepared(emb).persist() // read by centroids collect + assignment + query scans
     val cents = centroids(v, numCentroids)
     val assign = ivfAssignPrepared(v, cents)
 
@@ -162,7 +162,9 @@ object Similarity {
     */
   def ivfNearDups(emb: DataFrame, numCentroids: Int, cosMicrosThreshold: Long): DataFrame = {
     val v = prepared(emb)
-    val assign = ivfAssignPrepared(v, centroids(v, numCentroids))
+    // persist: the self-join would otherwise evaluate the nearest-centroid
+    // fold (the operator's dominant scan) once per join side
+    val assign = ivfAssignPrepared(v, centroids(v, numCentroids)).persist()
     assign.as("a")
       .join(
         assign.as("b"),

@@ -27,13 +27,30 @@ object SegmentSearch {
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, LoadedSegment]()
 
-  /** Driver-side global-df cache, keyed by index state (dir, n, sumDl). */
+  /** Driver-side global-df cache, keyed by index state (dir, n, sumDl,
+    * segment-file fingerprint).
+    */
   @transient private lazy val dfCaches =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, Long), java.util.concurrent.ConcurrentHashMap[String, Long]]()
+      (String, Long, Long, String), java.util.concurrent.ConcurrentHashMap[String, Long]]()
 
-  def loadCached(path: String): LoadedSegment =
-    cache.computeIfAbsent(path, p => SegmentIndex.loadSegment(p))
+  /** Executor-local load-once per segment FILE IDENTITY — the key includes
+    * size+mtime so an in-place rebuild of the same path (resume invalidation,
+    * changed corpus) is re-loaded instead of served stale; superseded entries
+    * for the same path are evicted.
+    */
+  def loadCached(path: String): LoadedSegment = {
+    val p = java.nio.file.Paths.get(path)
+    val key = s"$path|${java.nio.file.Files.size(p)}|${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val keys = cache.keys()
+    while (keys.hasMoreElements) { // drop superseded versions of this path
+      val k = keys.nextElement()
+      if (k.startsWith(path + "|") && k != key) cache.remove(k)
+    }
+    cache.computeIfAbsent(key, _ => SegmentIndex.loadSegment(path))
+  }
 
   final case class QueryHit(qid: Int, docId: Long, score: Double)
 
@@ -77,9 +94,16 @@ object SegmentSearch {
       .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
 
     // phase 1: global df for the batch's positive terms. Results are cached
-    // per INDEX STATE (dir + n + sumDl — any add/compact changes the key),
-    // so repeated batches against a warm index skip the job entirely.
-    val cacheKey = (indexDir, meta.n, meta.sumDl)
+    // per INDEX STATE — (dir, n, sumDl) plus a fingerprint of the segment
+    // files' (name, size, mtime), so any add/compact/in-place rebuild (even
+    // one that happens to preserve n and sumDl) changes the key. Repeated
+    // batches against a warm index skip the job entirely.
+    val filesFp = SegmentIndex.sha256Hex(
+      files.map { f =>
+        val p = java.nio.file.Paths.get(f)
+        s"$f|${java.nio.file.Files.size(p)}|${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cacheKey = (indexDir, meta.n, meta.sumDl, filesFp)
     val dfCache = dfCaches.computeIfAbsent(
       cacheKey, _ => new java.util.concurrent.ConcurrentHashMap[String, Long]())
     val allTerms = parsed.flatMap(_._2.terms).distinct

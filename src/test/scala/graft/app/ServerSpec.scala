@@ -47,7 +47,7 @@ class ServerSpec extends SparkTestBase {
       .toMap
 
     val server = SearchServer.start(engine, docMap.get, port = 0)
-    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val base = s"http://127.0.0.1:${server.port}"
     try {
       // health gate (poll like a real client would)
       var healthy = false
@@ -84,6 +84,12 @@ class ServerSpec extends SparkTestBase {
       // empty / no-match queries return empty results
       assert(get(s"$base/search?q=")._2.contains(""""results":[]"""))
       assert(get(s"$base/search?q=zzznotaword")._2.contains(""""results":[]"""))
-    } finally server.stop(0)
+
+      // drain semantics: beginShutdown flips /health to 503 while /search
+      // still answers (reference g_shutdown_in_progress behavior)
+      server.beginShutdown()
+      assert(get(s"$base/health")._1 == 503)
+      assert(get(s"$base/search?q=alpha")._1 == 200)
+    } finally server.stop()
   }
 }

@@ -175,6 +175,58 @@ class SegmentSpec extends SparkTestBase {
     }
   }
 
+  test("resume never reuses a docstore built in the other tokenizer mode") {
+    val docs = Seq(1L -> "parseHTTPRequest2 alpha", 2L -> "alpha bravo")
+    val dir = tmpDir()
+    SegmentIndex.build(docsDF(docs), dir, buckets = 2) // reference mode
+    // same dir, code-aware: MUST invalidate and re-tokenize, not skip
+    SegmentIndex.build(docsDF(docs), dir, buckets = 2, codeAware = true)
+    val meta = SegmentIndex.readMeta(dir)
+    assert(meta.codeAware)
+    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+    // sub-token only exists if the code tokenizer actually ran
+    assert(segs.exists(_.terms.contains("http")))
+  }
+
+  test("resume rebuilds when doc METADATA changed even though text did not") {
+    val sp = spark
+    import sp.implicits._
+    def df(src: String) = Seq((1L, "alpha bravo", src, "en"), (2L, "bravo charlie", src, "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val dir = tmpDir()
+    SegmentIndex.build(df("repoOld"), dir, buckets = 1)
+    SegmentIndex.build(df("repoNew"), dir, buckets = 1)
+    val store = spark.read.parquet(s"$dir/docstore").select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(store == Set("repoNew"), s"stale docstore metadata survived: $store")
+  }
+
+  test("addDocuments replay after simulated crash (stale meta) is idempotent") {
+    val base = (1L to 30L).map(i => i -> s"alpha bravo tok${i % 5}")
+    val delta = (31L to 45L).map(i => i -> s"alpha charlie tok${i % 5}")
+    val dir = tmpDir()
+    SegmentIndex.build(docsDF(base), dir, buckets = 2)
+    val metaBefore = Files.readString(Paths.get(dir, "index_meta.json"))
+    SegmentIndex.addDocuments(docsDF(delta), dir, newBuckets = 2)
+    // simulate a crash that happened before the meta rewrite: docstore rows,
+    // segments, and manifests for the delta exist but meta is the OLD one
+    Files.writeString(Paths.get(dir, "index_meta.json"), metaBefore)
+    SegmentIndex.addDocuments(docsDF(delta), dir, newBuckets = 2) // replay
+
+    val full = tmpDir()
+    SegmentIndex.build(docsDF(base ++ delta), full, buckets = 4)
+    val mA = SegmentIndex.readMeta(dir)
+    val mB = SegmentIndex.readMeta(full)
+    assert(mA.n == mB.n && mA.sumDl == mB.sumDl && mA.avgdl == mB.avgdl)
+    val segsA = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+    val segsB = SegmentIndex.segmentFiles(full).map(SegmentIndex.loadSegment)
+    for (q <- Seq("alpha", "charlie", "alpha -bravo", "tok3 OR charlie")) {
+      val a = SegmentSearch.searchBatchInMemory(segsA, mA, Seq(q), 100)(0)
+      val b = SegmentSearch.searchBatchInMemory(segsB, mB, Seq(q), 100)(0)
+      assert(a == b, s"q='$q' replayed=$a full=$b")
+    }
+  }
+
   test("compact: folds delta segments into fewer buckets, search unchanged, no re-tokenize") {
     val rnd = new Random(31)
     val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "rare3")
