@@ -130,7 +130,7 @@ object SearchServer {
     */
   def load(indexDir: String): (SegmentSearch.ServingEngine, Map[Long, DocRow]) = {
     val meta = SegmentIndex.readMeta(indexDir)
-    val segs = SegmentIndex.segmentFiles(indexDir).map(SegmentIndex.loadSegment).toIndexedSeq
+    val segs = SegmentIndex.segmentFiles(indexDir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
     val spark = graft.spark.Sessions.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
       shufflePartitions = 8,

@@ -32,7 +32,7 @@ object LatencyBench {
     val docs = Workload.replicatedDocs(spark, sfDir, replicas)
     SegmentIndex.build(docs, out, buckets = 32)
     val meta = SegmentIndex.readMeta(out)
-    val segs = SegmentIndex.segmentFiles(out).map(SegmentIndex.loadSegment)
+    val segs = SegmentIndex.segmentFiles(out).map(SegmentIndex.loadSegment(_))
     val mode = sys.env.getOrElse("SPARK_GRAFT_QUERY_MODE", "mixed")
     val queries = Workload.queries(spark, sfDir, requests, mode)
     val docMap: Map[Long, graft.app.SearchServer.DocRow] =

@@ -51,7 +51,7 @@ object SegmentIndex {
   /** Bumped when the segment byte layout changes; manifests from another
     * format never satisfy the resume check.
     */
-  val FormatVersion = 4
+  val FormatVersion = 5
 
   /** Corpus-level stats. `sumDl` is the EXACT integer token total so that
     * incremental adds recompute avgdl = (sumDl + delta) / (n + delta) with
@@ -75,8 +75,14 @@ object SegmentIndex {
     * without rewriting old ones (the Lucene sharding model). Score bounds are
     * derived at query time from the blocks' statistics-free (maxTf, minDl)
     * metadata plus the CURRENT (idf, avgdl).
+    *
+    * Blocks load LAZILY through `blocksLoader` (a positional read of this
+    * term's record — df comes from the dictionary, so loading a segment
+    * touches only its term dictionary, and a query touches only its own
+    * terms' postings). `lazy val` gives thread-safe load-once.
     */
-  final case class TermData(df: Long, blocks: IndexedSeq[BlockCodec.Block]) {
+  final class TermData(val df: Long, blocksLoader: () => IndexedSeq[BlockCodec.Block]) {
+    lazy val blocks: IndexedSeq[BlockCodec.Block] = blocksLoader()
     /** Safe score upper bound for one block under the current stats. */
     @inline def blockBound(bi: Int, idf: Double, avgdl: Double): Double = {
       val b = blocks(bi)
@@ -113,7 +119,7 @@ object SegmentIndex {
       terms.get(term).iterator.flatMap(_.blocks.iterator.flatMap(BlockCodec.decode(_).iterator))
   }
 
-  private val Magic = "GRFTSEG4".getBytes(StandardCharsets.US_ASCII)
+  private val Magic = "GRFTSEG5".getBytes(StandardCharsets.US_ASCII)
 
   // ------------------------------------------------------------------- build
 
@@ -524,18 +530,25 @@ object SegmentIndex {
   ): Manifest = {
     // Stream terms straight to the .tmp file through a DigestOutputStream —
     // the sha256 comes free and heap holds at most ONE term's posting list
-    // (the block encoder needs a whole list for max-score / block split), not
-    // the whole bucket. Rows arrive (term, doc_id)-sorted, so output bytes
-    // are deterministic (byte-identical rebuilds).
+    // (the block encoder needs a whole list for max-score / block split) plus
+    // the dictionary entries (term, df, offset, len — tiny relative to
+    // postings), never the whole bucket. Rows arrive (term, doc_id)-sorted,
+    // so output bytes are deterministic (byte-identical rebuilds).
+    //
+    // Layout v5: magic | bucket | term records... | DICTIONARY | dictOffset
+    // (last 8 bytes). A reader seeks the dictionary and loads postings
+    // per-term on demand — segment load cost is O(vocabulary), not O(file).
     val file = Paths.get(outDir, f"segment-$bucket%05d.bin")
     val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
     val digest = MessageDigest.getInstance("SHA-256")
     val fos = new FileOutputStream(tmp.toFile)
-    val out = new DataOutputStream(
+    val counting = new CountingOutputStream(
       new java.security.DigestOutputStream(new BufferedOutputStream(fos, 1 << 16), digest))
+    val out = new DataOutputStream(counting)
 
     var nTerms = 0L
     var nPostings = 0L
+    val dict = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long, Long, Int)]()
     // doc count comes from the lineage pass when available (the normal case);
     // the HashSet fallback is only for buckets the lineage pass never saw.
     val trackDocs = !lineage.contains(bucket)
@@ -557,8 +570,22 @@ object SegmentIndex {
         }
         nTerms += 1
         nPostings += plist.length
-        writeTerm(out, term, plist.toIndexedSeq)
+        val offset = counting.count
+        writeTerm(out, plist.toIndexedSeq)
+        dict += ((term.getBytes(StandardCharsets.UTF_8), plist.length.toLong, offset,
+          (counting.count - offset).toInt))
       }
+      // dictionary + footer
+      val dictOffset = counting.count
+      out.writeInt(dict.length)
+      dict.foreach { case (tb, df, offset, len) =>
+        out.writeShort(tb.length)
+        out.write(tb)
+        out.writeLong(df)
+        out.writeLong(offset)
+        out.writeInt(len)
+      }
+      out.writeLong(dictOffset)
       out.flush()
       fos.getFD.sync()
     } finally out.close()
@@ -572,14 +599,13 @@ object SegmentIndex {
     m
   }
 
+  /** One term's record: blockCount + blocks (term text lives in the
+    * dictionary, not the record).
+    */
   private def writeTerm(
       out: DataOutputStream,
-      term: String,
       plist: IndexedSeq[BlockCodec.Posting]
   ): Unit = {
-    val tb = term.getBytes(StandardCharsets.UTF_8)
-    out.writeShort(tb.length)
-    out.write(tb)
     val blocks = BlockCodec.encode(plist)
     out.writeInt(blocks.length)
     blocks.foreach { b =>
@@ -590,6 +616,15 @@ object SegmentIndex {
       out.writeDouble(b.minDlOverTf)
       out.writeInt(b.bytes.length)
       out.write(b.bytes)
+    }
+  }
+
+  private final class CountingOutputStream(os: java.io.OutputStream)
+      extends java.io.FilterOutputStream(os) {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
     }
   }
 
@@ -651,36 +686,74 @@ object SegmentIndex {
   }
 
   // -------------------------------------------------------------------- read
-  def loadSegment(path: String): LoadedSegment = {
-    val in = new DataInputStream(new java.io.BufferedInputStream(new java.io.FileInputStream(path)))
-    try {
-      val magic = new Array[Byte](Magic.length)
-      in.readFully(magic)
-      require(java.util.Arrays.equals(magic, Magic), s"bad magic in $path")
-      val bucket = in.readInt()
-      val terms = Map.newBuilder[String, TermData]
-      while (in.available() > 0) {
-        val tlen = in.readUnsignedShort()
-        val tb = new Array[Byte](tlen)
-        in.readFully(tb)
-        val term = new String(tb, StandardCharsets.UTF_8)
-        val blockCount = in.readInt()
-        var localDf = 0L
-        val blocks = (0 until blockCount).map { _ =>
-          val minDoc = in.readLong()
-          val maxDoc = in.readLong()
-          val count = in.readInt()
-          val maxTf = in.readInt()
-          val minDlOverTf = in.readDouble()
-          val blen = in.readInt()
-          val bb = new Array[Byte](blen)
-          in.readFully(bb)
-          localDf += count
-          BlockCodec.Block(minDoc, maxDoc, count, maxTf, minDlOverTf, bb)
-        }
-        terms += term -> TermData(localDf, blocks)
+
+  /** Load a segment. `eager = true` (the pinned serving model) materializes
+    * every term's blocks and closes the file; `eager = false` (executor
+    * batch tasks) reads ONLY the term dictionary — O(vocabulary), not
+    * O(file) — and posting records load lazily per queried term through
+    * thread-safe positional reads on a shared channel. At 100 TB a segment
+    * can be far larger than an executor heap; the lazy path touches just the
+    * query's terms.
+    */
+  def loadSegment(path: String, eager: Boolean = true): LoadedSegment = {
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    val size = ch.size()
+
+    def readAt(pos: Long, len: Int): java.nio.ByteBuffer = {
+      val buf = java.nio.ByteBuffer.allocate(len)
+      var p = pos
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, p)
+        require(n >= 0, s"unexpected EOF in $path at $p")
+        p += n
       }
-      LoadedSegment(bucket, terms.result())
-    } finally in.close()
+      buf.flip()
+      buf
+    }
+
+    val head = readAt(0, Magic.length + 4)
+    val magic = new Array[Byte](Magic.length)
+    head.get(magic)
+    require(java.util.Arrays.equals(magic, Magic), s"bad magic in $path")
+    val bucket = head.getInt
+
+    val dictOffset = readAt(size - 8, 8).getLong
+    val dict = readAt(dictOffset, (size - 8 - dictOffset).toInt)
+    val nTerms = dict.getInt
+    val terms = Map.newBuilder[String, TermData]
+    var i = 0
+    while (i < nTerms) {
+      val tlen = dict.getShort & 0xffff
+      val tb = new Array[Byte](tlen)
+      dict.get(tb)
+      val term = new String(tb, StandardCharsets.UTF_8)
+      val df = dict.getLong
+      val offset = dict.getLong
+      val len = dict.getInt
+      terms += term -> new TermData(df, () => parseTermRecord(readAt(offset, len)))
+      i += 1
+    }
+    val seg = LoadedSegment(bucket, terms.result())
+    if (eager) {
+      seg.terms.valuesIterator.foreach(_.blocks) // force all, then close
+      ch.close()
+    }
+    seg
+  }
+
+  private def parseTermRecord(buf: java.nio.ByteBuffer): IndexedSeq[BlockCodec.Block] = {
+    val blockCount = buf.getInt
+    (0 until blockCount).map { _ =>
+      val minDoc = buf.getLong
+      val maxDoc = buf.getLong
+      val count = buf.getInt
+      val maxTf = buf.getInt
+      val minDlOverTf = buf.getDouble
+      val blen = buf.getInt
+      val bb = new Array[Byte](blen)
+      buf.get(bb)
+      BlockCodec.Block(minDoc, maxDoc, count, maxTf, minDlOverTf, bb)
+    }
   }
 }

@@ -49,7 +49,9 @@ object SegmentSearch {
       val k = keys.nextElement()
       if (k.startsWith(path + "|") && k != key) cache.remove(k)
     }
-    cache.computeIfAbsent(key, _ => SegmentIndex.loadSegment(path))
+    // lazy: executor tasks read the term dictionary only; posting records
+    // load on demand for the query terms that actually hit this segment
+    cache.computeIfAbsent(key, _ => SegmentIndex.loadSegment(path, eager = false))
   }
 
   final case class QueryHit(qid: Int, docId: Long, score: Double)

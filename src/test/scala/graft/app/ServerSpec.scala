@@ -38,7 +38,7 @@ class ServerSpec extends SparkTestBase {
     SegmentIndex.build(docs, dir, buckets = 2)
 
     val meta = SegmentIndex.readMeta(dir)
-    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment).toIndexedSeq
+    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
     val engine = new SegmentSearch.ServingEngine(segs, meta)
     val docMap = spark.read.parquet(s"$dir/docstore")
       .select("doc_id", "text", "source", "lang")

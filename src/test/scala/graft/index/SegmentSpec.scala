@@ -61,7 +61,7 @@ class SegmentSpec extends SparkTestBase {
     for (c <- GoldenFixture.all) {
       val (dir, _) = buildTiny(c.documents, buckets = 2)
       val meta = SegmentIndex.readMeta(dir)
-      val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+      val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_))
       val got = SegmentSearch.searchBatchInMemory(segs, meta, Seq(c.query), k = 50)(0)
       assert(got.map(_._1) == c.expected.map(_._1), s"case ${c.name}: got=$got exp=${c.expected}")
       got.zip(c.expected).foreach { case ((_, s), (_, e)) => assert(math.abs(s - e) < 1e-9) }
@@ -121,7 +121,7 @@ class SegmentSpec extends SparkTestBase {
       }
       val (dir, _) = buildTiny(docs, buckets = 3)
       val meta = SegmentIndex.readMeta(dir)
-      val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+      val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_))
       val ref = new RefEngine
       docs.foreach { case (id, t) => ref.addDocument(id, t) }
       val queries = Seq(
@@ -163,8 +163,8 @@ class SegmentSpec extends SparkTestBase {
     assert(mInc.n == mFull.n && mInc.sumDl == mFull.sumDl && mInc.avgdl == mFull.avgdl)
     assert(mInc.buckets == 5)
 
-    val segsInc = SegmentIndex.segmentFiles(dirInc).map(SegmentIndex.loadSegment)
-    val segsFull = SegmentIndex.segmentFiles(dirFull).map(SegmentIndex.loadSegment)
+    val segsInc = SegmentIndex.segmentFiles(dirInc).map(SegmentIndex.loadSegment(_))
+    val segsFull = SegmentIndex.segmentFiles(dirFull).map(SegmentIndex.loadSegment(_))
     val queries = Seq(
       "alpha", "alpha bravo", "alpha OR bravo charlie", "delta -echo",
       "rare9", "golf foxtrot", "alpha alpha echo", "charlie OR rare9 -golf")
@@ -183,7 +183,7 @@ class SegmentSpec extends SparkTestBase {
     SegmentIndex.build(docsDF(docs), dir, buckets = 2, codeAware = true)
     val meta = SegmentIndex.readMeta(dir)
     assert(meta.codeAware)
-    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_))
     // sub-token only exists if the code tokenizer actually ran
     assert(segs.exists(_.terms.contains("http")))
   }
@@ -218,8 +218,8 @@ class SegmentSpec extends SparkTestBase {
     val mA = SegmentIndex.readMeta(dir)
     val mB = SegmentIndex.readMeta(full)
     assert(mA.n == mB.n && mA.sumDl == mB.sumDl && mA.avgdl == mB.avgdl)
-    val segsA = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
-    val segsB = SegmentIndex.segmentFiles(full).map(SegmentIndex.loadSegment)
+    val segsA = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_))
+    val segsB = SegmentIndex.segmentFiles(full).map(SegmentIndex.loadSegment(_))
     for (q <- Seq("alpha", "charlie", "alpha -bravo", "tok3 OR charlie")) {
       val a = SegmentSearch.searchBatchInMemory(segsA, mA, Seq(q), 100)(0)
       val b = SegmentSearch.searchBatchInMemory(segsB, mB, Seq(q), 100)(0)
@@ -248,8 +248,8 @@ class SegmentSpec extends SparkTestBase {
     val mA = SegmentIndex.readMeta(dir)
     val mB = SegmentIndex.readMeta(dst)
     assert(mA.n == mB.n && mA.sumDl == mB.sumDl && mA.avgdl == mB.avgdl)
-    val segsA = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
-    val segsB = SegmentIndex.segmentFiles(dst).map(SegmentIndex.loadSegment)
+    val segsA = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_))
+    val segsB = SegmentIndex.segmentFiles(dst).map(SegmentIndex.loadSegment(_))
     for (q <- Seq("alpha", "alpha bravo", "charlie OR rare3", "delta -echo"); k <- Seq(5, 100)) {
       val a = SegmentSearch.searchBatchInMemory(segsA, mA, Seq(q), k)(0)
       val b = SegmentSearch.searchBatchInMemory(segsB, mB, Seq(q), k)(0)
@@ -261,7 +261,7 @@ class SegmentSpec extends SparkTestBase {
     val docs = (1L to 80L).map(i => i -> s"alpha bravo word${i % 11} charlie delta")
     val (dir, _) = buildTiny(docs, buckets = 4)
     val meta = SegmentIndex.readMeta(dir)
-    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment)
+    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_))
     val queries = Seq("alpha charlie", "word3 OR word7", "bravo -word5")
     val viaSpark = SegmentSearch.searchBatch(spark, dir, queries, k = 10)
     val inMem = SegmentSearch.searchBatchInMemory(segs, meta, queries, k = 10)

@@ -70,8 +70,8 @@ class StreamingSpec extends SparkTestBase {
     val mA = graft.index.SegmentIndex.readMeta(idxDir)
     val mB = graft.index.SegmentIndex.readMeta(full)
     assert(mA.n == mB.n && mA.sumDl == mB.sumDl && mA.avgdl == mB.avgdl)
-    val segsA = graft.index.SegmentIndex.segmentFiles(idxDir).map(graft.index.SegmentIndex.loadSegment)
-    val segsB = graft.index.SegmentIndex.segmentFiles(full).map(graft.index.SegmentIndex.loadSegment)
+    val segsA = graft.index.SegmentIndex.segmentFiles(idxDir).map(graft.index.SegmentIndex.loadSegment(_))
+    val segsB = graft.index.SegmentIndex.segmentFiles(full).map(graft.index.SegmentIndex.loadSegment(_))
     for (q <- Seq("alpha", "alpha bravo", "charlie OR rare7", "delta -echo", "rare7 rare7")) {
       val a = graft.search.SegmentSearch.searchBatchInMemory(segsA, mA, Seq(q), 100)(0)
       val b = graft.search.SegmentSearch.searchBatchInMemory(segsB, mB, Seq(q), 100)(0)
