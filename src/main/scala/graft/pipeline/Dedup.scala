@@ -51,23 +51,24 @@ object Dedup {
       )
       .distinct()
 
-  /** h_i(s) = first 16 hex chars of md5(i || ':' || s) — lexicographic min on
-    * the hex string is the MinHash order (identical in the SQL oracle).
+  /** MinHash signatures, ROW-LOCAL: the signature is a pure function of the
+    * doc's own token array (h_i(s) = first 16 hex chars of md5(i ":" s),
+    * lexicographic min over the doc's shingles — identical math to the SQL
+    * oracle), so the native expression computes all MinhashHashes minima in
+    * one pass with ZERO shuffle. The old dataflow form — explode(shingles x
+    * hashes) + two aggregations — shuffled |shingles| x hashes rows per doc.
+    * Docs with no shingles (fewer than w tokens) are dropped, matching the
+    * exploded form's domain. Output: (doc_id, sig array<string>).
     */
-  private def shingleHash(i: Column, sh: Column): Column =
-    substring(md5(concat(i.cast("string"), lit(":"), sh)), 1, 16)
-
-  /** MinHash signatures: (doc_id, sig array<string> of length MinhashHashes). */
-  def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), explode(sequence(lit(1), lit(MinhashHashes))).as("i"), col("sh"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(shingleHash(col("i"), col("sh"))).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("i"), col("mh")))).as("m"))
+  def minhashSignatures(docs: DataFrame, w: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.expr.ShingleExprs.register(docs.sparkSession)
+    docs
       .select(
-        col("doc_id"),
-        transform(sequence(lit(1), lit(MinhashHashes)), i => element_at(col("m"), i)).as("sig")
+        col(idCol).as("doc_id"),
+        call_function("minhash_sig", tok(docs)(col(textCol)), lit(w), lit(MinhashHashes)).as("sig")
       )
+      .filter(size(col("sig")) > 0)
+  }
 
   /** LSH band keys: (doc_id, band_key) — MinhashBands rows per doc. */
   def lshBands(sigs: DataFrame): DataFrame =
@@ -151,8 +152,8 @@ object Dedup {
       jMicrosThreshold: Long = 300000L,
       maxBucket: Long = 0L
   ): DataFrame = {
-    val sh = shingles(docs, w).persist()
-    val pairs = lshCandidatePairs(lshBands(minhashSignatures(sh)), maxBucket)
+    val sh = shingles(docs, w).persist() // exact-Jaccard verify needs the sets
+    val pairs = lshCandidatePairs(lshBands(minhashSignatures(docs, w)), maxBucket)
     jaccard(pairs, sh).filter(col("j_micros") >= jMicrosThreshold)
   }
 

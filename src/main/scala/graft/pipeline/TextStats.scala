@@ -99,12 +99,15 @@ object TextStats {
 
   /** Document fingerprint: bottom-4 sketch over md5 hashes of w-token
     * shingles (a winnowing-style content signature that survives small
-    * edits). Output: (doc_id, fp).
+    * edits). ROW-LOCAL via the native shingle expression — zero shuffle,
+    * no shingle explosion; docs with fewer than w tokens are dropped
+    * (matching the exploded form's domain). Output: (doc_id, fp).
     */
-  def fingerprint(docs: DataFrame, w: Int = 5): DataFrame =
-    Dedup
-      .shingles(docs, w)
-      .select(col("doc_id"), md5(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, 4), ",").as("fp"))
+  def fingerprint(docs: DataFrame, w: Int = 5): DataFrame = {
+    graft.expr.ShingleExprs.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), tok(docs)(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), call_function("shingle_fp", col("toks"), lit(w), lit(4)).as("fp"))
+  }
 }
