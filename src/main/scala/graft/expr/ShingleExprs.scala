@@ -114,6 +114,47 @@ object ShingleExprs {
     UTF8String.fromString(seen.iterator().asScala.mkString(","))
   }
 
+  /** 16-bit SimHash, row-local: bit j (0-based) set iff the tf-weighted sum
+    * of (+tf if hex digit j+1 of md5(term) has its high bit, else -tf) over
+    * the doc's DISTINCT terms is positive — identical math to the SQL oracle
+    * (md5 hex nibble inspection). One pass: count tfs, hash each distinct
+    * term once, accumulate 16 signed sums.
+    */
+  def simhash16(tokens: ArrayData): Long = {
+    val counts = new java.util.HashMap[UTF8String, Int]()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      // unboxToInt(null) == 0, and a present count is always >= 1
+      counts.put(t, counts.get(t) + 1)
+      i += 1
+    }
+    val sums = new Array[Long](16)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val md = threadMd5.get()
+      md.reset()
+      md.update(e.getKey.getBytes)
+      val d = md.digest()
+      val tf = e.getValue.toLong
+      var j = 0
+      while (j < 16) {
+        val nibble = if ((j & 1) == 0) (d(j / 2) >> 4) & 0xf else d(j / 2) & 0xf
+        sums(j) += (if (nibble >= 8) tf else -tf)
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) {
+      if (sums(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   private def litInt(e: Expression): Int = e.eval(null) match {
     case i: Int => i
     case other => throw new IllegalArgumentException(s"expected INT literal, got $other")
@@ -133,7 +174,25 @@ object ShingleExprs {
       (exprs: Seq[Expression]) => ShingleFingerprint(exprs.head, litInt(exprs(1)), litInt(exprs(2))),
       "scala_udf"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash16",
+      (exprs: Seq[Expression]) => Simhash16(exprs.head),
+      "scala_udf"
+    )
   }
+}
+
+/** tokens -> 16-bit SimHash (long). */
+case class Simhash16(child: Expression) extends UnaryExpression {
+  require(child.dataType.isInstanceOf[ArrayType], s"simhash16 expects ARRAY, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash16"
+  override def nullSafeEval(input: Any): Any =
+    ShingleExprs.simhash16(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleExprs.simhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
 }
 
 /** tokens -> MinHash signature (numHashes 16-hex minima over w-shingles). */

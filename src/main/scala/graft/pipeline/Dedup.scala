@@ -221,33 +221,15 @@ object Dedup {
 
   /** 16-bit SimHash per doc from md5 nibbles: bit j set iff the tf-weighted
     * sum of (+1 if hex digit j of md5(term) has its high bit, else -1) is
-    * positive. (doc_id, simhash long).
+    * positive. ROW-LOCAL via the native expression (a per-doc pure function
+    * — the old dataflow form paid three shuffles). (doc_id, simhash long).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("doc_id"), explode(tok(docs)(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("h", md5(col("term")))
-    val contrib = tf.select(
-      col("doc_id"),
-      posexplode(
-        transform(
-          sequence(lit(1), lit(16)),
-          j =>
-            when(substring(col("h"), j, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), col("tf"))
-              .otherwise(-col("tf"))
-        )
-      ).as(Seq("j0", "c"))
-    )
-    contrib
-      .groupBy(col("doc_id"), col("j0"))
-      .agg(sum(col("c")).as("bitsum"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("bitsum") > 0, expr("shiftleft(1L, cast(j0 as int))")).otherwise(lit(0L)))
-          .as("simhash")
-      )
+    graft.expr.ShingleExprs.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"), tok(docs)(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0) // zero-token docs absent (oracle domain)
+      .select(col("doc_id"), call_function("simhash16", col("toks")).as("simhash"))
   }
 
   /** Embedding cosine near-duplicates over all pairs (id_a < id_b):
