@@ -142,11 +142,27 @@ object SearchServer {
     (new SegmentSearch.ServingEngine(segs, meta), docMap)
   }
 
+  /** Exit codes mirror the reference CLI discipline
+    * (tests/test_cli_exit_codes.cpp): 2 usage, 3 runtime (load) failure —
+    * and failure ordering: the index loads BEFORE any port binding is
+    * attempted (tests/test_runtime_failure_ordering.cpp).
+    */
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: SearchServer <indexDir> [port]")
+    if (args.isEmpty) { System.err.println("usage: SearchServer <indexDir> [port]"); sys.exit(2) }
     val indexDir = args(0)
-    val port = args.lift(1).map(_.toInt).getOrElse(8080)
-    val (engine, docMap) = load(indexDir)
+    val port = args.lift(1) match {
+      case None => 8080
+      case Some(p) => p.toIntOption.filter(v => v >= 0 && v <= 65535).getOrElse {
+        System.err.println(s"invalid port: $p"); sys.exit(2)
+      }
+    }
+    val (engine, docMap) =
+      try load(indexDir)
+      catch {
+        case e: Exception =>
+          System.err.println(s"failed to load index '$indexDir': ${e.getMessage}")
+          sys.exit(3)
+      }
     val running = start(engine, docMap.get, port)
     // Port binding succeeded before this line prints (reference contract:
     // exactly one startup message after successful bind, main.cpp:497-520).
