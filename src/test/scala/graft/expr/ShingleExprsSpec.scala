@@ -63,4 +63,26 @@ class ShingleExprsSpec extends SparkTestBase {
       assert(sh(id) == modelSimhash(text), s"simhash id=$id text='$text'")
     }
   }
+
+  test("GraftExtensions injects every native function") {
+    // the injection callback must register cleanly; builders must construct
+    // working expressions (evaluated directly on a literal token array)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.spark.GraftExtensions()(ext)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = Literal.create(
+      new GenericArrayData(Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("bravo"),
+        UTF8String.fromString("charlie"))),
+      ArrayType(StringType, containsNull = false))
+    val sim = Simhash16(toks).eval(null).asInstanceOf[Long]
+    assert(sim == modelSimhash("alpha bravo charlie"))
+    val mh = MinhashSig(toks, 3, 12).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(mh.numElements() == 12)
+    val fpv = ShingleFingerprint(toks, 3, 4).eval(null).toString
+    assert(fpv == modelFingerprint("alpha bravo charlie", 3, 4))
+  }
 }
