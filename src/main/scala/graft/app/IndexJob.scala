@@ -15,16 +15,24 @@ import graft.sources.SourceTable
   *     -> resumable segment build (postings blocks + manifests + docstore)
   *     -> invariant re-verified against the docstore materialization
   *
-  * Usage: IndexJob <sourceParquetOrTable> <outDir> [buckets] [--code-aware]
+  * `--add` appends the source as NEW segments to an existing IndexJob-built
+  * index (the reference's add_document flow): delta docIds continue the
+  * dense 1..N sequence from the existing meta, so they never collide.
+  *
+  * Usage: IndexJob <sourceParquetOrTable> <outDir> [buckets] [--code-aware] [--add]
   * Exit codes mirror the reference: 0 ok, 2 usage, 3 build/verify failure.
   */
 object IndexJob {
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) { System.err.println("usage: IndexJob <source> <outDir> [buckets] [--code-aware]"); sys.exit(2) }
+    if (args.length < 2) {
+      System.err.println("usage: IndexJob <source> <outDir> [buckets] [--code-aware] [--add]")
+      sys.exit(2)
+    }
     val source = args(0)
     val outDir = args(1)
     val buckets = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(32)
     val codeAware = args.contains("--code-aware")
+    val addMode = args.contains("--add")
 
     // under spark-submit the master comes from the launcher; when driven
     // directly (sbt runMain / tests) fall back to local[*]
@@ -34,13 +42,22 @@ object IndexJob {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val src = SourceTable.withSha(SourceTable.load(spark, source))
+      // --add: continue the dense docId sequence past the existing corpus
+      val idOffset =
+        if (addMode) SegmentIndex.readMeta(outDir).n
+        else 0L
       val withIds = DocIdAssigner.assign(src, Seq("repo", "path"), "doc_id")
+        .withColumn("doc_id", col("doc_id") + lit(idOffset))
       val docs = withIds.select(
         col("doc_id"), col("content").as("text"), col("content_sha"),
         col("repo").as("source"), col("lang"))
 
       val manifests =
-        SegmentIndex.build(docs.select("doc_id", "text", "source", "lang"), outDir, buckets, codeAware)
+        if (addMode)
+          SegmentIndex.addDocuments(
+            docs.select("doc_id", "text", "source", "lang"), outDir, buckets, codeAware)
+        else
+          SegmentIndex.build(docs.select("doc_id", "text", "source", "lang"), outDir, buckets, codeAware)
 
       // invariant: the docstore materialization must re-hash to the source
       val store = spark.read.parquet(s"$outDir/docstore")

@@ -26,7 +26,7 @@ object QueryJob {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val results = SegmentSearch.searchBatch(spark, indexDir, queries, k)
-      def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+      import graft.core.JsonText.esc
       queries.zipWithIndex.foreach { case (q, i) =>
         val hits = results(i).map { case (d, s) => s"""{"docId":$d,"score":$s}""" }.mkString("[", ",", "]")
         println(s"""{"query":"${esc(q)}","results":$hits}""")
