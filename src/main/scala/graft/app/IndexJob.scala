@@ -1,5 +1,7 @@
 package graft.app
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -20,19 +22,54 @@ import graft.sources.SourceTable
   * dense 1..N sequence from the existing meta, so they never collide.
   *
   * Usage: IndexJob <sourceParquetOrTable> <outDir> [buckets] [--code-aware] [--add]
-  * Exit codes mirror the reference: 0 ok, 2 usage, 3 build/verify failure.
+  *
+  * CLI discipline mirrors the reference's ordered validation matrix
+  * (/root/reference/tests/test_cli_exit_codes.cpp:133-327): argument errors
+  * (unknown flag, arity, bad value) exit 2 with a usage line on stderr BEFORE
+  * any work; runtime preconditions (missing source path, --add on a
+  * non-index) exit 3 — and are checked BEFORE Spark starts, so failures are
+  * immediate. stdout carries only the success summary.
   */
 object IndexJob {
-  def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println("usage: IndexJob <source> <outDir> [buckets] [--code-aware] [--add]")
-      sys.exit(2)
+  private val KnownFlags = Set("--code-aware", "--add")
+  private val Usage = "usage: IndexJob <source> <outDir> [buckets] [--code-aware] [--add]"
+
+  private def usageErr(msg: String): Int = {
+    System.err.println(s"IndexJob: $msg")
+    System.err.println(Usage)
+    2
+  }
+  private def runtimeErr(msg: String): Int = { System.err.println(s"IndexJob: $msg"); 3 }
+
+  /** Validation + work; returns the process exit code (testable without
+    * forking — CliSpec asserts the full matrix in-process).
+    */
+  def run(args: Array[String]): Int = {
+    val flags = args.filter(_.startsWith("--")).toIndexedSeq
+    val pos = args.filterNot(_.startsWith("--")).toIndexedSeq
+
+    // --- exit-2 layer (argument matrix, ordered: flags -> arity -> values)
+    val unknown = flags.filterNot(KnownFlags)
+    if (unknown.nonEmpty) return usageErr(s"unknown flag: ${unknown.head}")
+    if (pos.length < 2) return usageErr("missing required <source> <outDir>")
+    if (pos.length > 3) return usageErr(s"unexpected argument: ${pos(3)}")
+    val buckets = pos.lift(2) match {
+      case None => 32
+      case Some(b) => b.toIntOption.filter(_ > 0) match {
+        case Some(v) => v
+        case None => return usageErr(s"buckets must be a positive integer, got '$b'")
+      }
     }
-    val source = args(0)
-    val outDir = args(1)
-    val buckets = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(32)
-    val codeAware = args.contains("--code-aware")
-    val addMode = args.contains("--add")
+    val source = pos(0)
+    val outDir = pos(1)
+    val codeAware = flags.contains("--code-aware")
+    val addMode = flags.contains("--add")
+
+    // --- exit-3 layer (runtime preconditions, before Spark starts)
+    if (source.contains("/") && !Files.exists(Paths.get(source)))
+      return runtimeErr(s"source path does not exist: $source")
+    if (addMode && !Files.exists(Paths.get(outDir, "index_meta.json")))
+      return runtimeErr(s"--add requires an existing index at $outDir (no index_meta.json)")
 
     // under spark-submit the master comes from the launcher; when driven
     // directly (sbt runMain / tests) fall back to local[*]
@@ -65,13 +102,19 @@ object IndexJob {
         .join(docs, Seq("doc_id"))
         .filter(col("sha") =!= col("content_sha"))
         .count()
-      if (bad != 0) { System.err.println(s"sha256 invariant VIOLATED on $bad rows"); sys.exit(3) }
+      if (bad != 0) return runtimeErr(s"sha256 invariant VIOLATED on $bad rows")
 
       val docsN = manifests.map(_.nDocs).sum
       val bytes = manifests.map(_.bytes).sum
       println(s"Indexing completed: docs=$docsN buckets=${manifests.size} segmentBytes=$bytes out=$outDir")
+      0
     } catch {
-      case e: Throwable => System.err.println(s"index job failed: ${e.getMessage}"); sys.exit(3)
+      case e: Throwable => runtimeErr(s"index job failed: ${e.getMessage}")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val code = run(args)
+    if (code != 0) sys.exit(code)
   }
 }

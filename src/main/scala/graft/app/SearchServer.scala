@@ -147,14 +147,31 @@ object SearchServer {
     * and failure ordering: the index loads BEFORE any port binding is
     * attempted (tests/test_runtime_failure_ordering.cpp).
     */
-  def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: SearchServer <indexDir> [port]"); sys.exit(2) }
-    val indexDir = args(0)
-    val port = args.lift(1) match {
-      case None => 8080
-      case Some(p) => p.toIntOption.filter(v => v >= 0 && v <= 65535).getOrElse {
-        System.err.println(s"invalid port: $p"); sys.exit(2)
+  /** Ordered exit-2 argument validation (unknown flag -> arity -> port
+    * value), testable in-process by CliSpec. Right((indexDir, port)).
+    */
+  def parseArgs(args: Array[String]): Either[String, (String, Int)] = {
+    val flags = args.filter(_.startsWith("--")).toIndexedSeq
+    val pos = args.filterNot(_.startsWith("--")).toIndexedSeq
+    if (flags.nonEmpty) Left(s"unknown flag: ${flags.head}")
+    else if (pos.isEmpty) Left("missing required <indexDir>")
+    else if (pos.length > 2) Left(s"unexpected argument: ${pos(2)}")
+    else pos.lift(1) match {
+      case None => Right((pos(0), 8080))
+      case Some(p) => p.toIntOption.filter(v => v >= 0 && v <= 65535) match {
+        case Some(v) => Right((pos(0), v))
+        case None => Left(s"invalid port: $p")
       }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (indexDir, port) = parseArgs(args) match {
+      case Left(msg) =>
+        System.err.println(s"SearchServer: $msg")
+        System.err.println("usage: SearchServer <indexDir> [port]")
+        sys.exit(2)
+      case Right(v) => v
     }
     val (engine, docMap) =
       try load(indexDir)

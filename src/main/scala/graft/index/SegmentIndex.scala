@@ -22,9 +22,13 @@ import graft.core.Bm25
   *   - per-term posting lists sorted by docId, stored as delta+varint blocks
   *     with per-block max-score metadata (BlockCodec) — block-max WAND skips
   *     whole blocks during top-k;
-  *   - GLOBAL df / N / avgdl are baked in (df denormalized per term per
-  *     bucket, corpus scalars in index_meta.json), so local scoring uses
-  *     global statistics;
+  *   - segments are APPEND-ONLY: per-term df is LOCAL to its segment (the
+  *     global df used for idf is the sum of local dfs across segments at
+  *     query time), block bounds are statistics-free (maxTf, min dl/tf —
+  *     valid under ANY current (idf, avgdl)), and index_meta.json keeps the
+  *     corpus scalars including the exact integer sumDl — so incremental
+  *     adds/compaction never rewrite existing segment files and stay
+  *     bit-identical to full rebuilds (see TermData below, SURVEY §2.10);
   *   - every bucket write is atomic (write .tmp, fsync, rename — the
   *     reference's own persistence discipline, search_service.cpp:299-327)
   *     and records a manifest with row/byte metrics, a file sha256, and an
@@ -57,6 +61,14 @@ object SegmentIndex {
     * incremental adds recompute avgdl = (sumDl + delta) / (n + delta) with
     * bit-identical results to a from-scratch rebuild (no float re-summation
     * drift — the add-parity contract).
+    *
+    * `lastBatchId` is the exactly-once marker for streaming ingest: the id of
+    * the last micro-batch whose addDocuments COMPLETED (the meta rewrite is
+    * the commit point). A replayed foreachBatch whose id is already recorded
+    * here is a no-op — this closes the crash window between a fully-applied
+    * add and Spark committing the micro-batch to its checkpoint, where the
+    * orphan cleanup alone cannot tell "applied" from "half-applied".
+    * Absent (None) for indexes never touched by the streaming path.
     */
   final case class Meta(
       schemaVersion: Int,
@@ -66,7 +78,8 @@ object SegmentIndex {
       buckets: Int,
       blockSize: Int,
       codec: String,
-      codeAware: Boolean
+      codeAware: Boolean,
+      lastBatchId: Option[Long] = None
   )
 
   /** One term's postings inside ONE segment. `df` is the LOCAL document
@@ -113,10 +126,21 @@ object SegmentIndex {
     }
   }
 
-  final case class LoadedSegment(bucket: Int, terms: Map[String, TermData]) {
+  final case class LoadedSegment(
+      bucket: Int,
+      terms: Map[String, TermData],
+      closer: () => Unit = () => ()
+  ) {
     /** all docIds of a term's postings (decoded), ascending */
     def postings(term: String): Iterator[BlockCodec.Posting] =
       terms.get(term).iterator.flatMap(_.blocks.iterator.flatMap(BlockCodec.decode(_).iterator))
+
+    /** Release the underlying FileChannel of a lazily-loaded segment (no-op
+      * for eager loads, which close at load time). After close, lazy term
+      * records that were never touched can no longer load — callers close
+      * only when the segment is superseded or the process is done with it.
+      */
+    def close(): Unit = closer()
   }
 
   private val Magic = "GRFTSEG5".getBytes(StandardCharsets.US_ASCII)
@@ -131,7 +155,8 @@ object SegmentIndex {
       docs: DataFrame,
       outDir: String,
       buckets: Int,
-      codeAware: Boolean = false
+      codeAware: Boolean = false,
+      batchId: Option[Long] = None
   ): Seq[Manifest] = {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(outDir))
@@ -270,7 +295,7 @@ object SegmentIndex {
           .sortBy(_.bucket)
       } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
 
-    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, buckets, BlockCodec.BlockSize, "delta-varint", codeAware))
+    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, buckets, BlockCodec.BlockSize, "delta-varint", codeAware, batchId))
     manifests
   }
 
@@ -290,13 +315,18 @@ object SegmentIndex {
       delta: DataFrame,
       outDir: String,
       newBuckets: Int,
-      codeAware: Boolean = false
+      codeAware: Boolean = false,
+      batchId: Option[Long] = None
   ): Seq[Manifest] = {
     val spark = delta.sparkSession
     // bootstrap: adding to a not-yet-existing index is just a build
     if (!Files.exists(Paths.get(outDir, "index_meta.json")))
-      return build(delta, outDir, newBuckets, codeAware)
+      return build(delta, outDir, newBuckets, codeAware, batchId)
     val old = readMeta(outDir)
+    // Exactly-once replay guard: a batch whose id is already recorded in meta
+    // COMPLETED before the crash (meta rewrite is the commit point) — the
+    // replay must be a no-op, or its rows would be appended twice.
+    if (batchId.isDefined && old.lastBatchId == batchId) return Nil
     val offset = old.buckets
     val storePath = s"$outDir/docstore"
 
@@ -313,8 +343,16 @@ object SegmentIndex {
         .distinct()
         .collect()
         .map(_.getString(0))
+      // Delete through the Hadoop FileSystem of each URI — input_file_name()
+      // yields fully-qualified URIs whose scheme need not be file: (hdfs/s3a
+      // at the 100 TB deployment shape); a java.nio delete would silently
+      // no-op there and leave duplicate orphan rows behind the append.
+      val hconf = spark.sparkContext.hadoopConfiguration
       orphanFiles.foreach { f =>
-        Files.deleteIfExists(Paths.get(java.net.URI.create(f).getPath))
+        val p = new org.apache.hadoop.fs.Path(java.net.URI.create(f))
+        val fs = p.getFileSystem(hconf)
+        if (!fs.delete(p, false) && fs.exists(p))
+          throw new java.io.IOException(s"failed to delete orphan docstore file $f")
       }
       import scala.jdk.CollectionConverters._
       Files.list(Paths.get(outDir)).iterator().asScala.toSeq.foreach { p =>
@@ -380,7 +418,8 @@ object SegmentIndex {
     val n = old.n + nDelta
     val sumDl = old.sumDl + sumDlDelta
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
-    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, offset + newBuckets, BlockCodec.BlockSize, "delta-varint", codeAware))
+    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, offset + newBuckets, BlockCodec.BlockSize,
+      "delta-varint", codeAware, batchId.orElse(old.lastBatchId)))
     manifests
   }
 
@@ -441,7 +480,10 @@ object SegmentIndex {
       .toSeq
       .sortBy(_.bucket)
 
-    writeMeta(dstDir, Meta(SchemaVersion, meta.n, meta.sumDl, meta.avgdl, buckets, BlockCodec.BlockSize, "delta-varint", meta.codeAware))
+    // lastBatchId travels with the data: if the caller swaps the compacted
+    // dir in under a live streaming checkpoint, replayed batches stay no-ops
+    writeMeta(dstDir, Meta(SchemaVersion, meta.n, meta.sumDl, meta.avgdl, buckets, BlockCodec.BlockSize,
+      "delta-varint", meta.codeAware, meta.lastBatchId))
     manifests
   }
 
@@ -579,6 +621,11 @@ object SegmentIndex {
       val dictOffset = counting.count
       out.writeInt(dict.length)
       dict.foreach { case (tb, df, offset, len) =>
+        // The dictionary length field is an unsigned short; the tokenizer
+        // permits unbounded alnum runs, so fail the BUILD loudly rather than
+        // let a silent writeShort truncation desynchronize the whole reader.
+        require(tb.length <= 0xffff,
+          s"term exceeds dictionary limit (${tb.length} UTF-8 bytes > 65535) in bucket $bucket")
         out.writeShort(tb.length)
         out.write(tb)
         out.writeLong(df)
@@ -698,6 +745,15 @@ object SegmentIndex {
   def loadSegment(path: String, eager: Boolean = true): LoadedSegment = {
     val ch = java.nio.channels.FileChannel.open(
       Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    try loadFromChannel(ch, path, eager)
+    catch { case t: Throwable => ch.close(); throw t } // never leak on a bad file
+  }
+
+  private def loadFromChannel(
+      ch: java.nio.channels.FileChannel,
+      path: String,
+      eager: Boolean
+  ): LoadedSegment = {
     val size = ch.size()
 
     def readAt(pos: Long, len: Int): java.nio.ByteBuffer = {
@@ -734,12 +790,19 @@ object SegmentIndex {
       terms += term -> new TermData(df, () => parseTermRecord(readAt(offset, len)))
       i += 1
     }
-    val seg = LoadedSegment(bucket, terms.result())
     if (eager) {
-      seg.terms.valuesIterator.foreach(_.blocks) // force all, then close
-      ch.close()
+      // Force every term's blocks, then close the channel — in try/finally so
+      // a read failure mid-force cannot leak the descriptor.
+      val seg = LoadedSegment(bucket, terms.result())
+      try seg.terms.valuesIterator.foreach(_.blocks)
+      finally ch.close()
+      seg
+    } else {
+      // Lazy loads keep the channel open for per-term positional reads; the
+      // LoadedSegment owns it and close() releases it (loadCached closes
+      // superseded entries; long-lived executors no longer leak descriptors).
+      LoadedSegment(bucket, terms.result(), () => ch.close())
     }
-    seg
   }
 
   private def parseTermRecord(buf: java.nio.ByteBuffer): IndexedSeq[BlockCodec.Block] = {

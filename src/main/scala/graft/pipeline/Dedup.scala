@@ -173,11 +173,21 @@ object Dedup {
   /** Connected components over a near-dup pair list: every doc that appears
     * in at least one pair is labeled with its cluster id = the MINIMUM doc_id
     * reachable through pairs (so transitively-linked docs a-b, b-c share one
-    * cluster and its keeper). Iterative min-label propagation — each round is
-    * one join + one aggregation, rounds bounded by the cluster graph's
-    * diameter (near-dup clusters are shallow; the 50-round cap is a safety
-    * net). This is how cluster-level keeper selection works at 100 TB
-    * (GraphFrames-style CC without the dependency).
+    * cluster and its keeper). Each round combines
+    *
+    *   (1) min-label propagation across edges (one join + one aggregation),
+    *   (2) a pointer-doubling shortcut L(v) <- min(L(v), L(L(v))) — every
+    *       label is itself a node id, so following the label's label roughly
+    *       DOUBLES the propagated distance per round. Chains of
+    *       incrementally-edited boilerplate (diameter in the hundreds —
+    *       exactly the 100 TB case) converge in O(log diameter) rounds
+    *       instead of O(diameter), the same shortcutting idea as the
+    *       alternating large-star/small-star MapReduce CC algorithm.
+    *
+    * Lineage is truncated with localCheckpoint() every 10 rounds so Catalyst
+    * never re-analyzes an ever-deepening plan (quadratic planning otherwise);
+    * per-round persist bounds recompute. This is how cluster-level keeper
+    * selection works at 100 TB (GraphFrames-style CC without the dependency).
     * Output: (doc_id, cluster_id).
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
@@ -197,24 +207,42 @@ object Dedup {
         .join(labels, edges("b") === labels("doc_id"))
         .groupBy(col("a"))
         .agg(min(col("cluster_id")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin, labels("doc_id") === neighborMin("a"), "left")
         .select(
           col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-          (col("cluster_id") > coalesce(col("nmin"), col("cluster_id"))).as("moved")
+          col("cluster_id").as("prev")
         )
-        .persist()
-      changed = next.filter(col("moved")).count() // also materializes `next`
-      persisted.unpersist() // the PERSISTED frame, not a derived view
+      // Pointer doubling: labels are node ids, so every label appears as a
+      // doc_id in `stepped` (invariant: initial labels are own ids; nmin and
+      // p_lab are other nodes' labels) — the lookup join always resolves.
+      val ptr = stepped.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
+      val rawNext = stepped
+        .join(ptr, stepped("cluster_id") === ptr("p_id"), "left")
+        .select(
+          stepped("doc_id"),
+          least(stepped("cluster_id"), coalesce(col("p_lab"), stepped("cluster_id"))).as("cluster_id"),
+          col("prev")
+        )
+        .withColumn("moved", col("prev") > col("cluster_id"))
+        .drop("prev")
+      // localCheckpoint EVERY round: the doubling step references `stepped`
+      // twice, so without truncation the logical plan doubles per round
+      // (exponential analysis cost — persist alone bounds recompute, not plan
+      // depth). Checkpointing makes next a leaf; superseded checkpoint RDDs
+      // are released by the ContextCleaner once unreferenced.
+      val next = rawNext.localCheckpoint()
+      changed = next.filter(col("moved")).count()
+      persisted.unpersist() // round 0 drops the initial persisted label frame
       persisted = next
       labels = next.drop("moved")
       iter += 1
     }
     edges.unpersist()
     // A cap hit means labels have NOT converged — wrong cluster ids. Fail
-    // loudly rather than silently returning partial propagation (deep chains
-    // of incrementally-edited boilerplate are exactly the 100 TB case).
+    // loudly rather than silently returning partial propagation. With the
+    // doubling step the cap corresponds to component diameter ~2^50.
     require(changed == 0, s"nearDupClusters did not converge within $maxIters iterations")
     labels
   }

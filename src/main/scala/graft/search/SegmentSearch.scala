@@ -47,7 +47,14 @@ object SegmentSearch {
     val keys = cache.keys()
     while (keys.hasMoreElements) { // drop superseded versions of this path
       val k = keys.nextElement()
-      if (k.startsWith(path + "|") && k != key) cache.remove(k)
+      if (k.startsWith(path + "|") && k != key) {
+        // Close the evicted segment's lazy FileChannel — long-lived executors
+        // must not leak a descriptor per superseded segment. A task racing an
+        // in-place rebuild of the same path may see a ClosedChannelException
+        // and retry — loud and correct (the bytes under it changed anyway).
+        val old = cache.remove(k)
+        if (old != null) old.close()
+      }
     }
     // lazy: executor tasks read the term dictionary only; posting records
     // load on demand for the query terms that actually hit this segment

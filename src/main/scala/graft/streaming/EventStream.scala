@@ -86,9 +86,15 @@ object EventStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId closes the exactly-once hole between "addDocuments fully
+        // committed (meta rewritten)" and "Spark committed the micro-batch to
+        // its checkpoint": a replayed batch whose id is already recorded in
+        // index_meta.json is skipped inside addDocuments instead of being
+        // appended twice (the orphan cleanup only covers HALF-applied adds).
         if (!batch.isEmpty) {
-          graft.index.SegmentIndex.addDocuments(batch, indexDir, bucketsPerBatch)
+          graft.index.SegmentIndex.addDocuments(
+            batch, indexDir, bucketsPerBatch, batchId = Some(batchId))
         }
         ()
       }

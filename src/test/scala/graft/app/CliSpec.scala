@@ -1,0 +1,88 @@
+package graft.app
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.index.SegmentIndex
+
+/** The CLI exit-code matrix for all three apps — the twin of the reference's
+  * ordered validation tests (/root/reference/tests/test_cli_exit_codes.cpp:
+  * 133-327): argument errors (unknown flag -> arity -> bad value -> conflict)
+  * exit 2; runtime preconditions (missing paths, non-index dirs) exit 3 and
+  * are checked before any Spark work. run() returns the code in-process.
+  */
+class CliSpec extends AnyFunSuite {
+
+  private def tmp(): String = Files.createTempDirectory("graft-cli").toString
+
+  // ------------------------------------------------------------- IndexJob
+  test("IndexJob: usage errors exit 2, in validation order") {
+    assert(IndexJob.run(Array.empty) == 2) // missing required
+    assert(IndexJob.run(Array("src.parquet")) == 2) // still missing outDir
+    assert(IndexJob.run(Array("--bogus", "a/b", "out")) == 2) // unknown flag first
+    assert(IndexJob.run(Array("a/b", "out", "8", "extra")) == 2) // arity
+    assert(IndexJob.run(Array("a/b", "out", "zero")) == 2) // bad buckets
+    assert(IndexJob.run(Array("a/b", "out", "0")) == 2) // non-positive buckets
+    assert(IndexJob.run(Array("a/b", "out", "-3")) == 2)
+  }
+
+  test("IndexJob: unknown flag is reported before missing positionals") {
+    // ordered matrix: flag errors outrank arity errors (reference ordering)
+    assert(IndexJob.run(Array("--nope")) == 2)
+  }
+
+  test("IndexJob: runtime preconditions exit 3 (missing source; --add without index)") {
+    val out = tmp()
+    assert(IndexJob.run(Array("/definitely/not/here.parquet", out)) == 3)
+    assert(IndexJob.run(Array("/definitely/not/here.parquet", out, "4")) == 3)
+    // --add on a dir with no index_meta.json is a runtime failure, not usage
+    val srcDir = tmp() // exists, so the source check passes; --add check fires
+    assert(IndexJob.run(Array(srcDir + "/", out, "--add")) == 3)
+  }
+
+  // ------------------------------------------------------------ CompactJob
+  test("CompactJob: usage errors exit 2, in validation order") {
+    assert(CompactJob.run(Array.empty) == 2)
+    assert(CompactJob.run(Array("onlyOne")) == 2)
+    assert(CompactJob.run(Array("--flag", "a", "b")) == 2) // no flags accepted
+    assert(CompactJob.run(Array("a", "b", "4", "extra")) == 2)
+    assert(CompactJob.run(Array("a", "b", "NaN")) == 2)
+    assert(CompactJob.run(Array("a", "b", "0")) == 2)
+  }
+
+  test("CompactJob: src == dst is an argument conflict (exit 2)") {
+    val d = tmp()
+    assert(CompactJob.run(Array(d, d, "4")) == 2)
+    assert(CompactJob.run(Array(d, d + "/.", "4")) == 2) // normalized compare
+  }
+
+  test("CompactJob: non-index src exits 3 before any Spark work") {
+    val src = tmp() // exists but has no index_meta.json
+    val dst = tmp()
+    assert(CompactJob.run(Array(src, dst, "4")) == 3)
+  }
+
+  test("CompactJob: end-to-end success exits 0") {
+    val sp = SparkTestBase.spark
+    import sp.implicits._
+    val dir = tmp() + "/idx"
+    SegmentIndex.build(
+      (1L to 20L).map(i => i -> s"alpha tok${i % 3}").toDF("doc_id", "text"), dir, buckets = 2)
+    val dst = tmp() + "/compacted"
+    assert(CompactJob.run(Array(dir, dst, "1")) == 0)
+    assert(SegmentIndex.readMeta(dst).n == 20L)
+  }
+
+  // ----------------------------------------------------------- SearchServer
+  test("SearchServer: argument matrix (parseArgs is the exit-2 layer)") {
+    assert(SearchServer.parseArgs(Array.empty).isLeft)
+    assert(SearchServer.parseArgs(Array("--demon", "idx")).isLeft)
+    assert(SearchServer.parseArgs(Array("idx", "80", "extra")).isLeft)
+    assert(SearchServer.parseArgs(Array("idx", "notAPort")).isLeft)
+    assert(SearchServer.parseArgs(Array("idx", "70000")).isLeft)
+    assert(SearchServer.parseArgs(Array("idx")) == Right(("idx", 8080)))
+    assert(SearchServer.parseArgs(Array("idx", "0")) == Right(("idx", 0)))
+  }
+}

@@ -227,6 +227,29 @@ class SegmentSpec extends SparkTestBase {
     }
   }
 
+  test("addDocuments replay after a FULLY-COMPLETED batch (batchId guard) is a no-op") {
+    // The other crash window: addDocuments committed (meta rewritten with the
+    // batch id) but the streaming checkpoint never recorded the micro-batch.
+    // The replay arrives with the SAME batchId — without the guard it would
+    // pass the orphan cleanup (offset already advanced) and append twice.
+    val base = (1L to 30L).map(i => i -> s"alpha bravo tok${i % 5}")
+    val delta = (31L to 45L).map(i => i -> s"alpha charlie tok${i % 5}")
+    val dir = tmpDir()
+    SegmentIndex.build(docsDF(base), dir, buckets = 2)
+    SegmentIndex.addDocuments(docsDF(delta), dir, newBuckets = 2, batchId = Some(7L))
+    val metaAfter = Files.readString(Paths.get(dir, "index_meta.json"))
+    val replayed = SegmentIndex.addDocuments(docsDF(delta), dir, newBuckets = 2, batchId = Some(7L))
+    assert(replayed.isEmpty, "replay of a completed batch must not write segments")
+    assert(Files.readString(Paths.get(dir, "index_meta.json")) == metaAfter)
+    val m = SegmentIndex.readMeta(dir)
+    assert(m.n == 45L && m.lastBatchId.contains(7L))
+    // a LATER batch with a new id still applies
+    val more = (46L to 50L).map(i => i -> s"alpha delta tok${i % 5}")
+    SegmentIndex.addDocuments(docsDF(more), dir, newBuckets = 1, batchId = Some(8L))
+    val m2 = SegmentIndex.readMeta(dir)
+    assert(m2.n == 50L && m2.lastBatchId.contains(8L))
+  }
+
   test("compact: folds delta segments into fewer buckets, search unchanged, no re-tokenize") {
     val rnd = new Random(31)
     val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "rare3")

@@ -82,6 +82,21 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("nearDupClusters: a 120-deep chain converges (pointer-doubling, O(log d) rounds)") {
+    val sp = spark
+    import sp.implicits._
+    // one long path 0-1-2-...-120 (diameter 120 — far past what plain
+    // min-propagation could close inside the 50-round cap without doubling)
+    // plus a disjoint triangle to check labels don't bleed across components
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((500L, 501L), (501L, 502L), (500L, 502L))).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 120L).forall(got(_) == 0L))
+    assert(Seq(500L, 501L, 502L).forall(got(_) == 500L))
+    assert(got.size == 124)
+  }
+
   test("deterministic sampling: stable, rate-proportional, stable under corpus growth") {
     val docs = docsDF((1L to 2000L).map(i => i -> s"word$i text"))
     val s1 = Sampling.sampleDeterministic(docs, 250000L, "s1").select("doc_id")
