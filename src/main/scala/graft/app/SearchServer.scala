@@ -2,14 +2,15 @@ package graft.app
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.nio.file.Files
 import java.util.concurrent.{ExecutorService, Executors}
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import graft.core.JsonText.esc
 import graft.core.QueryParser
-import graft.index.SegmentIndex
+import graft.index.{DocSidecar, SegmentIndex}
 import graft.search.SegmentSearch
 
 /** Long-running HTTP serving endpoint — the twin of the reference's searchd
@@ -18,25 +19,61 @@ import graft.search.SegmentSearch
   *   GET /health      -> 200 "OK" when ready and not shutting down, 503 else
   *   GET /search?q&k  -> {"query":q,"results":[{docId,score,snippet,source,lang}]}
   *                       k = max(1, k), default 10, invalid k ignored
+  *   GET /reload      -> double-buffered hot index reload (the reference's
+  *                       load-then-swap, search_service.cpp:397-500): the NEW
+  *                       index state is built while the old one keeps
+  *                       serving, then swapped atomically; /health stays 200
+  *                       throughout and no in-flight request ever fails.
   *
-  * Serves from a warmed in-memory segment index (ServingEngine: pinned
-  * segments, cached idfs, per-segment parallel scoring within a request) plus
-  * an in-memory docstore for snippet/metadata decoration (the searchd memory
-  * model). JDK com.sun.net.httpserver — zero new dependencies.
+  * Serving memory model (SCALE-SAFE, unlike the reference's pin-everything):
+  * segments are pinned (postings), but documents are decorated per request
+  * from the positional-read doc sidecar (DocSidecar) — the server holds only
+  * the (docId -> offset) dictionaries plus a byte-capped LRU of hot docs, so
+  * heap is O(corpus doc count), not O(corpus text bytes).
   *
   * Usage: SearchServer <indexDir> [port]   (port 0 = ephemeral)
   */
 object SearchServer {
 
-  final case class DocRow(text: String, source: String, lang: String)
+  type DocRow = DocSidecar.DocRow
+  val DocRow: DocSidecar.DocRow.type = DocSidecar.DocRow
+
+  /** One immutable generation of serving state. Reference-counted: requests
+    * retain it for their duration; the swap releases the server's own
+    * reference and resources close when the last in-flight request drains —
+    * the double-buffer discipline that makes /reload invisible to clients.
+    */
+  final class IndexState(
+      val engine: SegmentSearch.ServingEngine,
+      val docs: Long => Option[DocRow],
+      onClose: () => Unit = () => ()
+  ) {
+    private val refs = new AtomicInteger(1) // the server's own reference
+    def retain(): Boolean = {
+      var c = refs.get()
+      while (c > 0) {
+        if (refs.compareAndSet(c, c + 1)) return true
+        c = refs.get()
+      }
+      false // already closed (raced a swap) — caller refetches the current state
+    }
+    def release(): Unit = if (refs.decrementAndGet() == 0) onClose()
+    def nDocs: Long = engine.meta.n
+    def nSegments: Int = engine.segments.length
+  }
 
   /** Handle to a started server. `beginShutdown()` flips /health to 503
     * (drain phase — a load balancer stops routing while in-flight /search
     * requests still complete, the reference's g_shutdown_in_progress
     * semantics); `stop()` then closes sockets and workers.
     */
-  final class Running private[SearchServer] (http: HttpServer, ready: AtomicBoolean) {
+  final class Running private[SearchServer] (
+      http: HttpServer,
+      ready: AtomicBoolean,
+      state: AtomicReference[IndexState]
+  ) {
     def port: Int = http.getAddress.getPort
+    def current: IndexState = state.get
     def beginShutdown(): Unit = ready.set(false)
     def stop(delaySeconds: Int = 0): Unit = {
       ready.set(false)
@@ -45,16 +82,22 @@ object SearchServer {
         case e: ExecutorService => e.shutdownNow()
         case _ =>
       }
+      state.get.release() // drop the server's reference; closes when drained
     }
   }
 
-  /** Start serving; returns the running handle (caller stops it). */
+  /** Start serving; returns the running handle (caller stops it).
+    * `reloader` builds a FRESH IndexState from disk; when provided, GET
+    * /reload swaps it in with zero downtime.
+    */
   def start(
-      engine: SegmentSearch.ServingEngine,
-      docs: Long => Option[DocRow],
-      port: Int
+      initial: IndexState,
+      port: Int,
+      reloader: Option[() => IndexState] = None
   ): Running = {
     val ready = new AtomicBoolean(true)
+    val stateRef = new AtomicReference[IndexState](initial)
+    val reloading = new AtomicBoolean(false)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     // daemon workers: an embedding JVM (bench, spec) exits cleanly after
     // stop(); the standalone main stays alive via its explicit join
@@ -69,26 +112,66 @@ object SearchServer {
 
     server.createContext("/search", (ex: HttpExchange) => {
       try {
-        val params = queryParams(ex)
-        val q = params.getOrElse("q", "")
-        val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
-        val pq = QueryParser.parse(q)
-        val top = engine.search(pq, k)
-        val body = top.map { case (docId, score) =>
-          val d = docs(docId).getOrElse(DocRow("", "", ""))
-          val snippet = graft.core.Snippets.makeSnippet(d.text, pq.terms)
-          s"""{"docId":$docId,"score":$score,"snippet":"${esc(snippet)}",""" +
-            s""""source":"${esc(d.source)}","lang":"${esc(d.lang)}"}"""
-        }.mkString("[", ",", "]")
-        respond(ex, 200, "application/json", s"""{"query":"${esc(q)}","results":$body}""")
+        // pin this request's generation; a concurrent /reload swap cannot
+        // close it underneath us (retain fails only when the state is
+        // already fully drained, in which case the NEW state is current)
+        var st = stateRef.get
+        while (!st.retain()) st = stateRef.get
+        try {
+          val params = queryParams(ex)
+          val q = params.getOrElse("q", "")
+          val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
+          val pq = QueryParser.parse(q)
+          val top = st.engine.search(pq, k)
+          val body = top.map { case (docId, score) =>
+            val d = st.docs(docId).getOrElse(DocRow("", "", ""))
+            val snippet = graft.core.Snippets.makeSnippet(d.text, pq.terms)
+            s"""{"docId":$docId,"score":$score,"snippet":"${esc(snippet)}",""" +
+              s""""source":"${esc(d.source)}","lang":"${esc(d.lang)}"}"""
+          }.mkString("[", ",", "]")
+          respond(ex, 200, "application/json", s"""{"query":"${esc(q)}","results":$body}""")
+        } finally st.release()
       } catch {
         case e: Exception => respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
       }
     })
 
+    server.createContext("/reload", (ex: HttpExchange) => {
+      reloader match {
+        case None =>
+          respond(ex, 501, "text/plain", "reload not configured")
+        case Some(build) =>
+          if (!reloading.compareAndSet(false, true)) {
+            respond(ex, 409, "text/plain", "reload already in progress")
+          } else {
+            try {
+              // double-buffer: build the new generation OFF the serving path
+              // (the old state answers /search throughout), then swap the
+              // reference atomically and release the old generation — it
+              // closes when its last in-flight request drains.
+              val next = build()
+              val old = stateRef.getAndSet(next)
+              old.release()
+              respond(ex, 200, "application/json",
+                s"""{"reloaded":true,"docs":${next.nDocs},"segments":${next.nSegments}}""")
+            } catch {
+              case e: Exception => // old state keeps serving untouched
+                respond(ex, 500, "text/plain", s"reload failed: ${e.getMessage}")
+            } finally reloading.set(false)
+          }
+      }
+    })
+
     server.start()
-    new Running(server, ready)
+    new Running(server, ready, stateRef)
   }
+
+  /** Back-compat entry for benches/specs that pin their own doc map. */
+  def start(
+      engine: SegmentSearch.ServingEngine,
+      docs: Long => Option[DocRow],
+      port: Int
+  ): Running = start(new IndexState(engine, docs), port, None)
 
   private def respond(ex: HttpExchange, code: Int, ctype: String, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -114,7 +197,10 @@ object SearchServer {
     }.toMap
   }
 
-  /** Pin a docstore in memory for snippet/metadata decoration. */
+  /** Pin a docstore in memory for snippet/metadata decoration — the
+    * reference-parity memory model, used only by latency A/B benches now
+    * (serving uses the sidecar store).
+    */
   def docMapFromStore(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String
@@ -125,21 +211,43 @@ object SearchServer {
       .map(r => r.getLong(0) -> DocRow(r.getString(1), r.getString(2), r.getString(3)))
       .toMap
 
-  /** Load everything into memory from an on-disk index dir (Spark used only
-    * for the one-time docstore read, then stopped — serving is Spark-free).
+  /** Build one serving generation from an on-disk index dir: pinned segments
+    * + sidecar-backed doc store (dictionaries only — NO corpus text on the
+    * heap). Missing sidecars are backfilled with a short-lived local Spark
+    * session (one column-pruned docstore pass), so any index — including one
+    * just produced by CompactJob — becomes servable; steady-state loads and
+    * reloads after addDocuments touch no Spark at all.
     */
-  def load(indexDir: String): (SegmentSearch.ServingEngine, Map[Long, DocRow]) = {
+  def loadState(indexDir: String): IndexState = {
     val meta = SegmentIndex.readMeta(indexDir)
     val segs = SegmentIndex.segmentFiles(indexDir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
-    val spark = graft.spark.Sessions.local(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
-      shufflePartitions = 8,
-      appName = "graft-searchd-load")
-    spark.sparkContext.setLogLevel("WARN")
-    val docMap =
-      try docMapFromStore(spark, indexDir)
-      finally spark.stop()
-    (new SegmentSearch.ServingEngine(segs, meta), docMap)
+    val missing = segs.map(_.bucket).filterNot(b =>
+      Files.exists(DocSidecar.sidecarPath(indexDir, b)))
+    if (missing.nonEmpty) {
+      // reuse a live session when embedded (specs, benches) — never stop a
+      // session this method did not create; standalone serving spins up a
+      // short-lived one and tears it down
+      val existing = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .filterNot(_.sparkContext.isStopped)
+      existing match {
+        case Some(s) => DocSidecar.writeBuckets(s, indexDir, missing)
+        case None =>
+          val spark = graft.spark.Sessions.local(
+            cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
+            shufflePartitions = 8,
+            appName = "graft-sidecar-backfill")
+          spark.sparkContext.setLogLevel("WARN")
+          try DocSidecar.writeBuckets(spark, indexDir, missing)
+          finally spark.stop()
+      }
+    }
+    val store = DocSidecar.openStore(indexDir).getOrElse(
+      throw new IllegalStateException(s"no doc sidecars under $indexDir after backfill"))
+    new IndexState(
+      new SegmentSearch.ServingEngine(segs, meta),
+      store.get(_),
+      () => store.close())
   }
 
   /** Exit codes mirror the reference CLI discipline
@@ -173,14 +281,14 @@ object SearchServer {
         sys.exit(2)
       case Right(v) => v
     }
-    val (engine, docMap) =
-      try load(indexDir)
+    val state =
+      try loadState(indexDir)
       catch {
         case e: Exception =>
           System.err.println(s"failed to load index '$indexDir': ${e.getMessage}")
           sys.exit(3)
       }
-    val running = start(engine, docMap.get, port)
+    val running = start(state, port, reloader = Some(() => loadState(indexDir)))
     // Port binding succeeded before this line prints (reference contract:
     // exactly one startup message after successful bind, main.cpp:497-520).
     println(s"Server started on port ${running.port} using index: $indexDir")

@@ -3,7 +3,7 @@ package graft.bench
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors}
 
-import graft.index.SegmentIndex
+import graft.index.{DocSidecar, SegmentIndex}
 import graft.search.SegmentSearch
 
 /** Serving-latency harness — the reference's load test shape
@@ -14,6 +14,9 @@ import graft.search.SegmentSearch
   * SPARK_GRAFT_LATENCY_HTTP=1 measures through the REAL HTTP endpoint
   * (SearchServer on an ephemeral port, clients doing GET /search) instead of
   * in-process engine calls — full network + JSON + snippet cost included.
+  * The HTTP server decorates hits from the positional-read doc sidecar (the
+  * scale-safe serving memory model); SPARK_GRAFT_LATENCY_PINNED=1 switches to
+  * the reference-parity full-text heap pin for A/B comparison.
   *
   * Usage: LatencyBench [requests] [concurrency]
   */
@@ -25,6 +28,7 @@ object LatencyBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "64").toInt
     val overHttp = sys.env.get("SPARK_GRAFT_LATENCY_HTTP").contains("1")
+    val pinnedDocs = sys.env.get("SPARK_GRAFT_LATENCY_PINNED").contains("1")
 
     val spark = graft.spark.Sessions.local(32, 32, "graft-latency")
     spark.sparkContext.setLogLevel("WARN")
@@ -35,9 +39,16 @@ object LatencyBench {
     val segs = SegmentIndex.segmentFiles(out).map(SegmentIndex.loadSegment(_))
     val mode = sys.env.getOrElse("SPARK_GRAFT_QUERY_MODE", "mixed")
     val queries = Workload.queries(spark, sfDir, requests, mode)
+    val textBytes: Long =
+      if (!overHttp) 0L
+      else spark.read.parquet(s"$out/docstore")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text"))))
+        .head().getLong(0)
+    if (overHttp && !pinnedDocs) DocSidecar.ensure(spark, out)
     val docMap: Map[Long, graft.app.SearchServer.DocRow] =
-      if (!overHttp) Map.empty
-      else graft.app.SearchServer.docMapFromStore(spark, out)
+      if (overHttp && pinnedDocs) graft.app.SearchServer.docMapFromStore(spark, out)
+      else Map.empty
     spark.stop()
 
     // warm decode caches + JIT
@@ -45,10 +56,21 @@ object LatencyBench {
     val engine = new SegmentSearch.ServingEngine(segs.toIndexedSeq, meta)
 
     var httpServer: graft.app.SearchServer.Running = null
+    var docMemNote = ""
     val httpBase: Option[String] =
       if (!overHttp) None
       else {
-        httpServer = graft.app.SearchServer.start(engine, docMap.get, port = 0)
+        if (pinnedDocs) {
+          httpServer = graft.app.SearchServer.start(engine, docMap.get, port = 0)
+          docMemNote = f"doc memory: FULL-TEXT PIN ~${textBytes / 1e6}%.0f MB (reference-parity A/B mode)"
+        } else {
+          val store = DocSidecar.openStore(out).get
+          httpServer = graft.app.SearchServer.start(
+            new graft.app.SearchServer.IndexState(engine, store.get(_), () => store.close()),
+            port = 0, reloader = None)
+          docMemNote = f"doc memory: sidecar dictionaries ${store.pinnedBytes / 1e6}%.1f MB pinned " +
+            f"+ 64 MB LRU cap (vs ~${textBytes / 1e6}%.0f MB full-text pin in the reference model)"
+        }
         Some(s"http://127.0.0.1:${httpServer.port}")
       }
 
@@ -93,11 +115,12 @@ object LatencyBench {
     val conc = if (concurrency == 50) "" else s", c=$concurrency"
     val sectionKey =
       if (overHttp) s"## Serving latency ($mode, http$conc)" else s"## Serving latency ($mode$conc)"
+    val memLine = if (docMemNote.isEmpty) "" else s"\n$docMemNote.\n"
     val md =
       f"""$sectionKey — $via (reference load-test shape)
          |
          |${meta.n}%,d docs, $requests requests, $concurrency concurrent clients, k=10, query mode: $mode, via: $via.
-         |
+         |$memLine
          || rps | p50 | p95 | p99 | reference targets |
          ||---|---|---|---|---|
          || $rps%.0f req/s | ${pct(0.50)}%.1f ms | ${pct(0.95)}%.1f ms | ${pct(0.99)}%.1f ms | 1000 req/s (README.md:197); p99 < 50 ms (README.md:200) |

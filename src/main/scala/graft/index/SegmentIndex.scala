@@ -218,6 +218,9 @@ object SegmentIndex {
     }
 
     if (!Files.exists(Paths.get(storePath, "_SUCCESS"))) {
+      // doc sidecars are DERIVED from the docstore — a rebuild invalidates
+      // them (the serving tier regenerates at load via DocSidecar.ensure)
+      DocSidecar.sidecarFiles(outDir).foreach(f => Files.deleteIfExists(Paths.get(f)))
       withDlTfmap(
         widened(docs.select(
           Seq(col("doc_id").cast("long").as("doc_id"), col("text")) ++
@@ -359,9 +362,11 @@ object SegmentIndex {
         val name = p.getFileName.toString
         val seg = "segment-(\\d+)\\.bin(\\.tmp)?".r
         val man = "manifest-(\\d+)\\.json(\\.tmp)?".r
+        val doc = "docs-(\\d+)\\.bin(\\.tmp)?".r
         name match {
           case seg(b, _) if b.toInt >= offset => Files.deleteIfExists(p)
           case man(b, _) if b.toInt >= offset => Files.deleteIfExists(p)
+          case doc(b, _) if b.toInt >= offset => Files.deleteIfExists(p)
           case _ =>
         }
       }
@@ -420,6 +425,12 @@ object SegmentIndex {
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
     writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, offset + newBuckets, BlockCodec.BlockSize,
       "delta-varint", codeAware, batchId.orElse(old.lastBatchId)))
+
+    // A SERVING index (one that has doc sidecars) keeps them current: write
+    // sidecars for the delta buckets so a /reload needs no Spark backfill.
+    // Non-serving indexes skip this (derived data, generated at server load).
+    if (Files.exists(DocSidecar.sidecarPath(outDir, 0)))
+      DocSidecar.writeBuckets(spark, outDir, offset until (offset + newBuckets))
     manifests
   }
 
@@ -554,7 +565,7 @@ object SegmentIndex {
     Files.list(dir).iterator().asScala.toSeq.foreach { p =>
       val name = p.getFileName.toString
       if (name.matches("segment-\\d+\\.bin(\\.tmp)?") || name.matches("manifest-\\d+\\.json(\\.tmp)?") ||
-        name.startsWith("index_meta.json"))
+        name.matches("docs-\\d+\\.bin(\\.tmp)?") || name.startsWith("index_meta.json"))
         Files.deleteIfExists(p)
     }
     // docstore parquet dir

@@ -3,6 +3,8 @@ package graft.app
 import java.net.{HttpURLConnection, URL}
 import java.nio.file.Files
 
+import scala.collection.parallel.CollectionConverters._
+
 import graft.SparkTestBase
 import graft.index.SegmentIndex
 import graft.search.SegmentSearch
@@ -90,6 +92,99 @@ class ServerSpec extends SparkTestBase {
       server.beginShutdown()
       assert(get(s"$base/health")._1 == 503)
       assert(get(s"$base/search?q=alpha")._1 == 200)
+      // back-compat servers (no reloader) answer 501 on /reload
+      assert(get(s"$base/reload")._1 == 501)
+    } finally server.stop()
+  }
+
+  test("sidecar serving: loadState pins dictionaries only; decoration parity with a pinned doc map") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 50L).map(i =>
+      (i, s"alpha bravo tok${i % 7} " + ("pad " * 30), s"repo${i % 4}", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "source", "lang")
+    val dir = Files.createTempDirectory("graft-sidecar-srv").toString
+    SegmentIndex.build(docs, dir, buckets = 2)
+
+    val state = SearchServer.loadState(dir) // backfills sidecars, no text pin
+    val server = SearchServer.start(state, port = 0, reloader = None)
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      val (code, body) = get(s"$base/search?q=alpha+bravo&k=5")
+      assert(code == 200)
+      // same response a docMap-pinned server would produce
+      val docMap = SearchServer.docMapFromStore(spark, dir)
+      val engine = new SegmentSearch.ServingEngine(
+        SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq,
+        SegmentIndex.readMeta(dir))
+      val pinned = SearchServer.start(engine, docMap.get, port = 0)
+      try {
+        val (_, body2) = get(s"http://127.0.0.1:${pinned.port}/search?q=alpha+bravo&k=5")
+        assert(body == body2, s"sidecar=$body pinned=$body2")
+      } finally pinned.stop()
+    } finally server.stop()
+  }
+
+  test("hot reload: addDocuments -> /reload serves the new docs with zero failed requests") {
+    val sp = spark
+    import sp.implicits._
+    val base1 = (1L to 40L).map(i => (i, s"alpha bravo tok${i % 5}", "r0", "en"))
+    val delta = (41L to 50L).map(i => (i, s"zebra quokka tok${i % 5}", "r1", "fr"))
+    val dir = Files.createTempDirectory("graft-reload").toString
+    SegmentIndex.build(base1.toDF("doc_id", "text", "source", "lang"), dir, buckets = 2)
+
+    val server = SearchServer.start(
+      SearchServer.loadState(dir), port = 0, reloader = Some(() => SearchServer.loadState(dir)))
+    val url = s"http://127.0.0.1:${server.port}"
+    try {
+      assert(get(s"$url/search?q=zebra")._2.contains(""""results":[]"""))
+
+      // hammer /search from the background for the whole reload window; any
+      // non-200 (or transport error) fails the test — the swap must be
+      // invisible to clients (the reference's double-buffer contract)
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val okCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 4).map { _ =>
+        val t = new Thread(() => {
+          while (!stop.get) {
+            try {
+              val (c, b) = get(s"$url/search?q=alpha+bravo&k=3")
+              if (c == 200 && b.contains(""""docId":""")) okCount.incrementAndGet()
+              else failures.incrementAndGet()
+            } catch { case _: Exception => failures.incrementAndGet() }
+          }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+
+      SegmentIndex.addDocuments(delta.toDF("doc_id", "text", "source", "lang"), dir, newBuckets = 1)
+      val (rc, rbody) = get(s"$url/reload")
+      assert(rc == 200 && rbody.contains(""""reloaded":true""") && rbody.contains(""""docs":50"""), rbody)
+
+      // new docs are immediately searchable over HTTP, with metadata
+      val (zc, zbody) = get(s"$url/search?q=zebra&k=10")
+      assert(zc == 200)
+      val gotIds = """"docId":(\d+)""".r.findAllMatchIn(zbody).map(_.group(1).toLong).toSeq
+      assert(gotIds.nonEmpty && gotIds.forall(_ >= 41L), zbody)
+      assert(zbody.contains(""""source":"r1"""") && zbody.contains(""""lang":"fr""""))
+
+      Thread.sleep(200) // let the hammer overlap the post-swap window too
+      stop.set(true)
+      threads.foreach(_.join(2000))
+      assert(failures.get == 0, s"${failures.get} requests failed during hot reload")
+      assert(okCount.get > 0, "hammer never ran")
+
+      // parity with a cold-started engine on the post-add index
+      val cold = SearchServer.loadState(dir)
+      val expected = cold.engine.search("zebra", 10).map(_._1)
+      assert(gotIds == expected, s"served=$gotIds cold=$expected")
+
+      // concurrent /reload is guarded (409) while one is in flight — drive
+      // it via two racing requests; at least one succeeds, none 5xx
+      val codes = (1 to 2).par.map(_ => get(s"$url/reload")._1).toList
+      assert(codes.forall(c => c == 200 || c == 409), codes.toString)
+      assert(codes.contains(200))
     } finally server.stop()
   }
 }
