@@ -33,5 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   if (sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") == "parallel") "-XX:+UseParallelGC" else "-XX:+UseG1GC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: at local[32] the allocation-heavy build/serve paths need GC
+  // headroom (the sandbox VM has 125 GiB; 8g measurably throttled 32-thread
+  // runs — see BENCH/BASELINE.md memory note)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -200,6 +200,12 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       graft.pipeline.Dedup.nearDupClusters(
         graft.pipeline.Dedup.minhashNearDups(documents(s, dir), w = 3, jMicrosThreshold = 300000L))),
+    // --- cluster keeper selection: the corpus a training run actually keeps
+    //     (non-duplicated docs + one min-id representative per cluster) ---
+    "q_dedup_keep" -> ((s, dir) =>
+      graft.pipeline.Dedup.keepAfterNearDup(
+        documents(s, dir),
+        graft.pipeline.Dedup.minhashNearDups(documents(s, dir), w = 3, jMicrosThreshold = 300000L))),
     // --- SimHash signatures ---
     "q_dedup_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(documents(s, dir))),
@@ -247,6 +253,12 @@ object SparkEntry {
     // --- corpus mix accounting (docs/tokens/share per lang x source) ---
     "q_mix" -> ((s, dir) =>
       graft.pipeline.Sampling.mix(documents(s, dir))),
+    // --- token-budget shard packing (two-pass prefix sum, no global window) ---
+    "q_pack" -> ((s, dir) =>
+      graft.pipeline.Sampling.packShards(documents(s, dir), budgetTokens = 40000L)),
+    // --- per-doc top-k tf-idf keywords (BM25 idf, micro-unit-ranked) ---
+    "q_keywords" -> ((s, dir) =>
+      graft.pipeline.TextStats.keywords(documents(s, dir), k = 5)),
     // --- multimodal: aspect-fit resize planning (integer math) ---
     "q_mm_resize" -> ((s, dir) =>
       graft.pipeline.Multimodal.resizePlan(documents(s, dir), maxW = 320L, maxH = 240L)),
@@ -331,6 +343,24 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracle(maxBucket = 0L),
     "q_dedup_minhash_capped" -> minhashOracle(maxBucket = 2L),
     "q_dedup_clusters" -> clustersOracle,
+    "q_dedup_keep" -> keeperOracle,
+    "q_pack" ->
+      s"""$tokCte,
+         |pre AS (SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+         |          coalesce(sum(CAST(dl AS BIGINT)) OVER (
+         |            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+         |        FROM dls)
+         |SELECT doc_id, n_tokens, CAST(p // 40000 AS BIGINT) AS shard_id FROM pre""".stripMargin,
+    "q_keywords" ->
+      s"""$tokCte,
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM tok2 GROUP BY 1, 2),
+         |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT t.doc_id, t.term,
+         |         CAST(round(t.tf * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1) * 1e6) AS BIGINT) AS score_micros
+         |       FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s),
+         |r AS (SELECT doc_id, term, score_micros,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score_micros DESC, term ASC) AS rank FROM sc)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, term, score_micros FROM r WHERE rank <= 5""".stripMargin,
     "q_dedup_simhash" ->
       s"""$tokCte,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
@@ -581,7 +611,7 @@ object SparkEntry {
     * cluster_id = min reachable doc_id (matches Dedup.nearDupClusters'
     * min-label propagation fixpoint).
     */
-  private def clustersOracle: String =
+  private def clusterCtes: String =
     s"""${minhashCtes(0L)},
        |dups AS (
        |  SELECT doc_a, doc_b
@@ -592,10 +622,22 @@ object SparkEntry {
        |reach(doc, r) AS (
        |  SELECT doc, doc FROM nodes
        |  UNION
-       |  SELECT reach.doc, e.b FROM reach JOIN eds e ON reach.r = e.a)
-       |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc"""
+       |  SELECT reach.doc, e.b FROM reach JOIN eds e ON reach.r = e.a)"""
       .stripMargin
       .replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  private def clustersOracle: String =
+    s"""$clusterCtes
+       |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc""".stripMargin
+
+  /** Keeper selection: the corpus MINUS every clustered doc that is not its
+    * cluster's min-id representative (Dedup.keepAfterNearDup).
+    */
+  private def keeperOracle: String =
+    s"""$clusterCtes,
+       |losers AS (SELECT doc FROM reach GROUP BY doc HAVING min(r) <> doc)
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc FROM losers)""".stripMargin
 
   /** Shared shingle CTE: ordered reference tokens -> distinct w-token
     * shingles per doc (space-joined), mirroring Dedup.shingles.

@@ -18,15 +18,17 @@ object StageDiag {
     val spark = graft.spark.Sessions.local(cores, cores, s"graft-diag-$cores")
     spark.sparkContext.setLogLevel("WARN")
 
-    val stages = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Int)]()
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val info = sc.stageInfo
         val wall = (for {
           c <- info.completionTime; s <- info.submissionTime
         } yield c - s).getOrElse(-1L)
-        val taskTime = info.taskMetrics.executorRunTime
-        stages += ((info.name.take(80), wall, taskTime, info.numTasks))
+        val m = info.taskMetrics
+        stages += ((info.name.take(60), wall, m.executorRunTime, m.jvmGCTime,
+          m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.remoteBytesRead +
+            m.shuffleReadMetrics.localBytesRead, info.numTasks))
       }
     })
 
@@ -34,8 +36,10 @@ object StageDiag {
     val (nDocs, buildSec, nq, querySec) = Workload.run(spark, sfDir, out, replicas, 300, buckets = 64)
     Thread.sleep(500)
     println(f"== cores=$cores docs=$nDocs build=$buildSec%.1fs queries=$nq query=$querySec%.1fs")
-    println(f"${"stage"}%-80s ${"wallMs"}%8s ${"taskMs"}%9s ${"tasks"}%6s")
-    stages.foreach { case (n, w, t, k) => println(f"$n%-80s $w%8d $t%9d $k%6d") }
+    println(f"${"stage"}%-60s ${"wallMs"}%8s ${"taskMs"}%9s ${"gcMs"}%7s ${"shufMB"}%7s ${"tasks"}%6s")
+    stages.foreach { case (n, w, t, g, sb, k) =>
+      println(f"$n%-60s $w%8d $t%9d $g%7d ${sb / 1e6}%7.0f $k%6d")
+    }
     spark.stop()
   }
 }

@@ -11,23 +11,37 @@ package graft.core
 object Snippets extends Serializable {
   val DefaultWindow = 120
 
-  private def asciiLower(s: String): String = {
-    val b = new java.lang.StringBuilder(s.length)
+  @inline private def fold(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** `asciiLower(text).indexOf(asciiLower(term))` without materializing the
+    * lowercase copies — ASCII folding is 1:1 per char, so folding on the fly
+    * is position-identical; the serving path calls this per hit and the full
+    * text copy was pure allocation churn.
+    */
+  private def indexOfFolded(text: String, term: String): Int = {
+    val m = term.length
+    if (m == 0) return 0 // String.indexOf("") semantics
+    val last = text.length - m
+    if (last < 0) return -1
+    val first = fold(term.charAt(0))
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+    while (i <= last) {
+      if (fold(text.charAt(i)) == first) {
+        var j = 1
+        while (j < m && fold(text.charAt(i + j)) == fold(term.charAt(j))) j += 1
+        if (j == m) return i
+      }
       i += 1
     }
-    b.toString
+    -1
   }
 
   def makeSnippet(text: String, terms: Seq[String], windowChars: Int = DefaultWindow): String = {
     if (text == null) return ""
-    val ltext = asciiLower(text)
     var best = -1
     terms.foreach { t =>
-      val pos = ltext.indexOf(asciiLower(t))
+      val pos = indexOfFolded(text, t)
       if (pos >= 0 && (best < 0 || pos < best)) best = pos
     }
     if (best < 0) return text.substring(0, math.min(windowChars, text.length))

@@ -101,6 +101,48 @@ object BlockCodec {
     out.toIndexedSeq
   }
 
+  /** Columnar twin of [[encode]]: same bytes, zero per-posting objects —
+    * the build's segment-write stage feeds postings from reusable primitive
+    * arrays (one Posting allocation per corpus posting was a top GC source
+    * at 32 threads). Byte-identical output to encode() by construction
+    * (same grouping, same deltas).
+    */
+  def encodeColumnar(
+      docIds: Array[Long],
+      tfs: Array[Int],
+      dls: Array[Int],
+      n: Int
+  ): IndexedSeq[Block] = {
+    val out = ArrayBuffer[Block]()
+    var off = 0
+    while (off < n) {
+      val cnt = math.min(BlockSize, n - off)
+      val buf = new ByteArrayOutputStream(cnt * 4)
+      var prev = 0L
+      var maxTf = 0
+      var minDlOverTf = Double.MaxValue
+      var i = 0
+      while (i < cnt) {
+        val d = docIds(off + i)
+        val tf = tfs(off + i)
+        val dl = dls(off + i)
+        val delta = if (i == 0) d else d - prev
+        require(i == 0 || delta > 0, "postings must be strictly docId-ascending")
+        writeVarLong(buf, delta)
+        writeVarLong(buf, tf.toLong)
+        writeVarLong(buf, dl.toLong)
+        prev = d
+        if (tf > maxTf) maxTf = tf
+        val r = dl.toDouble / tf
+        if (r < minDlOverTf) minDlOverTf = r
+        i += 1
+      }
+      out += Block(docIds(off), docIds(off + cnt - 1), cnt, maxTf, minDlOverTf, buf.toByteArray)
+      off += cnt
+    }
+    out.toIndexedSeq
+  }
+
   /** Columnar decoded form — primitive arrays, no per-posting object. */
   final case class DecodedBlock(docIds: Array[Long], tfs: Array[Int], dls: Array[Int]) {
     def length: Int = docIds.length

@@ -277,15 +277,22 @@ object SegmentIndex {
         spark.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
         val storeSplit = spark.read.parquet(storePath)
 
+        // Exchange COMPACT rows: one row per doc (the tfmap map column),
+        // exploded to postings only AFTER the bucket repartition. Shuffling
+        // pre-exploded postings would write every term string + row overhead
+        // per POSTING (~3-5x the bytes); per-doc rows carry each distinct
+        // term once and dl once — at 32 threads the 8->32 scaling ceiling is
+        // memory bandwidth, and shuffle bytes are the biggest lever.
         val rows = storeSplit
+          .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"))
+          .repartition(buckets, col("bucket"))
           .select(
             col("bucket"),
             col("doc_id"),
-            col("dl").cast("int").as("dl"),
+            col("dl"),
             explode(col("tfmap")).as(Seq("term", "tf"))
           )
           .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
-          .repartition(buckets, col("bucket"))
           .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
 
         val out = outDir
@@ -402,15 +409,17 @@ object SegmentIndex {
     val sumDlDelta = bucketAgg.map(_.getLong(3)).sum
     val lineage = bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+    // compact-row exchange, explode after the shuffle (see build job 3)
     val rows = newStore
+      .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"))
+      .repartition(newBuckets, col("bucket"))
       .select(
         col("bucket"),
         col("doc_id"),
-        col("dl").cast("int").as("dl"),
+        col("dl"),
         explode(col("tfmap")).as(Seq("term", "tf"))
       )
       .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
-      .repartition(newBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
 
     val out = outDir
@@ -473,15 +482,17 @@ object SegmentIndex {
       s"compact: docstore stats disagree with $srcDir meta — refusing to write"
     )
 
+    // compact-row exchange, explode after the shuffle (see build job 3)
     val rows = store
+      .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"))
+      .repartition(buckets, col("bucket"))
       .select(
         col("bucket"),
         col("doc_id"),
-        col("dl").cast("int").as("dl"),
+        col("dl"),
         explode(col("tfmap")).as(Seq("term", "tf"))
       )
       .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
-      .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
 
     val out = dstDir
@@ -606,26 +617,39 @@ object SegmentIndex {
     // the HashSet fallback is only for buckets the lineage pass never saw.
     val trackDocs = !lineage.contains(bucket)
     val docsSeen = scala.collection.mutable.HashSet[Long]()
+    // Reusable columnar posting buffers (grow-only): zero per-posting
+    // allocation on the write hot path — a Posting object per corpus posting
+    // was a top GC source of this stage at 32 threads.
+    var pDoc = new Array[Long](1024)
+    var pTf = new Array[Int](1024)
+    var pDl = new Array[Int](1024)
+    def ensureCap(n: Int): Unit = if (n > pDoc.length) {
+      val c = math.max(n, pDoc.length * 2)
+      pDoc = java.util.Arrays.copyOf(pDoc, c)
+      pTf = java.util.Arrays.copyOf(pTf, c)
+      pDl = java.util.Arrays.copyOf(pDl, c)
+    }
 
     try {
       out.write(Magic)
       out.writeInt(bucket)
       while (rows.hasNext && rows.head.getInt(0) == bucket) {
         val term = rows.head.getString(1)
-        val plist = scala.collection.mutable.ArrayBuffer[BlockCodec.Posting]()
+        var pn = 0
         while (rows.hasNext && rows.head.getInt(0) == bucket && rows.head.getString(1) == term) {
           val r = rows.next()
-          val docId = r.getLong(2)
-          val tf = r.getInt(3)
-          val dl = r.getInt(4)
-          plist += BlockCodec.Posting(docId, tf, dl)
-          if (trackDocs) docsSeen += docId
+          ensureCap(pn + 1)
+          pDoc(pn) = r.getLong(2)
+          pTf(pn) = r.getInt(3)
+          pDl(pn) = r.getInt(4)
+          if (trackDocs) docsSeen += pDoc(pn)
+          pn += 1
         }
         nTerms += 1
-        nPostings += plist.length
+        nPostings += pn
         val offset = counting.count
-        writeTerm(out, plist.toIndexedSeq)
-        dict += ((term.getBytes(StandardCharsets.UTF_8), plist.length.toLong, offset,
+        writeTerm(out, pDoc, pTf, pDl, pn)
+        dict += ((term.getBytes(StandardCharsets.UTF_8), pn.toLong, offset,
           (counting.count - offset).toInt))
       }
       // dictionary + footer
@@ -662,9 +686,12 @@ object SegmentIndex {
     */
   private def writeTerm(
       out: DataOutputStream,
-      plist: IndexedSeq[BlockCodec.Posting]
+      docIds: Array[Long],
+      tfs: Array[Int],
+      dls: Array[Int],
+      n: Int
   ): Unit = {
-    val blocks = BlockCodec.encode(plist)
+    val blocks = BlockCodec.encodeColumnar(docIds, tfs, dls, n)
     out.writeInt(blocks.length)
     blocks.foreach { b =>
       out.writeLong(b.minDoc)

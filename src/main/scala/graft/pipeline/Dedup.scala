@@ -247,6 +247,19 @@ object Dedup {
     labels
   }
 
+  /** The dedup decision a training pipeline actually executes: keep every
+    * doc that is not near-duplicated, and exactly ONE representative (the
+    * min-doc_id keeper = its cluster id) per transitive near-dup cluster.
+    * Output: the SURVIVING (doc_id)s. Scale shape: clusters only ever hold
+    * the (small) duplicated subset, so the final prune is a left-anti join
+    * of the corpus against `cluster_id <> doc_id` losers — broadcast-able
+    * in practice at 100 TB (losers ≪ corpus).
+    */
+  def keepAfterNearDup(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = nearDupClusters(pairs).filter(col("cluster_id") =!= col("doc_id"))
+    docs.select(col("doc_id")).join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** 16-bit SimHash per doc from md5 nibbles: bit j set iff the tf-weighted
     * sum of (+1 if hex digit j of md5(term) has its high bit, else -1) is
     * positive. ROW-LOCAL via the native expression (a per-doc pure function

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data mix operators: deterministic sampling and corpus-mix
@@ -26,6 +27,53 @@ object Sampling {
       substring(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 15), 16, 10
     ).cast("long")
     docs.filter(pmod(h, lit(1000000L)) < lit(rateMicros))
+  }
+
+  /** Sequence/shard packing for training: assign each doc (in deterministic
+    * doc_id order) to the shard its EXCLUSIVE running token total lands in —
+    * shard_id = prefixTokens DIV budget. Greedy sequential packing, the shape
+    * tokenizer-ready shard writers consume.
+    *
+    * Scale shape: a naive `sum() OVER (ORDER BY doc_id)` is a single-task
+    * global window — anti-scale. This is the two-pass prefix sum instead
+    * (the DocIdAssigner pattern): range-exchange on doc_id, per-partition
+    * token totals prefix-summed on the driver (one long per partition), then
+    * a WITHIN-partition running sum plus the broadcast partition offset.
+    * The partition id is frozen as a data column (coalesce-fusion safe).
+    * Output: (doc_id, n_tokens, shard_id).
+    */
+  def packShards(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "shard token budget must be positive")
+    val spark = docs.sparkSession
+    graft.expr.RefTokenizeTf.register(spark)
+    val parts = docs
+      .select(
+        col("doc_id"),
+        call_function("ref_tokenize_tf", col("text")).getField("dl").cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    parts.count() // freeze __pid before dependent jobs
+
+    val sums = parts
+      .groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, t) => val row = (pid, acc); acc += t; row }
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__pid", "__toff")
+
+    val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("__pre", col("__toff") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"__pre DIV ${budgetTokens}L")) // exact integer division both engines
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
   }
 
   /** Corpus mix accounting: documents and reference-token counts per

@@ -110,4 +110,36 @@ object TextStats {
       .filter(size(col("toks")) >= w)
       .select(col("doc_id"), call_function("shingle_fp", col("toks"), lit(w), lit(4)).as("fp"))
   }
+
+  /** Top-k keywords per document by tf-idf (idf = the engine's BM25 idf,
+    * ln((N - df + 0.5) / (df + 0.5) + 1)), rank ordered on the ROUNDED
+    * micro-unit score (score desc, term asc) so the order is bit-stable
+    * across engines. One row-local tokenize (fused tfmap — no
+    * groupBy(doc, term) exchange); df is one vocab-sized aggregation; the
+    * per-doc window partitions by doc_id (no global window). Zero-token
+    * docs contribute no rows. Output: (doc_id, rank, term, score_micros).
+    */
+  def keywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    graft.expr.RefTokenizeTf.register(spark)
+    val n = docs.count().toDouble
+    val tf = docs
+      .select(
+        col("doc_id"),
+        explode(call_function("ref_tokenize_tf", col("text")).getField("tfmap")).as(Seq("term", "tf")))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dfTab, Seq("term"))
+      .withColumn(
+        "score_micros",
+        round(col("tf") * log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * lit(1e6))
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micros").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score_micros"))
+  }
 }

@@ -59,7 +59,8 @@ object Wand {
       val idf: Double,
       val termUb: Double, // weight * max block bound
       val avgdlV: Double,
-      td: graft.index.SegmentIndex.TermData
+      td: graft.index.SegmentIndex.TermData,
+      val qpos: Int // position among the query's distinct terms (tie order)
   ) {
     private val blocks = td.blocks
     private var bi = 0
@@ -210,14 +211,14 @@ object Wand {
     // hash set of the whole (often dense) NOT posting list per query.
     val excluded = new Excluder(
       pq.notTerms.distinct.flatMap(t => seg.terms.get(t))
-        .map(td => new Cursor(0.0, 0.0, 0.0, avgdl, td)))
+        .map(td => new Cursor(0.0, 0.0, 0.0, avgdl, td, 0)))
 
-    val cursors: IndexedSeq[Cursor] = distinct.flatMap { t =>
+    val cursors: IndexedSeq[Cursor] = distinct.zipWithIndex.flatMap { case (t, qi) =>
       // local presence implies global df >= 1, so idfs always has the term
       seg.terms.get(t).map { td =>
         val w = weights(t).toDouble
         val idf = idfs(t)
-        new Cursor(w, idf, w * td.termBound(idf, avgdl), avgdl, td)
+        new Cursor(w, idf, w * td.termBound(idf, avgdl), avgdl, td, qi)
       }
     }
 
@@ -300,7 +301,16 @@ object Wand {
     top.results
   }
 
-  /** Disjunctive block-max WAND. */
+  /** Disjunctive block-max WAND.
+    *
+    * Hot-loop discipline (this runs millions of iterations per dense query
+    * under 50-way load): cursors live in a plain array kept curDoc-ascending
+    * by an in-place insertion pass — no per-iteration allocation (the old
+    * `sortBy` built a fresh buffer every loop, pure GC churn at saturation).
+    * When laggards must reach the pivot, only the HIGHEST-impact one (max
+    * termUb) advances per iteration — the classic WAND selection: if the
+    * pivot doc fails, the cheap low-impact lists were never decoded.
+    */
   private def orWand(
       cursorsIn: IndexedSeq[Cursor],
       excluded: Excluder,
@@ -309,71 +319,99 @@ object Wand {
       shared: SharedTheta
   ): Seq[SegmentHit] = {
     val top = new TopK(k, shared)
-    val cursors = mutable.ArrayBuffer[Cursor](cursorsIn.filter(_.curDoc != Long.MaxValue): _*)
+    val arr: Array[Cursor] = cursorsIn.filter(_.curDoc != Long.MaxValue).toArray
+    var n = arr.length
+    // Sort key is (curDoc, qpos): cursors parked on the SAME doc stay in
+    // query order, so the evaluate branch sums term parts in exactly the
+    // reference's query-order summation (bit-identical scores).
+    java.util.Arrays.sort(arr, 0, n, Ordering.by[Cursor, (Long, Int)](c => (c.curDoc, c.qpos)))
 
-    while (cursors.nonEmpty) {
-      // sort by current doc (few terms — insertion-cheap)
-      val sorted = cursors.sortBy(_.curDoc)
+    /** Restore ascending order after advances (in-place insertion pass —
+      * nearly-sorted input => ~O(n)) and drop exhausted cursors off the tail.
+      */
+    def repair(): Unit = {
+      var i = 1
+      val hi = n
+      while (i < hi) {
+        val c = arr(i)
+        val d = c.curDoc
+        val q = c.qpos
+        var j = i - 1
+        while (j >= 0 && (arr(j).curDoc > d || (arr(j).curDoc == d && arr(j).qpos > q))) {
+          arr(j + 1) = arr(j); j -= 1
+        }
+        arr(j + 1) = c
+        i += 1
+      }
+      while (n > 0 && arr(n - 1).curDoc == Long.MaxValue) n -= 1
+    }
+
+    while (n > 0) {
       val theta = top.threshold
 
       // pivot: first prefix whose term-UB sum exceeds theta
       var acc = 0.0
       var pivotIdx = -1
       var i = 0
-      while (i < sorted.length && pivotIdx < 0) {
-        acc += sorted(i).termUb
+      while (i < n && pivotIdx < 0) {
+        acc += arr(i).termUb
         if (acc > theta) pivotIdx = i
         i += 1
       }
       if (pivotIdx < 0) return top.results // nothing can beat theta
 
-      val pivotDoc = sorted(pivotIdx).curDoc
+      val pivotDoc = arr(pivotIdx).curDoc
 
       // block-max check over the pivot prefix
       var blockUb = 0.0
       var j = 0
-      while (j <= pivotIdx) { blockUb += sorted(j).blockUb; j += 1 }
+      while (j <= pivotIdx) { blockUb += arr(j).blockUb; j += 1 }
 
       if (blockUb <= theta && theta > Double.NegativeInfinity) {
-        // Safe skip: every doc in [sorted(0).curDoc, d) is covered only by
+        // Safe skip: every doc in [arr(0).curDoc, d) is covered only by
         // the prefix cursors' CURRENT blocks (UB sum <= theta), because d is
         // capped at the earliest prefix block boundary, pivot+1, and the
         // first post-pivot cursor's doc.
         var d = pivotDoc + 1
         var m = 0
         while (m <= pivotIdx) {
-          val b = sorted(m).nextBlockBoundary
+          val b = arr(m).nextBlockBoundary
           if (b < d) d = b
           m += 1
         }
-        if (pivotIdx + 1 < sorted.length && sorted(pivotIdx + 1).curDoc < d)
-          d = sorted(pivotIdx + 1).curDoc
-        if (d <= sorted(0).curDoc) d = sorted(0).curDoc + 1
-        sorted(0).advanceTo(d)
-      } else if (sorted(0).curDoc == pivotDoc) {
+        if (pivotIdx + 1 < n && arr(pivotIdx + 1).curDoc < d)
+          d = arr(pivotIdx + 1).curDoc
+        if (d <= arr(0).curDoc) d = arr(0).curDoc + 1
+        arr(0).advanceTo(d)
+        repair()
+      } else if (arr(0).curDoc == pivotDoc) {
         // fully evaluate pivotDoc
+        var m = 0
         if (!excluded.contains(pivotDoc)) {
           var s = 0.0
-          var m = 0
-          while (m < sorted.length && sorted(m).curDoc == pivotDoc) {
-            s += sorted(m).score(avgdl)
+          while (m < n && arr(m).curDoc == pivotDoc) {
+            s += arr(m).score(avgdl)
             m += 1
           }
           top.offer(SegmentHit(pivotDoc, s))
+        } else {
+          while (m < n && arr(m).curDoc == pivotDoc) m += 1
         }
-        var m = 0
-        while (m < sorted.length && sorted(m).curDoc == pivotDoc) { sorted(m).next(); m += 1 }
+        var a = 0
+        while (a < m) { arr(a).next(); a += 1 }
+        repair()
       } else {
-        // advance laggards to the pivot
-        var m = 0
-        while (m < sorted.length && sorted(m).curDoc < pivotDoc) { sorted(m).advanceTo(pivotDoc); m += 1 }
-      }
-
-      // drop exhausted cursors
-      var c = cursors.length - 1
-      while (c >= 0) {
-        if (cursors(c).curDoc == Long.MaxValue) cursors.remove(c)
-        c -= 1
+        // advance ONE laggard — the highest-impact cursor below the pivot —
+        // to pivotDoc; if the pivot doc ends up failing, the other laggards'
+        // postings were never touched.
+        var best = 0
+        var m = 1
+        while (m < pivotIdx && arr(m).curDoc < pivotDoc) {
+          if (arr(m).termUb > arr(best).termUb) best = m
+          m += 1
+        }
+        arr(best).advanceTo(pivotDoc)
+        repair()
       }
     }
     top.results

@@ -28,6 +28,16 @@ class BlockCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     val blocks = encode(postings)
     assert(blocks.length == math.ceil(1000.0 / BlockSize).toInt)
+    // the build's zero-allocation columnar encoder is byte-identical
+    val colBlocks = encodeColumnar(
+      postings.map(_.docId).toArray, postings.map(_.tf).toArray, postings.map(_.dl).toArray,
+      postings.size)
+    assert(colBlocks.size == blocks.size)
+    blocks.zip(colBlocks).foreach { case (a, b) =>
+      assert((a.minDoc, a.maxDoc, a.count, a.maxTf, a.minDlOverTf) ==
+        ((b.minDoc, b.maxDoc, b.count, b.maxTf, b.minDlOverTf)))
+      assert(java.util.Arrays.equals(a.bytes, b.bytes))
+    }
     val decoded = blocks.flatMap(decode(_))
     assert(decoded == postings)
     blocks.foreach { b =>

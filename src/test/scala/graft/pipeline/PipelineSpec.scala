@@ -97,6 +97,48 @@ class PipelineSpec extends SparkTestBase {
     assert(got.size == 124)
   }
 
+  test("keepAfterNearDup: keeps non-dups + one min-id representative per cluster") {
+    val sp = spark
+    import sp.implicits._
+    val docs = docsDF(Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 7L -> "e", 9L -> "f"))
+    // chain 1-2-3 (keeper 1), pair 7-9 (keeper 7); 4 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepAfterNearDup(docs, pairs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 7L))
+  }
+
+  test("packShards: exclusive prefix DIV budget; prefix-stable under corpus growth") {
+    // token counts: doc i has i tokens -> prefix sums 0,1,3,6,10,15,21,...
+    val docs = docsDF((1L to 8L).map(i => i -> (1L to i).map(j => s"t$j").mkString(" ")))
+    val out = Sampling.packShards(docs, budgetTokens = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._2).toSeq == (1L to 8L).toSeq, "n_tokens must be the reference dl")
+    // shards: pre = 0,1,3,6,10,15,21,28 -> DIV 10 = 0,0,0,0,1,1,2,2
+    assert(out.map(_._3).toSeq == Seq(0L, 0L, 0L, 0L, 1L, 1L, 2L, 2L))
+    // growth stability: appending docs never moves earlier docs' shards
+    val grown = Sampling.packShards(
+      docsDF((1L to 12L).map(i => i -> (1L to i).map(j => s"t$j").mkString(" "))), 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (id, _, shard) => assert(grown(id) == shard) }
+  }
+
+  test("keywords: rare term outranks common term; k truncation; zero-token docs absent") {
+    val docs = docsDF(Seq(
+      1L -> "common common rare common zebra",
+      2L -> "common words words",
+      3L -> "common filler other words",
+      4L -> "???")) // tokenizes to nothing
+    val out = TextStats.keywords(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(1L).size == 2)
+    // doc 1: 'rare'/'zebra' (df=1) massively outrank 'common' (df=3) despite tf=3
+    assert(byDoc(1L).map(_._3).toSet == Set("rare", "zebra"))
+    // within doc 1 the tie between rare and zebra (same tf, same df) breaks on term asc
+    assert(byDoc(1L).sortBy(_._2).map(_._3) == Seq("rare", "zebra"))
+  }
+
   test("deterministic sampling: stable, rate-proportional, stable under corpus growth") {
     val docs = docsDF((1L to 2000L).map(i => i -> s"word$i text"))
     val s1 = Sampling.sampleDeterministic(docs, 250000L, "s1").select("doc_id")

@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.SparkTestBase
+
+/** S3 PDF page source: the Spark-side plumbing is real (distribution, page
+  * explosion, per-file isolation, OCR policy + merge); the extractor is a
+  * deterministic fake (the container has no poppler/tesseract — same stance
+  * as Multimodal's stub decoder).
+  */
+class PdfSourceSpec extends SparkTestBase {
+
+  /** 3 "PDFs": a 2-page text-rich file, a 3-page file whose page 2 has a
+    * thin text layer (OCR fires), and one that fails at pageCount.
+    */
+  private object FakeExtractor extends PdfSource.PageExtractor {
+    def pageCount(path: String): Int = path match {
+      case p if p.endsWith("rich.pdf") => 2
+      case p if p.endsWith("scanny.pdf") => 3
+      case p if p.endsWith("corrupt.pdf") => throw new RuntimeException("not a pdf")
+      case p if p.endsWith("empty.pdf") => 0
+      case _ => 1
+    }
+    def textLayer(path: String, page: Int): String = path match {
+      case p if p.endsWith("rich.pdf") =>
+        s"page $page of the rich document with plenty of embedded words " +
+          "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+      case p if p.endsWith("scanny.pdf") =>
+        if (page == 2) "scan" // < 50 chars AND < 10 tokens -> OCR
+        else s"scanny page $page has a full text layer with many extracted tokens " +
+          "one two three four five six seven eight nine ten"
+      case _ => ""
+    }
+    def ocr(path: String, page: Int): String = s"OCR RECOVERED p$page"
+  }
+
+  test("pages: per-page rows, reference OCR policy + merge, per-file error isolation") {
+    val paths = Seq("/corpus/rich.pdf", "/corpus/scanny.pdf", "/corpus/corrupt.pdf", "/corpus/empty.pdf")
+    val (pagesDs, badDs) = PdfSource.pages(spark, paths, FakeExtractor)
+    val pages = pagesDs.collect().sortBy(p => (p.source_path, p.page_number))
+    val bad = badDs.collect().map(b => b.source_path -> b.reason).toMap
+
+    // corrupt + empty land in the bad side output; good files are unaffected
+    assert(bad.keySet == Set("/corpus/corrupt.pdf", "/corpus/empty.pdf"))
+    assert(bad("/corpus/empty.pdf") == "no_pages")
+    assert(bad("/corpus/corrupt.pdf").startsWith("extract_failed"))
+
+    // 2 + 3 pages, 1-based, file_type pdf, file_name basename
+    assert(pages.length == 5)
+    assert(pages.map(p => (p.file_name, p.page_number)).toSeq ==
+      Seq(("rich.pdf", 1), ("rich.pdf", 2), ("scanny.pdf", 1), ("scanny.pdf", 2), ("scanny.pdf", 3)))
+    assert(pages.forall(_.file_type == "pdf"))
+
+    // OCR fired exactly where the policy says (thin page 2 of scanny.pdf)
+    val byKey = pages.map(p => (p.source_path, p.page_number) -> p).toMap
+    assert(!byKey(("/corpus/rich.pdf", 1)).did_ocr)
+    assert(!byKey(("/corpus/scanny.pdf", 1)).did_ocr)
+    val ocred = byKey(("/corpus/scanny.pdf", 2))
+    assert(ocred.did_ocr)
+    // reference merge: text layer + ensured newline + OCR text
+    assert(ocred.text == "scan\nOCR RECOVERED p2")
+    // non-OCR pages keep the raw layer
+    assert(byKey(("/corpus/rich.pdf", 2)).text.startsWith("page 2 of the rich"))
+  }
+
+  test("shouldOcrPage matches the row-level policy thresholds") {
+    assert(PdfSource.shouldOcrPage("")) // empty
+    assert(PdfSource.shouldOcrPage("short but words " * 2)) // >=50 chars? no — 32 chars
+    val tenTokens = "tok " * 10 + "padding to get above fifty characters okay"
+    assert(!PdfSource.shouldOcrPage(tenTokens))
+    // >= 50 chars but < 10 tokens -> still OCR
+    assert(PdfSource.shouldOcrPage("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+    // merge keeps an existing trailing newline un-doubled
+    assert(PdfSource.mergeOcr("layer\n", "ocr") == "layer\nocr")
+    assert(PdfSource.mergeOcr("", "ocr") == "ocr")
+  }
+}
