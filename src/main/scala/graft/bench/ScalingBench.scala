@@ -24,6 +24,8 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
+  import Workload.awaitQuietHost
+
   // ------------------------------------------------------- host ceilings
   private def cpuBound(iters: Long): Long = {
     var h = 0x9e3779b97f4a7c15L
@@ -54,6 +56,7 @@ object ScalingBench {
 
   /** (cpuSpeedup, memSpeedup) achievable on this host from lo -> hi threads. */
   private def hostCeiling(lo: Int, hi: Int): (Double, Double) = {
+    awaitQuietHost(s"host ceiling $lo->$hi")
     val iters = 400000000L
     val arrays = (0 until hi).map(_ => Array.tabulate(4 << 20)(_.toLong)) // 32 MB each
     def cpuAt(t: Int) = { val w = parallelWall(t)(i => { if (cpuBound(iters) == 42) print("") }); t * iters / w }
@@ -68,8 +71,10 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "256").toInt
-    val nQueries = 1000
-    val levels = Seq(2, 8, 32) // pairs evaluated: 2->8 and 8->32 (both N->4N)
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_SCALING_NQ", "1000").toInt
+    // pairs evaluated: each consecutive pair (all N->4N at the default)
+    val levels = sys.env.getOrElse("SPARK_GRAFT_SCALING_LEVELS", "2,8,32")
+      .split(",").map(_.trim.toInt).toSeq
 
     // Bucket count is FIXED (the dataset layout must not change with cluster
     // size) — both levels run the IDENTICAL job; only resources differ.
@@ -102,8 +107,10 @@ object ScalingBench {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "2").toInt
     runAt(8, 2, 40)
     val best = scala.collection.mutable.Map[Int, (Long, Double, Int, Double)]()
-    for (_ <- 1 to rounds; cores <- levels) {
+    for (r <- 1 to rounds; cores <- levels) {
+      awaitQuietHost(s"local[$cores] round")
       val (n, b, qn, q) = runAt(cores, replicas, nQueries)
+      Console.err.println(f"[scaling] round $r local[$cores]: build $b%.2f s, query $q%.2f s")
       val prev = best.get(cores)
       best(cores) = (
         n,
@@ -141,10 +148,12 @@ object ScalingBench {
          |
          |Input: $sfDir documents x$replicas replicas = $nDocs%,d docs; $nq BM25 top-10 queries
          |(mixed dense/rare AND/OR/NOT batch). Index + shuffle on tmpfs (per-node disks scale with
-         |executors on a real cluster). Interleaved best-of-2 per level.
+         |executors on a real cluster). Interleaved best-of-$rounds per level; every measured
+         |segment (engine rounds AND ceiling microbenchmarks) starts only after a /proc/stat
+         |quiet-host gate — co-tenant bursts on this VM otherwise throttle whichever level they
+         |land on (and hit local[32] 4x harder than local[8], corrupting the ratio).
          |
-         |${pairReport(2, 8)}
-         |${pairReport(8, 32)}
+         |${levels.sliding(2).map { case Seq(lo, hi) => pairReport(lo, hi) }.mkString("\n")}
          |**Reading the numbers.** This sandbox has no cluster: local[N] -> local[4N] multiplies
          |threads only, while a real N -> 4N EXECUTOR scale-up multiplies memory bandwidth and
          |disks too. The microbenchmark rows show this VM's hard ceiling for ANY program at the

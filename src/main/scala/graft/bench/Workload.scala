@@ -67,6 +67,45 @@ object Workload {
       .withColumn("text", concat(col("text"), lit(" uq"), pmod(col("doc_id"), lit(50021L))))
   }
 
+  /** Fraction of host CPU busy over `sampleMs`, from /proc/stat deltas —
+    * measures CO-TENANT activity the instant before a run (our own load is
+    * idle while we sample). loadavg is useless here: it decays over minutes
+    * and still carries OUR just-finished run.
+    */
+  def hostBusyFrac(sampleMs: Long = 2000): Double = {
+    def snap(): (Long, Long) = {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = f(3) + f(4) // idle + iowait
+      (f.sum, idle)
+    }
+    val (t0, i0) = snap()
+    Thread.sleep(sampleMs)
+    val (t1, i1) = snap()
+    val dt = (t1 - t0).toDouble
+    if (dt <= 0) 0.0 else 1.0 - (i1 - i0) / dt
+  }
+
+  /** Block until co-tenants leave the box mostly idle (or the cap expires —
+    * then run anyway and let best-of-N pick a cleaner round). The sandbox
+    * VM's co-tenants run in bursts of minutes; measuring into a burst
+    * produces nonsense (observed: a "pure-CPU 2->8 thread scaling ceiling"
+    * of 7.6x — above the 4x physical ideal — purely from a burst ending
+    * mid-measurement).
+    */
+  def awaitQuietHost(
+      label: String,
+      capMs: Long = sys.env.getOrElse("SPARK_GRAFT_QUIET_CAP_MS", "240000").toLong
+  ): Unit = {
+    val t0 = System.currentTimeMillis()
+    var busy = hostBusyFrac()
+    while (busy > 0.12 && System.currentTimeMillis() - t0 < capMs) {
+      Console.err.println(f"[bench] host ${busy * 100}%.0f%% busy (co-tenants) — waiting before $label")
+      Thread.sleep(8000)
+      busy = hostBusyFrac()
+    }
+  }
+
   def timed[T](body: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = body

@@ -5,8 +5,10 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Bm25
 
@@ -277,29 +279,10 @@ object SegmentIndex {
         spark.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
         val storeSplit = spark.read.parquet(storePath)
 
-        // Exchange COMPACT rows: one row per doc (the tfmap map column),
-        // exploded to postings only AFTER the bucket repartition. Shuffling
-        // pre-exploded postings would write every term string + row overhead
-        // per POSTING (~3-5x the bytes); per-doc rows carry each distinct
-        // term once and dl once — at 32 threads the 8->32 scaling ceiling is
-        // memory bandwidth, and shuffle bytes are the biggest lever.
-        val rows = storeSplit
-          .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"))
-          .repartition(buckets, col("bucket"))
-          .select(
-            col("bucket"),
-            col("doc_id"),
-            col("dl"),
-            explode(col("tfmap")).as(Seq("term", "tf"))
-          )
-          .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
-          .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
-
+        val rows = segmentRows(storeSplit, buckets)
         val out = outDir
-        rows
-          .mapPartitions { it =>
-            writePartition(it, out, lineage)
-          }(Encoders.product[Manifest])
+        rows.queryExecution.toRdd
+          .mapPartitions(it => writePartition(it, out, lineage))
           .collect()
           .toSeq
           .sortBy(_.bucket)
@@ -409,22 +392,11 @@ object SegmentIndex {
     val sumDlDelta = bucketAgg.map(_.getLong(3)).sum
     val lineage = bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
 
-    // compact-row exchange, explode after the shuffle (see build job 3)
-    val rows = newStore
-      .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"))
-      .repartition(newBuckets, col("bucket"))
-      .select(
-        col("bucket"),
-        col("doc_id"),
-        col("dl"),
-        explode(col("tfmap")).as(Seq("term", "tf"))
-      )
-      .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
-      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
-
+    // compact-row exchange, in-task inversion (see build job 3)
+    val rows = segmentRows(newStore, newBuckets)
     val out = outDir
-    val manifests = rows
-      .mapPartitions(it => writePartition(it, out, lineage))(Encoders.product[Manifest])
+    val manifests = rows.queryExecution.toRdd
+      .mapPartitions(it => writePartition(it, out, lineage))
       .collect()
       .toSeq
       .sortBy(_.bucket)
@@ -482,22 +454,11 @@ object SegmentIndex {
       s"compact: docstore stats disagree with $srcDir meta — refusing to write"
     )
 
-    // compact-row exchange, explode after the shuffle (see build job 3)
-    val rows = store
-      .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"))
-      .repartition(buckets, col("bucket"))
-      .select(
-        col("bucket"),
-        col("doc_id"),
-        col("dl"),
-        explode(col("tfmap")).as(Seq("term", "tf"))
-      )
-      .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
-      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
-
+    // compact-row exchange, in-task inversion (see build job 3)
+    val rows = segmentRows(store, buckets)
     val out = dstDir
-    val manifests = rows
-      .mapPartitions(it => writePartition(it, out, lineage))(Encoders.product[Manifest])
+    val manifests = rows.queryExecution.toRdd
+      .mapPartitions(it => writePartition(it, out, lineage))
       .collect()
       .toSeq
       .sortBy(_.bucket)
@@ -539,31 +500,174 @@ object SegmentIndex {
     * into one segment file per bucket. Skips buckets whose manifest is
     * already complete (resume).
     */
+  /** Compact doc rows (bucket, doc_id, dl:int, tfmap) hashed to their bucket
+    * and doc_id-sorted within it. The write task inverts to term-major IN
+    * MEMORY ([[Inverter]]) — no exploded-posting rows exist anywhere: the
+    * explode would multiply the sorted row count ~40x and push it through
+    * Spark's external sorter, whose page-allocation contention produced 4x
+    * task-time variance at 32 threads (the measured straggler that set the
+    * whole stage wall). Sorting ~20k (int, long) doc keys per bucket is
+    * radix-cheap; posting order falls out of doc order.
+    */
+  private def segmentRows(store: DataFrame, buckets: Int): DataFrame =
+    store
+      .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"))
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+
+  /** Per-bucket in-memory term inversion — the reference's `add_document`
+    * loop (/root/reference/src/core/inverted_index.cpp:21-41) run once per
+    * bucket on the executor. Zero-copy probes: the UnsafeRow's tfmap keys are
+    * compared in place and copied only on a term's FIRST occurrence in the
+    * bucket; postings live in per-term primitive arrays.
+    *
+    * MEMORY BOUND (the scale contract): peak per concurrent write task =
+    * this bucket's postings as primitive arrays (~16 B/posting, i.e. ~3-4x
+    * the encoded segment bytes). The serving tier already requires an
+    * ENCODED segment to fit a node's RAM (eager pinned load), so bucket
+    * count must bound segment size regardless; executors cap concurrent
+    * write tasks at their core count. Pick buckets so encodedSegment * 4 *
+    * coresPerExecutor <= executor heap — the same dial that already sizes
+    * segments for serving.
+    */
+  private final class Inverter {
+    private var cap = 1 << 12 // term table (power of two)
+    private var mask = cap - 1
+    private var table = new Array[UTF8String](cap)
+    private var tableSlot = new Array[Int](cap)
+
+    var nTerms = 0
+    var nPostings = 0L
+    private var keys = new Array[UTF8String](1 << 12)
+    private var docs = new Array[Array[Long]](1 << 12)
+    private var tfs = new Array[Array[Int]](1 << 12)
+    private var dls = new Array[Array[Int]](1 << 12)
+    private var lens = new Array[Int](1 << 12)
+
+    private def growTable(): Unit = {
+      cap <<= 1; mask = cap - 1
+      val nk = new Array[UTF8String](cap)
+      val ns = new Array[Int](cap)
+      var s = 0
+      while (s < nTerms) {
+        var idx = keys(s).hashCode & mask
+        while (nk(idx) != null) idx = (idx + 1) & mask
+        nk(idx) = keys(s); ns(idx) = s
+        s += 1
+      }
+      table = nk; tableSlot = ns
+    }
+
+    private def growSlots(): Unit = {
+      val c = keys.length * 2
+      keys = java.util.Arrays.copyOf(keys, c)
+      docs = java.util.Arrays.copyOf(docs, c)
+      tfs = java.util.Arrays.copyOf(tfs, c)
+      dls = java.util.Arrays.copyOf(dls, c)
+      lens = java.util.Arrays.copyOf(lens, c)
+    }
+
+    /** Append one (docId, tf, dl) under `probe` (a transient view — copied
+      * only if this is the term's first occurrence). Call in docId order.
+      */
+    def add(probe: UTF8String, docId: Long, tf: Int, dl: Int): Unit = {
+      var slot = -1
+      var idx = probe.hashCode & mask
+      while (slot < 0) {
+        val k = table(idx)
+        if (k == null) {
+          val key = UTF8String.fromBytes(probe.getBytes) // private copy
+          if (nTerms == keys.length) growSlots()
+          table(idx) = key; tableSlot(idx) = nTerms
+          keys(nTerms) = key
+          docs(nTerms) = new Array[Long](16)
+          tfs(nTerms) = new Array[Int](16)
+          dls(nTerms) = new Array[Int](16)
+          slot = nTerms
+          nTerms += 1
+          if (nTerms * 2 > cap) growTable()
+        } else if (k.equals(probe)) slot = tableSlot(idx)
+        else idx = (idx + 1) & mask
+      }
+      val len = lens(slot)
+      if (len == docs(slot).length) {
+        val c = len * 2
+        docs(slot) = java.util.Arrays.copyOf(docs(slot), c)
+        tfs(slot) = java.util.Arrays.copyOf(tfs(slot), c)
+        dls(slot) = java.util.Arrays.copyOf(dls(slot), c)
+      }
+      docs(slot)(len) = docId
+      tfs(slot)(len) = tf
+      dls(slot)(len) = dl
+      lens(slot) = len + 1
+      nPostings += 1
+    }
+
+    /** Slot ids in term byte-lex order (UTF8String binary comparison — the
+      * exact order Spark's string sort produced in the previous design, so
+      * rebuilds stay byte-identical across engine versions).
+      */
+    def sortedSlots: Array[Int] =
+      Array.range(0, nTerms).sortWith((a, b) => keys(a).compareTo(keys(b)) < 0)
+
+    def key(slot: Int): UTF8String = keys(slot)
+    def postings(slot: Int): (Array[Long], Array[Int], Array[Int], Int) =
+      (docs(slot), tfs(slot), dls(slot), lens(slot))
+  }
+
   private def writePartition(
-      it: Iterator[org.apache.spark.sql.Row],
+      it: Iterator[InternalRow],
       outDir: String,
       lineage: Map[Int, (Long, Long)]
   ): Iterator[Manifest] = {
     val results = scala.collection.mutable.ArrayBuffer[Manifest]()
-    val buffered = it.buffered
+    val diag = sys.env.get("SPARK_GRAFT_WRITE_DIAG").contains("1")
+    var cur = Int.MinValue
+    var skipping = false
+    var inv: Inverter = null
+    var nDocs = 0L
+    var t0 = 0L
 
-    while (buffered.hasNext) {
-      val bucket = buffered.head.getInt(0)
-      // Skip ONLY when the existing manifest provably describes this run's
-      // data: same lineage XOR and doc count as the current corpus slice.
-      // A stale segment (source data changed under the same outDir) fails
-      // this check and is rebuilt in place.
-      val existing = readManifest(outDir, bucket).filter { m =>
-        lineage.get(bucket).exists { case (xor, nd) => m.lineageXor == xor && m.nDocs == nd }
+    def flush(): Unit = if (cur != Int.MinValue && !skipping) {
+      val m = writeBucket(inv, cur, nDocs, outDir, lineage)
+      if (diag)
+        System.err.println(f"[wdiag] bucket=$cur%5d docs=$nDocs%7d terms=${m.nTerms}%7d postings=${m.nPostings}%9d ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+      results += m
+    }
+
+    while (it.hasNext) {
+      val r = it.next()
+      val b = r.getInt(0)
+      if (b != cur) {
+        flush()
+        cur = b; nDocs = 0L; t0 = System.nanoTime(); inv = null
+        // Skip ONLY when the existing manifest provably describes this run's
+        // data: same lineage XOR and doc count as the current corpus slice.
+        // A stale segment (source data changed under the same outDir) fails
+        // this check and is rebuilt in place.
+        val existing = readManifest(outDir, b).filter { m =>
+          lineage.get(b).exists { case (xor, nd) => m.lineageXor == xor && m.nDocs == nd }
+        }
+        skipping = existing.isDefined
+        if (skipping) results += existing.get.copy(skipped = true)
+        else inv = new Inverter
       }
-      if (existing.isDefined) {
-        // already complete from a previous run — drain and skip
-        while (buffered.hasNext && buffered.head.getInt(0) == bucket) buffered.next()
-        results += existing.get.copy(skipped = true)
-      } else {
-        results += writeBucket(buffered, bucket, outDir, lineage)
+      if (!skipping) {
+        val docId = r.getLong(1)
+        val dl = r.getInt(2)
+        val m = r.getMap(3)
+        val ks = m.keyArray()
+        val vs = m.valueArray()
+        val ne = m.numElements()
+        var i = 0
+        while (i < ne) {
+          inv.add(ks.getUTF8String(i), docId, vs.getInt(i), dl)
+          i += 1
+        }
+        nDocs += 1
       }
     }
+    flush()
     results.iterator
   }
 
@@ -587,17 +691,16 @@ object SegmentIndex {
   }
 
   private def writeBucket(
-      rows: scala.collection.BufferedIterator[org.apache.spark.sql.Row],
+      inv: Inverter,
       bucket: Int,
+      nDocsCounted: Long,
       outDir: String,
       lineage: Map[Int, (Long, Long)]
   ): Manifest = {
-    // Stream terms straight to the .tmp file through a DigestOutputStream —
-    // the sha256 comes free and heap holds at most ONE term's posting list
-    // (the block encoder needs a whole list for max-score / block split) plus
-    // the dictionary entries (term, df, offset, len — tiny relative to
-    // postings), never the whole bucket. Rows arrive (term, doc_id)-sorted,
-    // so output bytes are deterministic (byte-identical rebuilds).
+    // Terms stream to the .tmp file through a DigestOutputStream — the
+    // sha256 comes free. Terms emit in byte-lex order, postings in docId
+    // order (doc rows arrived sorted), so output bytes are deterministic
+    // (byte-identical rebuilds).
     //
     // Layout v5: magic | bucket | term records... | DICTIONARY | dictOffset
     // (last 8 bytes). A reader seeks the dictionary and loads postings
@@ -610,46 +713,16 @@ object SegmentIndex {
       new java.security.DigestOutputStream(new BufferedOutputStream(fos, 1 << 16), digest))
     val out = new DataOutputStream(counting)
 
-    var nTerms = 0L
-    var nPostings = 0L
     val dict = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long, Long, Int)]()
-    // doc count comes from the lineage pass when available (the normal case);
-    // the HashSet fallback is only for buckets the lineage pass never saw.
-    val trackDocs = !lineage.contains(bucket)
-    val docsSeen = scala.collection.mutable.HashSet[Long]()
-    // Reusable columnar posting buffers (grow-only): zero per-posting
-    // allocation on the write hot path — a Posting object per corpus posting
-    // was a top GC source of this stage at 32 threads.
-    var pDoc = new Array[Long](1024)
-    var pTf = new Array[Int](1024)
-    var pDl = new Array[Int](1024)
-    def ensureCap(n: Int): Unit = if (n > pDoc.length) {
-      val c = math.max(n, pDoc.length * 2)
-      pDoc = java.util.Arrays.copyOf(pDoc, c)
-      pTf = java.util.Arrays.copyOf(pTf, c)
-      pDl = java.util.Arrays.copyOf(pDl, c)
-    }
 
     try {
       out.write(Magic)
       out.writeInt(bucket)
-      while (rows.hasNext && rows.head.getInt(0) == bucket) {
-        val term = rows.head.getString(1)
-        var pn = 0
-        while (rows.hasNext && rows.head.getInt(0) == bucket && rows.head.getString(1) == term) {
-          val r = rows.next()
-          ensureCap(pn + 1)
-          pDoc(pn) = r.getLong(2)
-          pTf(pn) = r.getInt(3)
-          pDl(pn) = r.getInt(4)
-          if (trackDocs) docsSeen += pDoc(pn)
-          pn += 1
-        }
-        nTerms += 1
-        nPostings += pn
+      inv.sortedSlots.foreach { slot =>
+        val (pDoc, pTf, pDl, pn) = inv.postings(slot)
         val offset = counting.count
         writeTerm(out, pDoc, pTf, pDl, pn)
-        dict += ((term.getBytes(StandardCharsets.UTF_8), pn.toLong, offset,
+        dict += ((inv.key(slot).getBytes, pn.toLong, offset,
           (counting.count - offset).toInt))
       }
       // dictionary + footer
@@ -675,8 +748,13 @@ object SegmentIndex {
     val bytes = Files.size(tmp)
     Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     val sha = digest.digest().map("%02x".format(_)).mkString
-    val (lineageXor, nDocs) = lineage.getOrElse(bucket, (0L, docsSeen.size.toLong))
-    val m = Manifest(FormatVersion, bucket, nTerms, nPostings, nDocs, bytes, sha, lineageXor, skipped = false)
+    // doc count comes from the lineage pass when available (the normal
+    // case); the fallback is the task's own doc-row count — which, unlike
+    // the old postings-derived count, also covers token-less docs (matching
+    // lineage semantics).
+    val (lineageXor, nDocs) = lineage.getOrElse(bucket, (0L, nDocsCounted))
+    val m = Manifest(FormatVersion, bucket, inv.nTerms.toLong, inv.nPostings, nDocs, bytes, sha,
+      lineageXor, skipped = false)
     writeManifest(outDir, m)
     m
   }

@@ -98,9 +98,13 @@ object SegmentSearch {
     val avgdl = meta.avgdl
 
     import spark.implicits._
+    // one segment per task (up to 4x core count): finer granularity than
+    // segments-per-core shortens the straggler tail — with 2 segments/task a
+    // single slow pair doubles the stage wall; single-segment tasks let the
+    // scheduler rebalance
     val fileDs = spark
       .createDataset(files)(Encoders.STRING)
-      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
+      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
 
     // phase 1: global df for the batch's positive terms. Results are cached
     // per INDEX STATE — (dir, n, sumDl) plus a fingerprint of the segment
@@ -138,14 +142,22 @@ object SegmentSearch {
       }.toMap
     val bc = spark.sparkContext.broadcast((parsed, idfs))
 
+    val queryDiag = sys.env.get("SPARK_GRAFT_QUERY_DIAG").contains("1")
     val hits = fileDs
       .mapPartitions { paths =>
         val (qs, idfMap) = bc.value
         paths.flatMap { p =>
+          val t0 = if (queryDiag) System.nanoTime() else 0L
           val seg = loadCached(p)
-          qs.iterator.flatMap { case (qid, pq) =>
+          val out = qs.iterator.flatMap { case (qid, pq) =>
             Wand.searchSegment(seg, pq, idfMap, avgdl, k).iterator
               .map(h => QueryHit(qid, h.docId, h.score))
+          }
+          if (!queryDiag) out
+          else {
+            val buf = out.toVector // force, so the timing covers the search
+            System.err.println(f"[qdiag] ${p.split('/').last}%-18s ${(System.nanoTime() - t0) / 1e6}%8.1f ms  thread=${Thread.currentThread().getName}")
+            buf.iterator
           }
         }
       }(Encoders.product[QueryHit])

@@ -117,11 +117,19 @@ object PdfSource {
           val n = extractor.pageCount(path)
           if (n <= 0)
             Iterator.single(RawPage(fileName, "pdf", path, 0, "", did_ocr = false, "no_pages"))
-          else (1 to n).iterator.map { p =>
-            val layer = extractor.textLayer(path, p)
-            val doOcr = shouldOcrPage(layer)
-            val text = if (doOcr) mergeOcr(layer, extractor.ocr(path, p)) else layer
-            RawPage(fileName, "pdf", path, p, text, doOcr, null)
+          else {
+            // materialize THIS file's pages eagerly: a lazy iterator would
+            // throw during downstream consumption, OUTSIDE this try — a
+            // page-3 extraction failure must mark the file bad (whole-file
+            // isolation, reference swallow-and-continue), not kill the task.
+            // Page counts are bounded (one file), so this doesn't buffer
+            // unboundedly.
+            (1 to n).map { p =>
+              val layer = extractor.textLayer(path, p)
+              val doOcr = shouldOcrPage(layer)
+              val text = if (doOcr) mergeOcr(layer, extractor.ocr(path, p)) else layer
+              RawPage(fileName, "pdf", path, p, text, doOcr, null)
+            }.iterator
           }
         } catch {
           case e: Exception =>

@@ -62,6 +62,24 @@ class PdfSourceSpec extends SparkTestBase {
     assert(byKey(("/corpus/rich.pdf", 2)).text.startsWith("page 2 of the rich"))
   }
 
+  test("pages: a MID-FILE page failure marks the whole file bad, task survives") {
+    object MidFail extends PdfSource.PageExtractor {
+      def pageCount(path: String): Int = if (path.endsWith("mid.pdf")) 4 else 1
+      def textLayer(path: String, page: Int): String =
+        if (path.endsWith("mid.pdf") && page == 3) throw new RuntimeException("page 3 unreadable")
+        else s"fine page $page with a comfortably thick embedded text layer " +
+          "alpha bravo charlie delta echo foxtrot golf hotel"
+      def ocr(path: String, page: Int): String = ""
+    }
+    val (pagesDs, badDs) = PdfSource.pages(spark, Seq("/c/mid.pdf", "/c/good.pdf"), MidFail)
+    val bad = badDs.collect().map(b => b.source_path -> b.reason).toMap
+    // page 3 of 4 threw DURING extraction: whole-file isolation, no partial pages
+    assert(bad.keySet == Set("/c/mid.pdf"))
+    assert(bad("/c/mid.pdf").contains("page 3 unreadable"))
+    val pages = pagesDs.collect()
+    assert(pages.map(_.source_path).toSet == Set("/c/good.pdf"))
+  }
+
   test("shouldOcrPage matches the row-level policy thresholds") {
     assert(PdfSource.shouldOcrPage("")) // empty
     assert(PdfSource.shouldOcrPage("short but words " * 2)) // >=50 chars? no — 32 chars
