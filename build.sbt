@@ -28,9 +28,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
-  // throughput-batch workload: ParallelGC beats G1 for the allocation-heavy
-  // tokenize/shuffle passes (set SPARK_GRAFT_GC=g1 to revert)
-  if (sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") == "parallel") "-XX:+UseParallelGC" else "-XX:+UseG1GC",
+  // G1 default: at the 24g heap ParallelGC collapses on the segment-write
+  // stage (258 s GC of 330 s task time at local[32], StageDiag — old-gen
+  // churn from external-sort pages); G1 builds the same index 5x faster.
+  // The old ParallelGC-wins result was measured on the 8g heap.
+  if (sys.env.getOrElse("SPARK_GRAFT_GC", "g1") == "parallel") "-XX:+UseParallelGC" else "-XX:+UseG1GC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g default: at local[32] the allocation-heavy build/serve paths need GC
