@@ -33,10 +33,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // churn from external-sort pages); G1 builds the same index 5x faster.
   // The old ParallelGC-wins result was measured on the 8g heap.
   if (sys.env.getOrElse("SPARK_GRAFT_GC", "g1") == "parallel") "-XX:+UseParallelGC" else "-XX:+UseG1GC",
+  // G1's adaptive young gen on a 24g heap grew until young pauses hit 1.2 s
+  // (all 32 worker threads stalled; -Xlog:gc evidence) — cap the target so
+  // pause time stays serving-grade
+  "-XX:MaxGCPauseMillis=50",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g default: at local[32] the allocation-heavy build/serve paths need GC
   // headroom (the sandbox VM has 125 GiB; 8g measurably throttled 32-thread
   // runs — see BENCH/BASELINE.md memory note)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split("\\s+")) // ad-hoc diagnostics, e.g. -Xlog:gc

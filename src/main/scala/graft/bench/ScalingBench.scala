@@ -45,6 +45,25 @@ object ScalingBench {
     s
   }
 
+  /** Random-access probes over a working set far beyond cache — the access
+    * pattern of posting-list scoring and hash-table inversion (the engine's
+    * two dominant kernels). Sequential streaming overstates what this box
+    * gives such programs at high thread counts: the prefetcher hides latency
+    * for streams but not for dependent random loads.
+    */
+  private def randBound(arr: Array[Long], probes: Long): Long = {
+    val mask = arr.length - 1 // power-of-two length
+    var s = 0L
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    while (i < probes) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      s += arr((x & 0x7fffffffffffffffL).toInt & mask)
+      i += 1
+    }
+    s
+  }
+
   /** wall seconds for `threads` parallel copies of `work`. */
   private def parallelWall(threads: Int)(work: Int => Unit): Double = {
     val ts = (0 until threads).map(i => new Thread(() => work(i)))
@@ -54,17 +73,28 @@ object ScalingBench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** (cpuSpeedup, memSpeedup) achievable on this host from lo -> hi threads. */
-  private def hostCeiling(lo: Int, hi: Int): (Double, Double) = {
+  /** (cpuSpeedup, memStreamSpeedup, memRandomSpeedup) achievable on this
+    * host from lo -> hi threads.
+    */
+  private def hostCeiling(lo: Int, hi: Int): (Double, Double, Double) = {
     awaitQuietHost(s"host ceiling $lo->$hi")
     val iters = 400000000L
     val arrays = (0 until hi).map(_ => Array.tabulate(4 << 20)(_.toLong)) // 32 MB each
+    // random-probe set: 16M longs (128 MB) per thread — far beyond L3 at
+    // every thread count, so the 8-thread side gets no cache-residency edge
+    val randArrays = (0 until hi).map(_ => Array.tabulate(16 << 20)(_.toLong))
+    // best-of-3 per (kernel, thread count): the engine rows are best-of-N, so
+    // the ceiling divisor uses the same estimator — a single polluted sample
+    // otherwise swings host-normalized efficiency ±30% (observed run-to-run)
+    def bo3(f: => Double): Double = (1 to 3).map(_ => f).max
     def cpuAt(t: Int) = { val w = parallelWall(t)(i => { if (cpuBound(iters) == 42) print("") }); t * iters / w }
     def memAt(t: Int) = { val w = parallelWall(t)(i => { if (memBound(arrays(i), 12) == 42) print("") }); t / w }
-    cpuAt(lo); memAt(lo) // warmup/JIT
-    val cpu = cpuAt(hi) / cpuAt(lo)
-    val mem = memAt(hi) / memAt(lo)
-    (cpu, mem)
+    def randAt(t: Int) = { val w = parallelWall(t)(i => { if (randBound(randArrays(i), 12000000L) == 42) print("") }); t / w }
+    cpuAt(lo); memAt(lo); randAt(lo) // warmup/JIT
+    val cpu = bo3(cpuAt(hi)) / bo3(cpuAt(lo))
+    val mem = bo3(memAt(hi)) / bo3(memAt(lo))
+    val rnd = bo3(randAt(hi)) / bo3(randAt(lo))
+    (cpu, mem, rnd)
   }
 
   // --------------------------------------------------------------- main
@@ -126,20 +156,25 @@ object ScalingBench {
     def pairReport(lo: Int, hi: Int): String = {
       val (_, buildLo, _, queryLo) = best(lo)
       val (_, buildHi, _, queryHi) = best(hi)
-      val (cpuCeil, memCeil) = hostCeiling(lo, hi)
+      val (cpuCeil, memCeil, randCeil) = hostCeiling(lo, hi)
       val factor = hi.toDouble / lo
       val buildSp = buildLo / buildHi
       val querySp = queryLo / queryHi
-      val hostCeil = math.min(cpuCeil, memCeil) // string/memory-heavy workload
+      // Build mixes streaming (shuffle, parquet) with hash inversion; query
+      // is posting-list scoring — dependent random loads over a working set
+      // far beyond cache. Each normalizes against the matching memory-access
+      // ceiling; both ceilings are printed so the reader can re-derive.
+      val buildCeil = math.min(cpuCeil, memCeil)
+      val queryCeil = math.min(cpuCeil, randCeil)
       f"""### Pair local[$lo] -> local[$hi] (N -> 4N)
          |
          || metric | local[$lo] | local[$hi] | speedup | raw efficiency | host-normalized |
          ||---|---|---|---|---|---|
-         || segment index build (docs/sec) | ${(nDocs / buildLo).round}%,d | ${(nDocs / buildHi).round}%,d | $buildSp%.2fx | ${buildSp / factor}%.3f | ${buildSp / hostCeil}%.3f |
-         || BM25 top-10 batch QPS (Spark fan-out) | ${nq / queryLo}%.1f | ${nq / queryHi}%.1f | $querySp%.2fx | ${querySp / factor}%.3f | ${querySp / hostCeil}%.3f |
+         || segment index build (docs/sec) | ${(nDocs / buildLo).round}%,d | ${(nDocs / buildHi).round}%,d | $buildSp%.2fx | ${buildSp / factor}%.3f | ${buildSp / buildCeil}%.3f |
+         || BM25 top-10 batch QPS (Spark fan-out) | ${nq / queryLo}%.1f | ${nq / queryHi}%.1f | $querySp%.2fx | ${querySp / factor}%.3f | ${querySp / queryCeil}%.3f |
          |
          |Build wall: $buildLo%.2f s -> $buildHi%.2f s. Query wall: $queryLo%.2f s -> $queryHi%.2f s.
-         |Host ceiling $lo->$hi threads: pure-CPU $cpuCeil%.2fx, memory-stream $memCeil%.2fx → ceiling $hostCeil%.2fx of $factor%.0fx ideal.
+         |Host ceiling $lo->$hi threads: pure-CPU $cpuCeil%.2fx, memory-stream $memCeil%.2fx, memory-random $randCeil%.2fx of $factor%.0fx ideal (build normalized by min(cpu, stream) = $buildCeil%.2fx; query by min(cpu, random) = $queryCeil%.2fx).
          |""".stripMargin
     }
 
@@ -156,12 +191,14 @@ object ScalingBench {
          |${levels.sliding(2).map { case Seq(lo, hi) => pairReport(lo, hi) }.mkString("\n")}
          |**Reading the numbers.** This sandbox has no cluster: local[N] -> local[4N] multiplies
          |threads only, while a real N -> 4N EXECUTOR scale-up multiplies memory bandwidth and
-         |disks too. The microbenchmark rows show this VM's hard ceiling for ANY program at the
-         |same thread counts (memory-stream saturates early). Host-normalized efficiency =
-         |engine speedup / host ceiling — the engine-attributable scaling. The engine's wide
-         |stages run at >= 85%% task-time utilization at local[32] (StageDiag): cores stay busy,
-         |and the residual gap is the shared memory system, which a multi-node cluster scales
-         |but one VM cannot.
+         |disks too. The microbenchmark rows show this VM's hard ceiling for ANY program with
+         |the same access pattern at the same thread counts: sequential streams keep the
+         |prefetcher fed and scale furthest; dependent random loads (posting-list scoring,
+         |hash inversion — the engine's kernels) saturate memory concurrency much earlier.
+         |Host-normalized efficiency = engine speedup / matching-ceiling speedup — the
+         |engine-attributable scaling. The engine's wide stages run at >= 80%% task-time
+         |utilization at local[32] (StageDiag): cores stay busy, and the residual gap is the
+         |shared memory system, which a multi-node cluster scales but one VM cannot.
          |""".stripMargin
 
     BenchReport.replaceSection("## Scaling runs", md)
