@@ -206,6 +206,15 @@ object SparkEntry {
       graft.pipeline.Dedup.keepAfterNearDup(
         documents(s, dir),
         graft.pipeline.Dedup.minhashNearDups(documents(s, dir), w = 3, jMicrosThreshold = 300000L))),
+    // --- benchmark decontamination (shingle overlap vs a deterministic
+    //     10% eval set; eval members excluded from the output) ---
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.pipeline.Dedup.decontaminate(
+        docs,
+        graft.pipeline.Sampling.sampleDeterministic(docs, rateMicros = 100000L, salt = "eval"),
+        w = 5)
+    }),
     // --- SimHash signatures ---
     "q_dedup_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(documents(s, dir))),
@@ -344,6 +353,13 @@ object SparkEntry {
     "q_dedup_minhash_capped" -> minhashOracle(maxBucket = 2L),
     "q_dedup_clusters" -> clustersOracle,
     "q_dedup_keep" -> keeperOracle,
+    "q_decontaminate" ->
+      s"""${shingleCte(5)},
+         |eval AS (SELECT doc_id FROM documents
+         |  WHERE CAST(('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < 100000),
+         |esh AS (SELECT DISTINCT sh FROM sh JOIN eval USING (doc_id)),
+         |cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN esh USING (sh))
+         |SELECT doc_id FROM cont WHERE doc_id NOT IN (SELECT doc_id FROM eval)""".stripMargin,
     "q_pack" ->
       s"""$tokCte,
          |pre AS (SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,

@@ -247,6 +247,26 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: flag corpus docs that share ANY w-token
+    * shingle with an eval/benchmark document — the overlap check every
+    * training pipeline runs before a data release. Output: the contaminated
+    * (doc_id)s, eval members themselves excluded (they ARE the benchmark).
+    *
+    * Scale shape: the eval side is tiny relative to the corpus (a benchmark
+    * suite vs a crawl), so its distinct shingles BROADCAST; the corpus side
+    * is one row-local shingle explode + broadcast left-semi join — the only
+    * corpus-wide exchange is the final distinct over the (small)
+    * contaminated id set. No eval x corpus shuffle ever materializes.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, w: Int): DataFrame = {
+    val evalSh = shingles(evalDocs, w).select(col("sh")).distinct()
+    shingles(docs, w)
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+      .join(evalDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
   /** The dedup decision a training pipeline actually executes: keep every
     * doc that is not near-duplicated, and exactly ONE representative (the
     * min-doc_id keeper = its cluster id) per transitive near-dup cluster.

@@ -97,6 +97,18 @@ class PipelineSpec extends SparkTestBase {
     assert(got.size == 124)
   }
 
+  test("decontaminate: shingle overlap flags corpus docs, eval members excluded") {
+    val docs = docsDF(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight", // eval
+      2L -> "prefix words then the quick brown fox jumps right through", // shares 5-gram with 1
+      3L -> "completely different content with no overlapping phrases at all",
+      4L -> "quick brown fox jumps over everything else entirely" // shares 'quick brown fox jumps over' with 1
+    ))
+    val eval_ = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+    val flagged = Dedup.decontaminate(docs, eval_, w = 5).collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(2L, 4L)) // 3 clean, 1 is eval itself
+  }
+
   test("keepAfterNearDup: keeps non-dups + one min-id representative per cluster") {
     val sp = spark
     import sp.implicits._
