@@ -262,6 +262,9 @@ object SparkEntry {
     // --- corpus mix accounting (docs/tokens/share per lang x source) ---
     "q_mix" -> ((s, dir) =>
       graft.pipeline.Sampling.mix(documents(s, dir))),
+    // --- deterministic mix rebalancing (cap each lang at 18% of docs) ---
+    "q_rebalance" -> ((s, dir) =>
+      graft.pipeline.Sampling.rebalance(documents(s, dir), capMicros = 180000L, salt = "mix1")),
     // --- token-budget shard packing (two-pass prefix sum, no global window) ---
     "q_pack" -> ((s, dir) =>
       graft.pipeline.Sampling.packShards(documents(s, dir), budgetTokens = 40000L)),
@@ -360,6 +363,12 @@ object SparkEntry {
          |esh AS (SELECT DISTINCT sh FROM sh JOIN eval USING (doc_id)),
          |cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN esh USING (sh))
          |SELECT doc_id FROM cont WHERE doc_id NOT IN (SELECT doc_id FROM eval)""".stripMargin,
+    "q_rebalance" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |r AS (SELECT lang, LEAST(1000000, 180000 * t.total // c.n) AS rate_micros FROM c, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5('mix1:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.rate_micros""".stripMargin,
     "q_pack" ->
       s"""$tokCte,
          |pre AS (SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,

@@ -76,6 +76,38 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("shard_id"))
   }
 
+  /** Deterministic mix rebalancing: cap every language at `capMicros` of the
+    * corpus DOC count by downsampling overweight languages with the same
+    * salted-hash rule as [[sampleDeterministic]] — so the kept set is a pure
+    * function of (salt, doc_id) and stays STABLE as the corpus grows.
+    * rate_lang = min(1e6, capMicros * total / n_lang), computed in INTEGER
+    * micro-units (floor division) so any engine reproduces the exact rows.
+    *
+    * Scale shape: one tiny per-lang count aggregation (|langs| rows,
+    * collected and re-broadcast as a literal rate table), then a row-local
+    * hash filter behind a broadcast join — the corpus is never shuffled.
+    * Output: (doc_id, lang) of the surviving docs.
+    */
+  def rebalance(docs: DataFrame, capMicros: Long, salt: String): DataFrame = {
+    require(capMicros > 0 && capMicros <= 1000000L, "cap must be in (0, 1e6] micro-units")
+    val spark = docs.sparkSession
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+    val total = counts.map(_.getLong(1)).sum
+    val rates = counts.map { r =>
+      val n = r.getLong(1)
+      (r.getString(0), math.min(1000000L, capMicros * total / n)) // integer floor div
+    }
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF("lang", "rate_micros")
+    val h = conv(
+      substring(md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    docs
+      .join(broadcast(rateDf), Seq("lang"))
+      .filter(pmod(h, lit(1000000L)) < col("rate_micros"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Corpus mix accounting: documents and reference-token counts per
     * (lang, source) with each cell's token share in micro-units. One
     * tokenize pass, one small aggregation; the total joins back via a

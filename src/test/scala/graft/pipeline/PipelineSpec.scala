@@ -97,6 +97,24 @@ class PipelineSpec extends SparkTestBase {
     assert(got.size == 124)
   }
 
+  test("rebalance: overweight lang downsampled toward cap, rare langs kept whole, stable") {
+    val sp = spark
+    import sp.implicits._
+    // 1600 docs: 1400 "en" (87.5%), 200 "fr" (12.5%); cap = 25%
+    val docs = (1L to 1600L)
+      .map(i => (i, s"text $i", if (i <= 1400) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val kept = Sampling.rebalance(docs, capMicros = 250000L, salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("fr") == 200, "under-cap lang must be kept whole (rate 1e6)")
+    // en rate = 250000*1600/1400 = 285714 micro -> expect ~400 of 1400; hash noise tolerated
+    assert(byLang("en") > 300 && byLang("en") < 500, s"got ${byLang("en")}")
+    // deterministic: same inputs -> same rows
+    val again = Sampling.rebalance(docs, 250000L, "s").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("decontaminate: shingle overlap flags corpus docs, eval members excluded") {
     val docs = docsDF(Seq(
       1L -> "the quick brown fox jumps over the lazy dog tonight", // eval
