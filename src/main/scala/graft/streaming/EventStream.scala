@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming twin of the batch hourly rollup
@@ -61,6 +61,57 @@ object EventStream {
     StructField("source", StringType),
     StructField("lang", StringType)
   ))
+
+  final case class Doc(doc_id: Long, text: String, source: String, lang: String)
+
+  /** Streaming EXACT DEDUP with custom state — flatMapGroupsWithState keyed
+    * by sha256(text): the first doc carrying a given content hash passes
+    * (ties within a micro-batch break on min doc_id, matching the batch
+    * operator's keep-min rule); every later sighting — same batch or any
+    * later one — is dropped by the per-key Boolean state. The state store is
+    * checkpointed with the query, so a restarted stream keeps rejecting
+    * hashes it has already passed.
+    *
+    * Scale shape: state is one boolean per DISTINCT content hash (not per
+    * doc), partitioned by the groupByKey exchange over sha — the same key
+    * distribution as the batch hash-groupBy dedup.
+    */
+  def dedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery = {
+    import spark.implicits._
+    val q = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .withColumn("sha", sha2(col("text"), 256))
+      .as[(Long, String, String, String, String)]
+      .groupByKey(_._5)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, String, String, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._1)
+            Iterator.single(Doc(first._1, first._2, first._3, first._4))
+          }
+      }
+      .writeStream
+      // parquet FILE sink: checkpoint-recoverable and exactly-once (its
+      // file log commits atomically with the query checkpoint) — a restart
+      // resumes the state store AND never double-writes surviving docs
+      .format("parquet")
+      .option("path", outDir)
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 
   /** Streaming INDEX ingestion: readStream over a document directory ->
     * foreachBatch appending each micro-batch as new segments via

@@ -33,6 +33,47 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("stateful streaming exact dedup (flatMapGroupsWithState) == batch keep-min; state survives restart") {
+    val sp = spark
+    import sp.implicits._
+    // three micro-batches; content "dup-X" recurs within AND across batches
+    val batches = Seq(
+      Seq((1L, "dup-a"), (2L, "unique-1"), (5L, "dup-a")), // in-batch dup: min id 1 wins
+      Seq((3L, "dup-a"), (4L, "dup-b"), (6L, "unique-2")), // cross-batch dup: 3 dropped
+      Seq((7L, "dup-b"), (8L, "unique-3"))                 // cross-batch dup: 7 dropped
+    )
+    val flat = Files.createTempDirectory("graft-dedup-flat").toString
+    batches.zipWithIndex.foreach { case (g, i) =>
+      val tmp = Files.createTempDirectory(s"graft-dedup-part$i").toString
+      g.map { case (id, t) => (id, t, s"src${id % 2}", "en") }
+        .toDF("doc_id", "text", "source", "lang")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, java.nio.file.Paths.get(flat, s"batch$i.parquet")))
+    }
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-dedup-out").toString
+    EventStream.dedupStream(spark, flat, outDir, ckpt)
+    val kept = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 6L, 8L)) // first sighting per content, min-id in-batch
+
+    // restart with a NEW file repeating old content + one new doc: the
+    // checkpointed state still rejects the old hashes
+    val more = Seq((9L, "dup-a", "src1", "en"), (10L, "unique-4", "src0", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val tmp2 = Files.createTempDirectory("graft-dedup-more").toString
+    more.coalesce(1).write.mode("overwrite").parquet(tmp2)
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Paths.get(tmp2)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.copy(p, java.nio.file.Paths.get(flat, "batch3.parquet")))
+    EventStream.dedupStream(spark, flat, outDir, ckpt)
+    val kept2 = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept + 10L, s"restarted stream must add only the new content, got $kept2")
+  }
+
   test("streaming index ingestion (foreachBatch addDocuments) == one batch rebuild") {
     val sp = spark
     import sp.implicits._
