@@ -74,7 +74,11 @@ object Workload {
     */
   def hostBusyFrac(sampleMs: Long = 2000): Double = {
     def snap(): (Long, Long) = {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      // Files.readString, not scala.io.Source: Source leaks the descriptor
+      // unless explicitly closed, and awaitQuietHost polls this in a loop.
+      val l = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next()
       val f = l.trim.split("\\s+").drop(1).map(_.toLong)
       val idle = f(3) + f(4) // idle + iowait
       (f.sum, idle)

@@ -152,7 +152,13 @@ object Dedup {
       jMicrosThreshold: Long = 300000L,
       maxBucket: Long = 0L
   ): DataFrame = {
-    val sh = shingles(docs, w).persist() // exact-Jaccard verify needs the sets
+    // `sh` appears three times in the result plan (sizes, sa, sb), all above
+    // the SAME distinct-aggregate exchange — ReuseExchange computes the
+    // tokenize+explode+shuffle once and the other branches read the shuffle
+    // files. No persist: cached blocks would pin executor storage for the
+    // session's lifetime (a long-lived pipeline driver leaks them), and at
+    // 100 TB the shingle set must not live in cache anyway.
+    val sh = shingles(docs, w)
     val pairs = lshCandidatePairs(lshBands(minhashSignatures(docs, w)), maxBucket)
     jaccard(pairs, sh).filter(col("j_micros") >= jMicrosThreshold)
   }
@@ -184,9 +190,9 @@ object Dedup {
     *       instead of O(diameter), the same shortcutting idea as the
     *       alternating large-star/small-star MapReduce CC algorithm.
     *
-    * Lineage is truncated with localCheckpoint() every 10 rounds so Catalyst
-    * never re-analyzes an ever-deepening plan (quadratic planning otherwise);
-    * per-round persist bounds recompute. This is how cluster-level keeper
+    * Lineage is truncated with localCheckpoint() EVERY round (the doubling
+    * step references the stepped frame twice, so the plan would double per
+    * round without truncation); per-round persist bounds recompute. This is how cluster-level keeper
     * selection works at 100 TB (GraphFrames-style CC without the dependency).
     * Output: (doc_id, cluster_id).
     */

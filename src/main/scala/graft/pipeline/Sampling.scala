@@ -37,9 +37,14 @@ object Sampling {
     * Scale shape: a naive `sum() OVER (ORDER BY doc_id)` is a single-task
     * global window — anti-scale. This is the two-pass prefix sum instead
     * (the DocIdAssigner pattern): range-exchange on doc_id, per-partition
-    * token totals prefix-summed on the driver (one long per partition), then
-    * a WITHIN-partition running sum plus the broadcast partition offset.
-    * The partition id is frozen as a data column (coalesce-fusion safe).
+    * token totals collected to the driver (one long per partition) by pass 1,
+    * then pass 2 adds the exclusive partition offset to a within-partition
+    * running sum. Both passes run over the SAME RDD object, so the range
+    * exchange is shuffled once and pass 2 reads the shuffle files — no
+    * persist(), nothing left in executor storage after the job. (The
+    * mapPartitionsWithIndex index is the PARENT split index, carried in the
+    * partition object itself — unlike TaskContext.getPartitionId it is
+    * stable under downstream coalesce fusion.)
     * Output: (doc_id, n_tokens, shard_id).
     */
   def packShards(docs: DataFrame, budgetTokens: Long): DataFrame = {
@@ -52,28 +57,31 @@ object Sampling {
         call_function("ref_tokenize_tf", col("text")).getField("dl").cast("long").as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    parts.count() // freeze __pid before dependent jobs
+      .select(col("doc_id").cast("long"), col("n_tokens"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .rdd
 
-    val sums = parts
-      .groupBy(col("__pid"))
-      .agg(sum(col("n_tokens")).as("t"))
+    // pass 1: one long per partition
+    val partTotals = parts
+      .mapPartitions(it => Iterator.single(it.foldLeft(0L)(_ + _._2)))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    var acc = 0L
-    val offsets = sums.map { case (pid, t) => val row = (pid, acc); acc += t; row }
-    import spark.implicits._
-    val offsetsDf = offsets.toSeq.toDF("__pid", "__toff")
+    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive prefix per partition
 
-    val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    parts
-      .join(broadcast(offsetsDf), Seq("__pid"))
-      .withColumn("__pre", col("__toff") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("shard_id", expr(s"__pre DIV ${budgetTokens}L")) // exact integer division both engines
-      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+    // pass 2: within-partition running sum + broadcast offset (reuses the
+    // pass-1 shuffle; the in-partition sort re-runs, which is the same cost
+    // the old window-function pass paid)
+    val offsetsBc = spark.sparkContext.broadcast(offsets)
+    val packed = parts.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsetsBc.value(pid)
+      it.map { case (docId, nTok) =>
+        val shard = acc / budgetTokens // exclusive prefix -> floor div
+        acc += nTok
+        (docId, nTok, shard)
+      }
+    }
+    import spark.implicits._
+    packed.toDF("doc_id", "n_tokens", "shard_id")
   }
 
   /** Deterministic mix rebalancing: cap every language at `capMicros` of the

@@ -114,7 +114,11 @@ object Similarity {
     * their member vectors. Output: (query_id, rank, vec_id, cos_micros).
     */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
-    val v = prepared(emb).persist() // read by centroids collect + assignment + query scans
+    // No persist: `prepared` is a row-local map over the parquet scan — the
+    // centroid collect and the two result branches each re-scan, which is
+    // cheaper at scale than pinning N x dim doubles in executor storage
+    // (and the q branch's isin filter pushes down to its own scan).
+    val v = prepared(emb)
     val cents = centroids(v, numCentroids)
     val assign = ivfAssignPrepared(v, cents)
 
@@ -162,9 +166,14 @@ object Similarity {
     */
   def ivfNearDups(emb: DataFrame, numCentroids: Int, cosMicrosThreshold: Long): DataFrame = {
     val v = prepared(emb)
-    // persist: the self-join would otherwise evaluate the nearest-centroid
-    // fold (the operator's dominant scan) once per join side
-    val assign = ivfAssignPrepared(v, centroids(v, numCentroids)).persist()
+    // The self-join's two sides are IDENTICAL subplans, so the nearest-
+    // centroid fold (the operator's dominant scan) runs ONCE: the join's own
+    // Exchange(centroid_id) on each side is deduplicated by ReuseExchange and
+    // both sides read the same shuffle files. The merge hint forces the
+    // shuffle join — a broadcast of one side would instead evaluate the fold
+    // a second time into the broadcast AND defeat the per-cell co-location.
+    // No persist: nothing left in executor storage after the job.
+    val assign = ivfAssignPrepared(v, centroids(v, numCentroids)).hint("merge")
     assign.as("a")
       .join(
         assign.as("b"),
