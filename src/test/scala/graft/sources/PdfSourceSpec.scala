@@ -35,9 +35,12 @@ class PdfSourceSpec extends SparkTestBase {
 
   test("pages: per-page rows, reference OCR policy + merge, per-file error isolation") {
     val paths = Seq("/corpus/rich.pdf", "/corpus/scanny.pdf", "/corpus/corrupt.pdf", "/corpus/empty.pdf")
-    val (pagesDs, badDs) = PdfSource.pages(spark, paths, FakeExtractor)
-    val pages = pagesDs.collect().sortBy(p => (p.source_path, p.page_number))
-    val bad = badDs.collect().map(b => b.source_path -> b.reason).toMap
+    val (pages, bad) = PdfSource.pages(spark, paths, FakeExtractor) { (pagesDs, badDs) =>
+      (pagesDs.collect().sortBy(p => (p.source_path, p.page_number)),
+        badDs.collect().map(b => b.source_path -> b.reason).toMap)
+    }
+    // loan scope released its scratch cache — nothing persists after the op
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
 
     // corrupt + empty land in the bad side output; good files are unaffected
     assert(bad.keySet == Set("/corpus/corrupt.pdf", "/corpus/empty.pdf"))
@@ -71,13 +74,70 @@ class PdfSourceSpec extends SparkTestBase {
           "alpha bravo charlie delta echo foxtrot golf hotel"
       def ocr(path: String, page: Int): String = ""
     }
-    val (pagesDs, badDs) = PdfSource.pages(spark, Seq("/c/mid.pdf", "/c/good.pdf"), MidFail)
-    val bad = badDs.collect().map(b => b.source_path -> b.reason).toMap
+    val (pages, bad) = PdfSource.pages(spark, Seq("/c/mid.pdf", "/c/good.pdf"), MidFail) {
+      (pagesDs, badDs) =>
+        (pagesDs.collect(), badDs.collect().map(b => b.source_path -> b.reason).toMap)
+    }
     // page 3 of 4 threw DURING extraction: whole-file isolation, no partial pages
     assert(bad.keySet == Set("/c/mid.pdf"))
     assert(bad("/c/mid.pdf").contains("page 3 unreadable"))
-    val pages = pagesDs.collect()
     assert(pages.map(_.source_path).toSet == Set("/c/good.pdf"))
+  }
+
+  test("SubprocessExtractor: real ProcessBuilder path end-to-end against stub poppler/tesseract") {
+    import java.nio.file.{Files, Paths}
+    val bin = Files.createTempDirectory("graft-pdfstub-bin")
+    def stub(name: String, body: String): Unit = {
+      val p = bin.resolve(name)
+      Files.write(p, s"#!/bin/sh\n$body\n".getBytes("UTF-8"))
+      p.toFile.setExecutable(true)
+    }
+    // pdfinfo <path>: doc.pdf has 3 pages; corrupt.pdf exits 1 with no
+    // output (-> pageCount 0 -> whole file bad); hang.pdf sleeps past the
+    // extractor timeout (-> hard failure -> whole file bad)
+    stub("pdfinfo",
+      """case "$1" in
+        |  *doc.pdf) printf 'Title: stub\nPages: 3\n' ;;
+        |  *hang.pdf) sleep 30 ;;
+        |  *) exit 1 ;;
+        |esac""".stripMargin)
+    // pdftotext -layout -f N -l N <path> -  ($3 = page): page 1 rich,
+    // page 2 thin (< 50 chars -> OCR fires), page 3 FAILS nonzero with no
+    // output — reference popen semantics capture "" and fall through to OCR
+    stub("pdftotext",
+      """case "$3" in
+        |  1) printf 'embedded page one text layer with plenty of words alpha bravo charlie delta echo foxtrot golf hotel india juliet' ;;
+        |  2) printf 'thin' ;;
+        |  3) exit 1 ;;
+        |esac""".stripMargin)
+    // pdftoppm -png -r 300 -f N -l N <path> <prefix> ($5 = page, $9 =
+    // prefix): renders p-2.png for page 2; page 3's render FAILS -> the OCR
+    // is a SOFT "" and page 3 ships with an empty merged text
+    stub("pdftoppm",
+      """case "$5" in
+        |  2) : > "$9-$5.png" ;;
+        |  *) exit 1 ;;
+        |esac""".stripMargin)
+    stub("tesseract", """printf 'OCR RECOVERED BY STUB'""")
+
+    val ex = new PdfSource.SubprocessExtractor(timeoutSec = 3, pathPrepend = Some(bin.toString))
+    val paths = Seq("/corpus/doc.pdf", "/corpus/corrupt.pdf", "/corpus/hang.pdf")
+    val (pages, bad) = PdfSource.pages(spark, paths, ex) { (pagesDs, badDs) =>
+      (pagesDs.collect().sortBy(_.page_number),
+        badDs.collect().map(b => b.source_path -> b.reason).toMap)
+    }
+    // per-FILE isolation: pdfinfo nonzero -> no_pages; timeout -> hard fail
+    assert(bad.keySet == Set("/corpus/corrupt.pdf", "/corpus/hang.pdf"))
+    assert(bad("/corpus/corrupt.pdf") == "no_pages")
+    assert(bad("/corpus/hang.pdf").contains("timed out"))
+
+    assert(pages.map(_.page_number).toSeq == Seq(1, 2, 3))
+    val Seq(p1, p2, p3) = pages.toSeq
+    assert(!p1.did_ocr && p1.text.startsWith("embedded page one"))
+    // thin layer -> pdftoppm + tesseract ran -> reference merge
+    assert(p2.did_ocr && p2.text == "thin\nOCR RECOVERED BY STUB")
+    // failing pdftotext -> "" layer -> OCR fires -> render fails -> soft ""
+    assert(p3.did_ocr && p3.text == "")
   }
 
   test("shouldOcrPage matches the row-level policy thresholds") {
