@@ -74,15 +74,28 @@ object EventStream {
     *
     * Scale shape: state is one boolean per DISTINCT content hash (not per
     * doc), partitioned by the groupByKey exchange over sha — the same key
-    * distribution as the batch hash-groupBy dedup.
+    * distribution as the batch hash-groupBy dedup. At 100 TB that is
+    * BILLIONS of keys, and the default HDFSBackedStateStoreProvider keeps
+    * every key of every maintained version on the executor heap — pass
+    * `stateStoreProvider = Some(RocksDbProvider)` (the 100 TB configuration)
+    * to spill state to executor-local RocksDB instead. The provider is baked
+    * into a checkpoint at first start; restarts must pass the same one.
     */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def dedupStream(
       spark: SparkSession,
       inputDir: String,
       outDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      stateStoreProvider: Option[String] = None
   ): StreamingQuery = {
     import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
+    try {
     val q = spark.readStream
       .schema(docsSchema)
       .option("maxFilesPerTrigger", 1)
@@ -111,6 +124,15 @@ object EventStream {
       .start()
     q.awaitTermination()
     q
+    } finally {
+      // the conf was captured by the started query; restore the session
+      stateStoreProvider.foreach { _ =>
+        prevProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
   }
 
   /** Streaming INDEX ingestion: readStream over a document directory ->

@@ -33,7 +33,11 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
-  test("stateful streaming exact dedup (flatMapGroupsWithState) == batch keep-min; state survives restart") {
+  /** The dedup scenario, parameterized by state-store provider: three
+    * micro-batches with in-batch and cross-batch dups, then a restart from
+    * the checkpoint that must keep rejecting previously-seen content.
+    */
+  private def dedupScenario(provider: Option[String]): Unit = {
     val sp = spark
     import sp.implicits._
     // three micro-batches; content "dup-X" recurs within AND across batches
@@ -55,7 +59,7 @@ class StreamingSpec extends SparkTestBase {
     }
     val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
     val outDir = Files.createTempDirectory("graft-dedup-out").toString
-    EventStream.dedupStream(spark, flat, outDir, ckpt)
+    EventStream.dedupStream(spark, flat, outDir, ckpt, provider)
     val kept = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 4L, 6L, 8L)) // first sighting per content, min-id in-batch
 
@@ -69,9 +73,21 @@ class StreamingSpec extends SparkTestBase {
     Files.list(java.nio.file.Paths.get(tmp2)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .foreach(p => Files.copy(p, java.nio.file.Paths.get(flat, "batch3.parquet")))
-    EventStream.dedupStream(spark, flat, outDir, ckpt)
+    EventStream.dedupStream(spark, flat, outDir, ckpt, provider)
     val kept2 = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
     assert(kept2 == kept + 10L, s"restarted stream must add only the new content, got $kept2")
+  }
+
+  test("stateful streaming exact dedup (flatMapGroupsWithState) == batch keep-min; state survives restart") {
+    dedupScenario(None)
+  }
+
+  test("stateful streaming exact dedup on the RocksDB state store (the 100 TB state backend)") {
+    dedupScenario(Some(EventStream.RocksDbProvider))
+    // the provider conf must not leak into the session after the query
+    // (getOption surfaces Spark's built-in default, so assert on the value)
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .contains(EventStream.RocksDbProvider))
   }
 
   test("streaming index ingestion (foreachBatch addDocuments) == one batch rebuild") {
