@@ -82,7 +82,14 @@ object SearchServer {
         case e: ExecutorService => e.shutdownNow()
         case _ =>
       }
-      state.get.release() // drop the server's reference; closes when drained
+      // Swap to the closed sentinel (null) BEFORE releasing: a /search that
+      // loses the retain() race re-reads stateRef, observes the sentinel and
+      // 503s instead of busy-spinning on a drained state forever; a /reload
+      // racing stop() sees the sentinel and discards its freshly-built
+      // generation — exactly one owner releases each generation. Idempotent:
+      // a second stop() finds null and releases nothing.
+      val old = state.getAndSet(null)
+      if (old != null) old.release()
     }
   }
 
@@ -114,10 +121,13 @@ object SearchServer {
       try {
         // pin this request's generation; a concurrent /reload swap cannot
         // close it underneath us (retain fails only when the state is
-        // already fully drained, in which case the NEW state is current)
+        // already fully drained, in which case the NEW state is current —
+        // or the server stopped, in which case stateRef holds the null
+        // sentinel and we 503 instead of spinning)
         var st = stateRef.get
-        while (!st.retain()) st = stateRef.get
-        try {
+        while (st != null && !st.retain()) st = stateRef.get
+        if (st == null) respond(ex, 503, "text/plain", "") // stopped
+        else try {
           val params = queryParams(ex)
           val q = params.getOrElse("q", "")
           val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
@@ -148,12 +158,24 @@ object SearchServer {
               // double-buffer: build the new generation OFF the serving path
               // (the old state answers /search throughout), then swap the
               // reference atomically and release the old generation — it
-              // closes when its last in-flight request drains.
+              // closes when its last in-flight request drains. CAS, not
+              // getAndSet: a stop() racing this reload leaves the null
+              // sentinel in stateRef, and swapping past it would both leak
+              // the new generation and double-release the old one.
               val next = build()
-              val old = stateRef.getAndSet(next)
-              old.release()
-              respond(ex, 200, "application/json",
-                s"""{"reloaded":true,"docs":${next.nDocs},"segments":${next.nSegments}}""")
+              var done = false
+              var stopped = false
+              while (!done && !stopped) {
+                val old = stateRef.get
+                if (old == null) stopped = true
+                else if (stateRef.compareAndSet(old, next)) { old.release(); done = true }
+              }
+              if (stopped) {
+                next.release() // server stopped mid-build: discard, one owner
+                respond(ex, 503, "text/plain", "server stopped")
+              } else
+                respond(ex, 200, "application/json",
+                  s"""{"reloaded":true,"docs":${next.nDocs},"segments":${next.nSegments}}""")
             } catch {
               case e: Exception => // old state keeps serving untouched
                 respond(ex, 500, "text/plain", s"reload failed: ${e.getMessage}")

@@ -202,7 +202,11 @@ object DocSidecar {
   /** Serving-tier doc store over all of an index's sidecars: routes a docId
     * to its bucket (ranges are doc_id-range partitioned, binary search),
     * positional-reads the record, and keeps hot docs in a byte-capped LRU.
-    * Thread-safe (positional channel reads + a synchronized LRU).
+    * Thread-safe: positional channel reads + a STRIPED LRU — 16 independent
+    * synchronized shards keyed by docId, each with 1/16 of the byte cap, so
+    * 50 concurrent clients doing ~10 lookups per request don't all funnel
+    * through one monitor (a single global lock serializes every get AND
+    * every fill at thousands of requests per second).
     */
   final class DocStore(readers: IndexedSeq[BucketReader], cacheCapBytes: Long) {
     private val byMin = readers.sortBy(_.minDoc).toArray
@@ -212,16 +216,34 @@ object DocSidecar {
     private val overlapping =
       byMin.length > 1 && byMin.sliding(2).exists(p => p(0).maxDoc >= p(1).minDoc)
 
-    private val lru = new java.util.LinkedHashMap[java.lang.Long, DocRow](1024, 0.75f, true)
-    private var lruBytes = 0L
+    private val Stripes = 16 // power of two
+    private final class Shard(capBytes: Long) {
+      val lru = new java.util.LinkedHashMap[java.lang.Long, DocRow](256, 0.75f, true)
+      var bytes = 0L
+      def get(docId: Long): DocRow = lru.synchronized(lru.get(docId))
+      def put(docId: Long, r: DocRow): Unit = lru.synchronized {
+        if (lru.put(docId, r) == null) bytes += rowBytes(r)
+        val it = lru.entrySet().iterator()
+        while (bytes > capBytes && it.hasNext) {
+          val e = it.next()
+          bytes -= rowBytes(e.getValue)
+          it.remove()
+        }
+      }
+    }
+    private val shards =
+      Array.fill(Stripes)(new Shard(math.max(1L, cacheCapBytes / Stripes)))
+    // doc ids are dense and ascending, so low bits alone distribute evenly;
+    // mix the high word anyway for replicated/bench id patterns
+    private def shardOf(docId: Long): Shard =
+      shards(((docId ^ (docId >>> 32)).toInt) & (Stripes - 1))
     private def rowBytes(r: DocRow): Long =
       2L * (r.text.length + r.source.length + r.lang.length) + 64
 
     def get(docId: Long): Option[DocRow] = {
-      lru.synchronized {
-        val hit = lru.get(docId)
-        if (hit != null) return Some(hit)
-      }
+      val shard = shardOf(docId)
+      val hit = shard.get(docId)
+      if (hit != null) return Some(hit)
       var i = java.util.Arrays.binarySearch(mins, docId)
       if (i < 0) i = -i - 2 // last bucket with minDoc <= docId
       var found: Option[DocRow] =
@@ -231,17 +253,7 @@ object DocSidecar {
           .filter(r => r.minDoc <= docId && docId <= r.maxDoc)
           .flatMap(_.get(docId))
           .nextOption()
-      found.foreach { r =>
-        lru.synchronized {
-          if (lru.put(docId, r) == null) lruBytes += rowBytes(r)
-          val it = lru.entrySet().iterator()
-          while (lruBytes > cacheCapBytes && it.hasNext) {
-            val e = it.next()
-            lruBytes -= rowBytes(e.getValue)
-            it.remove()
-          }
-        }
-      }
+      found.foreach(shard.put(docId, _))
       found
     }
 
