@@ -38,15 +38,41 @@ object SearchServer {
   type DocRow = DocSidecar.DocRow
   val DocRow: DocSidecar.DocRow.type = DocSidecar.DocRow
 
+  /** A refcounted sidecar bucket reader, shared ACROSS serving generations:
+    * a delta reload carries unchanged buckets' readers into the new
+    * generation, so the superseded generation's close must not close a
+    * channel the live one still reads. The last release closes.
+    */
+  final class SharedReader(val reader: DocSidecar.BucketReader) {
+    private val refs = new AtomicInteger(1)
+    def tryAcquire(): Boolean = {
+      var c = refs.get()
+      while (c > 0) {
+        if (refs.compareAndSet(c, c + 1)) return true
+        c = refs.get()
+      }
+      false // already closed (owner generation fully drained) — open fresh
+    }
+    def release(): Unit = if (refs.decrementAndGet() == 0) reader.close()
+  }
+
   /** One immutable generation of serving state. Reference-counted: requests
     * retain it for their duration; the swap releases the server's own
     * reference and resources close when the last in-flight request drains —
     * the double-buffer discipline that makes /reload invisible to clients.
+    *
+    * `segmentsByKey` / `sidecarsByKey` (keyed by path|size|mtime file
+    * identity, the loadCached model) are the DELTA-RELOAD carry surface:
+    * loadState reuses a previous generation's unchanged parts so a reload
+    * after a 2-bucket addDocuments on a 1000-segment index loads 2 segments,
+    * not 1002 — and the transient double-pin shrinks to the delta.
     */
   final class IndexState(
       val engine: SegmentSearch.ServingEngine,
       val docs: Long => Option[DocRow],
-      onClose: () => Unit = () => ()
+      onClose: () => Unit = () => (),
+      private[app] val segmentsByKey: Map[String, SegmentIndex.LoadedSegment] = Map.empty,
+      private[app] val sidecarsByKey: Map[String, SharedReader] = Map.empty
   ) {
     private val refs = new AtomicInteger(1) // the server's own reference
     def retain(): Boolean = {
@@ -94,13 +120,14 @@ object SearchServer {
   }
 
   /** Start serving; returns the running handle (caller stops it).
-    * `reloader` builds a FRESH IndexState from disk; when provided, GET
-    * /reload swaps it in with zero downtime.
+    * `reloader` builds the NEXT IndexState from disk, receiving the current
+    * generation so unchanged parts carry over (delta reload); when provided,
+    * GET /reload swaps it in with zero downtime.
     */
   def start(
       initial: IndexState,
       port: Int,
-      reloader: Option[() => IndexState] = None
+      reloader: Option[IndexState => IndexState] = None
   ): Running = {
     val ready = new AtomicBoolean(true)
     val stateRef = new AtomicReference[IndexState](initial)
@@ -162,16 +189,23 @@ object SearchServer {
               // getAndSet: a stop() racing this reload leaves the null
               // sentinel in stateRef, and swapping past it would both leak
               // the new generation and double-release the old one.
-              val next = build()
+              // The builder receives the current generation for delta carry;
+              // if stop() already closed it, tryAcquire inside loadState
+              // fails per-part and everything loads fresh (then the CAS sees
+              // the sentinel and the fresh build is discarded).
+              val prev = stateRef.get
+              val next =
+                if (prev == null) null
+                else build(prev)
               var done = false
-              var stopped = false
+              var stopped = next == null
               while (!done && !stopped) {
                 val old = stateRef.get
                 if (old == null) stopped = true
                 else if (stateRef.compareAndSet(old, next)) { old.release(); done = true }
               }
               if (stopped) {
-                next.release() // server stopped mid-build: discard, one owner
+                if (next != null) next.release() // stopped mid-build: discard
                 respond(ex, 503, "text/plain", "server stopped")
               } else
                 respond(ex, 200, "application/json",
@@ -239,10 +273,26 @@ object SearchServer {
     * session (one column-pruned docstore pass), so any index — including one
     * just produced by CompactJob — becomes servable; steady-state loads and
     * reloads after addDocuments touch no Spark at all.
+    *
+    * `prev`: the serving generation being replaced. Parts whose on-disk file
+    * identity (path, size, mtime) is unchanged are CARRIED OVER instead of
+    * re-read — reload cost and the transient double-pin are O(delta), not
+    * O(index), after an incremental addDocuments (segments are plain heap
+    * data, shared freely; sidecar readers hold a channel and are refcounted
+    * so exactly one generation's drain closes each).
     */
-  def loadState(indexDir: String): IndexState = {
+  def loadState(indexDir: String, prev: Option[IndexState] = None): IndexState = {
     val meta = SegmentIndex.readMeta(indexDir)
-    val segs = SegmentIndex.segmentFiles(indexDir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
+    def fileKey(f: String): String = {
+      val p = java.nio.file.Paths.get(f)
+      s"$f|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+    }
+    val segEntries: Seq[(String, SegmentIndex.LoadedSegment)] =
+      SegmentIndex.segmentFiles(indexDir).map { f =>
+        val k = fileKey(f)
+        k -> prev.flatMap(_.segmentsByKey.get(k)).getOrElse(SegmentIndex.loadSegment(f))
+      }
+    val segs = segEntries.map(_._2).toIndexedSeq
     val missing = segs.map(_.bucket).filterNot(b =>
       Files.exists(DocSidecar.sidecarPath(indexDir, b)))
     if (missing.nonEmpty) {
@@ -264,12 +314,21 @@ object SearchServer {
           finally spark.stop()
       }
     }
-    val store = DocSidecar.openStore(indexDir).getOrElse(
-      throw new IllegalStateException(s"no doc sidecars under $indexDir after backfill"))
+    val scFiles = DocSidecar.sidecarFiles(indexDir)
+    if (scFiles.isEmpty)
+      throw new IllegalStateException(s"no doc sidecars under $indexDir after backfill")
+    val shares: Seq[(String, SharedReader)] = scFiles.map { f =>
+      val k = fileKey(f)
+      val reused = prev.flatMap(_.sidecarsByKey.get(k)).filter(_.tryAcquire())
+      k -> reused.getOrElse(new SharedReader(DocSidecar.openBucket(f)))
+    }
+    val store = new DocSidecar.DocStore(shares.map(_._2.reader).toIndexedSeq, 64L << 20)
     new IndexState(
       new SegmentSearch.ServingEngine(segs, meta),
       store.get(_),
-      () => store.close())
+      () => shares.foreach(_._2.release()),
+      segEntries.toMap,
+      shares.toMap)
   }
 
   /** Exit codes mirror the reference CLI discipline
@@ -310,7 +369,8 @@ object SearchServer {
           System.err.println(s"failed to load index '$indexDir': ${e.getMessage}")
           sys.exit(3)
       }
-    val running = start(state, port, reloader = Some(() => loadState(indexDir)))
+    val running = start(state, port,
+      reloader = Some(prev => loadState(indexDir, Some(prev))))
     // Port binding succeeded before this line prints (reference contract:
     // exactly one startup message after successful bind, main.cpp:497-520).
     println(s"Server started on port ${running.port} using index: $indexDir")

@@ -167,7 +167,11 @@ object DocSidecar {
     def close(): Unit = ch.close()
   }
 
+  /** Diagnostic: sidecar bucket opens performed by this JVM. */
+  val bucketOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
   def openBucket(path: String): BucketReader = {
+    bucketOpens.incrementAndGet()
     val ch = java.nio.channels.FileChannel.open(
       Paths.get(path), java.nio.file.StandardOpenOption.READ)
     try {

@@ -858,7 +858,13 @@ object SegmentIndex {
     * can be far larger than an executor heap; the lazy path touches just the
     * query's terms.
     */
+  /** Diagnostic: segment loads performed by this JVM (delta-reload specs
+    * assert a reload after a small addDocuments re-loads only the delta).
+    */
+  val segmentLoads = new java.util.concurrent.atomic.AtomicLong(0)
+
   def loadSegment(path: String, eager: Boolean = true): LoadedSegment = {
+    segmentLoads.incrementAndGet()
     val ch = java.nio.channels.FileChannel.open(
       Paths.get(path), java.nio.file.StandardOpenOption.READ)
     try loadFromChannel(ch, path, eager)

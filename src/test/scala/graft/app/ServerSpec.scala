@@ -134,7 +134,8 @@ class ServerSpec extends SparkTestBase {
     SegmentIndex.build(base1.toDF("doc_id", "text", "source", "lang"), dir, buckets = 2)
 
     val server = SearchServer.start(
-      SearchServer.loadState(dir), port = 0, reloader = Some(() => SearchServer.loadState(dir)))
+      SearchServer.loadState(dir), port = 0,
+      reloader = Some(prev => SearchServer.loadState(dir, Some(prev))))
     val url = s"http://127.0.0.1:${server.port}"
     try {
       assert(get(s"$url/search?q=zebra")._2.contains(""""results":[]"""))
@@ -159,8 +160,17 @@ class ServerSpec extends SparkTestBase {
       }
 
       SegmentIndex.addDocuments(delta.toDF("doc_id", "text", "source", "lang"), dir, newBuckets = 1)
+      // DELTA reload: a 1-bucket add on a 2-bucket index must re-load ONLY
+      // the new segment and open ONLY the new sidecar — unchanged parts are
+      // carried over from the serving generation (O(delta), not O(index))
+      val segLoads0 = SegmentIndex.segmentLoads.get
+      val scOpens0 = graft.index.DocSidecar.bucketOpens.get
       val (rc, rbody) = get(s"$url/reload")
       assert(rc == 200 && rbody.contains(""""reloaded":true""") && rbody.contains(""""docs":50"""), rbody)
+      assert(SegmentIndex.segmentLoads.get - segLoads0 == 1,
+        s"delta reload loaded ${SegmentIndex.segmentLoads.get - segLoads0} segments, want 1")
+      assert(graft.index.DocSidecar.bucketOpens.get - scOpens0 == 1,
+        s"delta reload opened ${graft.index.DocSidecar.bucketOpens.get - scOpens0} sidecars, want 1")
 
       // new docs are immediately searchable over HTTP, with metadata
       val (zc, zbody) = get(s"$url/search?q=zebra&k=10")
