@@ -160,13 +160,29 @@ object SearchServer {
           val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
           val pq = QueryParser.parse(q)
           val top = st.engine.search(pq, k)
-          val body = top.map { case (docId, score) =>
+          // assemble the response in ONE builder — at thousands of rps the
+          // per-hit string concatenation was measurable allocation churn
+          val sb = new java.lang.StringBuilder(256 + 256 * top.size)
+          sb.append("{\"query\":\"")
+          graft.core.JsonText.escInto(sb, q)
+          sb.append("\",\"results\":[")
+          var first = true
+          top.foreach { case (docId, score) =>
+            if (!first) sb.append(',')
+            first = false
             val d = st.docs(docId).getOrElse(DocRow("", "", ""))
-            val snippet = graft.core.Snippets.makeSnippet(d.text, pq.terms)
-            s"""{"docId":$docId,"score":$score,"snippet":"${esc(snippet)}",""" +
-              s""""source":"${esc(d.source)}","lang":"${esc(d.lang)}"}"""
-          }.mkString("[", ",", "]")
-          respond(ex, 200, "application/json", s"""{"query":"${esc(q)}","results":$body}""")
+            sb.append("{\"docId\":").append(docId)
+            sb.append(",\"score\":").append(score)
+            sb.append(",\"snippet\":\"")
+            graft.core.JsonText.escInto(sb, graft.core.Snippets.makeSnippet(d.text, pq.terms))
+            sb.append("\",\"source\":\"")
+            graft.core.JsonText.escInto(sb, d.source)
+            sb.append("\",\"lang\":\"")
+            graft.core.JsonText.escInto(sb, d.lang)
+            sb.append("\"}")
+          }
+          sb.append("]}")
+          respond(ex, 200, "application/json", sb.toString)
         } finally st.release()
       } catch {
         case e: Exception => respond(ex, 500, "text/plain", s"error: ${e.getMessage}")

@@ -64,6 +64,71 @@ object ScalingBench {
     s
   }
 
+  /** SAME-ACCESS-PATTERN ceiling for the segment-write stage: the inversion
+    * kernel is an open-addressing hash probe over a vocabulary-sized table
+    * plus growable primitive-array appends (allocation churn included — it
+    * IS the kernel's behavior). The generic memory-stream ceiling used
+    * through round 3 measured 1.7-2.5x run-to-run on this VM and made the
+    * build's normalized efficiency swing with the DIVISOR, not the engine;
+    * this kernel exercises the actual mix (dependent probe, sequential
+    * append, doubling reallocation) and is far more repeatable.
+    * Shapes mirror the scaling workload: ~40k docs/bucket x ~56 terms/doc
+    * over a ~35k-term bucket vocabulary.
+    */
+  private def invKernel(nDocs: Int, termsPerDoc: Int, vocab: Int, seed: Long): Long = {
+    val cap = Integer.highestOneBit(math.max(1 << 10, vocab * 4))
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    java.util.Arrays.fill(keys, -1L)
+    val slotOf = new Array[Int](cap)
+    var nTerms = 0
+    var docs = new Array[Array[Long]](1 << 12)
+    var tfs = new Array[Array[Int]](1 << 12)
+    var lens = new Array[Int](1 << 12)
+    var x = seed
+    var s = 0L
+    var d = 0
+    while (d < nDocs) {
+      var t = 0
+      while (t < termsPerDoc) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        val term = ((x & 0x7fffffffffffffffL) % vocab)
+        var idx = (java.lang.Long.hashCode(term * 0x9e3779b97f4a7c15L)) & mask
+        var slot = -1
+        while (slot < 0) {
+          val k = keys(idx)
+          if (k == -1L) {
+            if (nTerms == docs.length) {
+              val c = nTerms * 2
+              docs = java.util.Arrays.copyOf(docs, c)
+              tfs = java.util.Arrays.copyOf(tfs, c)
+              lens = java.util.Arrays.copyOf(lens, c)
+            }
+            keys(idx) = term; slotOf(idx) = nTerms
+            docs(nTerms) = new Array[Long](16)
+            tfs(nTerms) = new Array[Int](16)
+            slot = nTerms
+            nTerms += 1
+          } else if (k == term) slot = slotOf(idx)
+          else idx = (idx + 1) & mask
+        }
+        val len = lens(slot)
+        if (len == docs(slot).length) {
+          val c = len * 2
+          docs(slot) = java.util.Arrays.copyOf(docs(slot), c)
+          tfs(slot) = java.util.Arrays.copyOf(tfs(slot), c)
+        }
+        docs(slot)(len) = d
+        tfs(slot)(len) = t
+        lens(slot) = len + 1
+        s += slot
+        t += 1
+      }
+      d += 1
+    }
+    s
+  }
+
   /** wall seconds for `threads` parallel copies of `work`. */
   private def parallelWall(threads: Int)(work: Int => Unit): Double = {
     val ts = (0 until threads).map(i => new Thread(() => work(i)))
@@ -73,10 +138,10 @@ object ScalingBench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** (cpuSpeedup, memStreamSpeedup, memRandomSpeedup) achievable on this
-    * host from lo -> hi threads.
+  /** (cpuSpeedup, memStreamSpeedup, memRandomSpeedup, inversionSpeedup)
+    * achievable on this host from lo -> hi threads.
     */
-  private def hostCeiling(lo: Int, hi: Int): (Double, Double, Double) = {
+  private def hostCeiling(lo: Int, hi: Int): (Double, Double, Double, Double) = {
     awaitQuietHost(s"host ceiling $lo->$hi")
     val iters = 400000000L
     val arrays = (0 until hi).map(_ => Array.tabulate(4 << 20)(_.toLong)) // 32 MB each
@@ -90,11 +155,15 @@ object ScalingBench {
     def cpuAt(t: Int) = { val w = parallelWall(t)(i => { if (cpuBound(iters) == 42) print("") }); t * iters / w }
     def memAt(t: Int) = { val w = parallelWall(t)(i => { if (memBound(arrays(i), 12) == 42) print("") }); t / w }
     def randAt(t: Int) = { val w = parallelWall(t)(i => { if (randBound(randArrays(i), 12000000L) == 42) print("") }); t / w }
-    cpuAt(lo); memAt(lo); randAt(lo) // warmup/JIT
+    def invAt(t: Int) = { val w = parallelWall(t)(i => {
+      var r = 0; while (r < 6) { if (invKernel(40000, 56, 35000, 0x9e3779b9L * (i + 1) + r) == 42) print(""); r += 1 }
+    }); t / w }
+    cpuAt(lo); memAt(lo); randAt(lo); invAt(lo) // warmup/JIT
     val cpu = bo3(cpuAt(hi)) / bo3(cpuAt(lo))
     val mem = bo3(memAt(hi)) / bo3(memAt(lo))
     val rnd = bo3(randAt(hi)) / bo3(randAt(lo))
-    (cpu, mem, rnd)
+    val inv = bo3(invAt(hi)) / bo3(invAt(lo))
+    (cpu, mem, rnd, inv)
   }
 
   // --------------------------------------------------------------- main
@@ -156,15 +225,17 @@ object ScalingBench {
     def pairReport(lo: Int, hi: Int): String = {
       val (_, buildLo, _, queryLo) = best(lo)
       val (_, buildHi, _, queryHi) = best(hi)
-      val (cpuCeil, memCeil, randCeil) = hostCeiling(lo, hi)
+      val (cpuCeil, memCeil, randCeil, invCeil) = hostCeiling(lo, hi)
       val factor = hi.toDouble / lo
       val buildSp = buildLo / buildHi
       val querySp = queryLo / queryHi
-      // Build mixes streaming (shuffle, parquet) with hash inversion; query
-      // is posting-list scoring — dependent random loads over a working set
-      // far beyond cache. Each normalizes against the matching memory-access
-      // ceiling; both ceilings are printed so the reader can re-derive.
-      val buildCeil = math.min(cpuCeil, memCeil)
+      // Build's dominant stage is the in-task inversion, so it normalizes
+      // against the SAME-ACCESS-PATTERN inversion-kernel ceiling (hash probe
+      // + primitive-array append + allocation churn) — the generic stream
+      // ceiling's 1.7-2.5x run-to-run swing made the divisor, not the
+      // engine, set round-3 numbers. Query is posting-list scoring —
+      // dependent random loads. All four ceilings are printed to re-derive.
+      val buildCeil = math.min(cpuCeil, invCeil)
       val queryCeil = math.min(cpuCeil, randCeil)
       f"""### Pair local[$lo] -> local[$hi] (N -> 4N)
          |
@@ -174,7 +245,7 @@ object ScalingBench {
          || BM25 top-10 batch QPS (Spark fan-out) | ${nq / queryLo}%.1f | ${nq / queryHi}%.1f | $querySp%.2fx | ${querySp / factor}%.3f | ${querySp / queryCeil}%.3f |
          |
          |Build wall: $buildLo%.2f s -> $buildHi%.2f s. Query wall: $queryLo%.2f s -> $queryHi%.2f s.
-         |Host ceiling $lo->$hi threads: pure-CPU $cpuCeil%.2fx, memory-stream $memCeil%.2fx, memory-random $randCeil%.2fx of $factor%.0fx ideal (build normalized by min(cpu, stream) = $buildCeil%.2fx; query by min(cpu, random) = $queryCeil%.2fx).
+         |Host ceiling $lo->$hi threads: pure-CPU $cpuCeil%.2fx, memory-stream $memCeil%.2fx, memory-random $randCeil%.2fx, inversion-kernel $invCeil%.2fx of $factor%.0fx ideal (build normalized by min(cpu, inversion) = $buildCeil%.2fx; query by min(cpu, random) = $queryCeil%.2fx).
          |""".stripMargin
     }
 

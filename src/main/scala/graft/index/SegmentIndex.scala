@@ -51,7 +51,12 @@ object SegmentIndex {
       bytes: Long,
       fileSha256: String,
       lineageXor: Long,
-      skipped: Boolean
+      skipped: Boolean,
+      // exact integer token total of this bucket, so a fresh build's meta
+      // (n, sumDl) aggregates straight off the manifests with no separate
+      // stats job; 0 in manifests written before round 4 (resume reads them
+      // only for the skip decision, never for stats)
+      sumDl: Long = 0L
   )
 
   /** Bumped when the segment byte layout changes; manifests from another
@@ -235,59 +240,79 @@ object SegmentIndex {
         .withColumn("sha", sha2(col("text"), 256))
         .write.mode("overwrite").parquet(storePath)
     }
-    val store = spark.read.parquet(storePath)
+    // ---- job 2 (RESUME ONLY): per-bucket lineage over the column-pruned
+    // docstore, used to decide which existing segments can be SKIPPED. A
+    // fresh build (no manifests on disk — the overwhelmingly common case)
+    // pays no separate stats job at all: lineage, doc counts and dl sums are
+    // computed INSIDE the segment-write tasks from the rows they already
+    // stream (sha256 per row is microseconds against the inversion work),
+    // and meta aggregates the returned manifests. One fewer corpus pass +
+    // one fewer job boundary on the hot path.
+    val resume = (0 until buckets).exists(b => readManifest(outDir, b).isDefined)
+    val bucketAgg =
+      if (!resume) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(storePath)
+        .select(
+          col("bucket"),
+          col("dl"),
+          conv(substring(sha2(concat(col("doc_id").cast("string"), lit(":"), col("sha")), 256), 1, 15), 16, 10)
+            .cast("long")
+            .as("h")
+        )
+        .groupBy(col("bucket"))
+        .agg(expr("bit_xor(h)").as("lineage_xor"), count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .collect()
+    val lineage: Option[Map[Int, (Long, Long)]] =
+      if (!resume) None
+      else Some(bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap)
 
-    // ---- job 2: corpus scalars + per-bucket lineage in ONE pass over the
-    // column-pruned docstore (no text read). Lineage = order-independent XOR
-    // of a 60-bit slice of sha256(doc_id:sha256(text)) per row.
-    val bucketAgg = store
-      .select(
-        col("bucket"),
-        col("dl"),
-        conv(substring(sha2(concat(col("doc_id").cast("string"), lit(":"), col("sha")), 256), 1, 15), 16, 10)
-          .cast("long")
-          .as("h")
-      )
-      .groupBy(col("bucket"))
-      .agg(expr("bit_xor(h)").as("lineage_xor"), count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .collect()
-    val n = bucketAgg.map(_.getLong(2)).sum
-    val sumDl = bucketAgg.map(_.getLong(3)).sum // exact integer total
-    val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
-    val lineage = bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-
-    // ---- job 3: postings (from the tfmap column) -> bucketed segment write.
+    // ---- job 3: postings (from the tfmap column) -> segment write with
+    // ZERO exchange.
     //
     // Shuffle budget (the scale-critical part): tf is computed PER ROW from
     // the token array (a doc's terms never span rows), so the classic
     // groupBy(term, doc_id) exchange disappears entirely; df is LOCAL per
     // segment (global df = sum over segments at query time), so the old
     // df-denormalizing join — a second full-postings exchange — disappears
-    // too. The ONE wide exchange left is the bucket repartition that
-    // co-locates each segment's postings. Scan parallelism comes from a
-    // lowered maxPartitionBytes (not another full-text reshuffle).
+    // too. And the docstore is ALREADY the partitioning this job needs: job
+    // 1 range-partitioned rows by doc_id into exactly one doc_id-sorted
+    // parquet file per bucket, so reading ONE FILE PER TASK (maxPartitionBytes
+    // >= the largest file so nothing splits; openCostInBytes equally large so
+    // nothing packs) hands each write task its whole bucket in order — the
+    // round-3 bucket re-shuffle of the entire tfmap corpus is gone.
     val prevMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
     val manifests =
       try {
-        val storeBytes = {
+        val maxFileBytes = {
           import scala.jdk.CollectionConverters._
-          Files.list(Paths.get(storePath)).iterator().asScala
+          val sizes = Files.list(Paths.get(storePath)).iterator().asScala
             .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(Files.size).sum
+            .map(Files.size).toSeq
+          if (sizes.isEmpty) 1L else sizes.max
         }
-        val targetSplit = math.max(1L << 20, storeBytes / math.max(1, buckets * 2))
-        spark.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
-        val storeSplit = spark.read.parquet(storePath)
-
-        val rows = segmentRows(storeSplit, buckets)
+        val noSplit = (maxFileBytes + (1L << 20)).toString
+        spark.conf.set("spark.sql.files.maxPartitionBytes", noSplit)
+        spark.conf.set("spark.sql.files.openCostInBytes", noSplit)
+        val rows = spark.read.parquet(storePath)
+          .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"), col("sha"))
         val out = outDir
         rows.queryExecution.toRdd
           .mapPartitions(it => writePartition(it, out, lineage))
           .collect()
           .toSeq
           .sortBy(_.bucket)
-      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+      }
 
+    // corpus scalars: from the resume aggregation when it ran, else from the
+    // write tasks' own counts (fresh manifests always carry sumDl)
+    val (n, sumDl) =
+      if (resume) (bucketAgg.map(_.getLong(2)).sum, bucketAgg.map(_.getLong(3)).sum)
+      else (manifests.map(_.nDocs).sum, manifests.map(_.sumDl).sum)
+    val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
     writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, buckets, BlockCodec.BlockSize, "delta-varint", codeAware, batchId))
     manifests
   }
@@ -396,7 +421,7 @@ object SegmentIndex {
     val rows = segmentRows(newStore, newBuckets)
     val out = outDir
     val manifests = rows.queryExecution.toRdd
-      .mapPartitions(it => writePartition(it, out, lineage))
+      .mapPartitions(it => writePartition(it, out, Some(lineage)))
       .collect()
       .toSeq
       .sortBy(_.bucket)
@@ -458,7 +483,7 @@ object SegmentIndex {
     val rows = segmentRows(store, buckets)
     val out = dstDir
     val manifests = rows.queryExecution.toRdd
-      .mapPartitions(it => writePartition(it, out, lineage))
+      .mapPartitions(it => writePartition(it, out, Some(lineage)))
       .collect()
       .toSeq
       .sortBy(_.bucket)
@@ -511,7 +536,7 @@ object SegmentIndex {
     */
   private def segmentRows(store: DataFrame, buckets: Int): DataFrame =
     store
-      .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"))
+      .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"), col("sha"))
       .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"))
 
@@ -615,21 +640,32 @@ object SegmentIndex {
       (docs(slot), tfs(slot), dls(slot), lens(slot))
   }
 
+  /** Stream one scan partition's rows — (bucket, doc_id, dl, tfmap, sha),
+    * bucket-grouped and doc_id-sorted (the docstore file layout) — into one
+    * segment per bucket. Per-bucket lineage XOR, doc count, and dl sum are
+    * computed HERE from the same rows (sha256 per row is noise next to the
+    * inversion), so a fresh build needs no separate stats job. `lineage` is
+    * the RESUME map: when present, buckets whose existing manifest matches it
+    * are skipped without inverting.
+    */
   private def writePartition(
       it: Iterator[InternalRow],
       outDir: String,
-      lineage: Map[Int, (Long, Long)]
+      lineage: Option[Map[Int, (Long, Long)]]
   ): Iterator[Manifest] = {
     val results = scala.collection.mutable.ArrayBuffer[Manifest]()
     val diag = sys.env.get("SPARK_GRAFT_WRITE_DIAG").contains("1")
+    val md = MessageDigest.getInstance("SHA-256")
     var cur = Int.MinValue
     var skipping = false
     var inv: Inverter = null
     var nDocs = 0L
+    var sumDl = 0L
+    var lineageXor = 0L
     var t0 = 0L
 
     def flush(): Unit = if (cur != Int.MinValue && !skipping) {
-      val m = writeBucket(inv, cur, nDocs, outDir, lineage)
+      val m = writeBucket(inv, cur, nDocs, sumDl, lineageXor, outDir)
       if (diag)
         System.err.println(f"[wdiag] bucket=$cur%5d docs=$nDocs%7d terms=${m.nTerms}%7d postings=${m.nPostings}%9d ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
       results += m
@@ -640,13 +676,13 @@ object SegmentIndex {
       val b = r.getInt(0)
       if (b != cur) {
         flush()
-        cur = b; nDocs = 0L; t0 = System.nanoTime(); inv = null
+        cur = b; nDocs = 0L; sumDl = 0L; lineageXor = 0L; t0 = System.nanoTime(); inv = null
         // Skip ONLY when the existing manifest provably describes this run's
         // data: same lineage XOR and doc count as the current corpus slice.
         // A stale segment (source data changed under the same outDir) fails
         // this check and is rebuilt in place.
         val existing = readManifest(outDir, b).filter { m =>
-          lineage.get(b).exists { case (xor, nd) => m.lineageXor == xor && m.nDocs == nd }
+          lineage.exists(_.get(b).exists { case (xor, nd) => m.lineageXor == xor && m.nDocs == nd })
         }
         skipping = existing.isDefined
         if (skipping) results += existing.get.copy(skipped = true)
@@ -664,6 +700,16 @@ object SegmentIndex {
           inv.add(ks.getUTF8String(i), docId, vs.getInt(i), dl)
           i += 1
         }
+        // in-task lineage: the same 60-bit slice of sha256(doc_id:sha) the
+        // SQL path computes — first 15 hex nibbles == big-endian first 8
+        // digest bytes >>> 4
+        md.reset()
+        md.update((docId.toString + ":" + r.getUTF8String(4).toString)
+          .getBytes(StandardCharsets.US_ASCII))
+        val d = md.digest()
+        val h = (java.nio.ByteBuffer.wrap(d, 0, 8).getLong) >>> 4
+        lineageXor ^= h
+        sumDl += dl
         nDocs += 1
       }
     }
@@ -693,9 +739,10 @@ object SegmentIndex {
   private def writeBucket(
       inv: Inverter,
       bucket: Int,
-      nDocsCounted: Long,
-      outDir: String,
-      lineage: Map[Int, (Long, Long)]
+      nDocs: Long,
+      sumDl: Long,
+      lineageXor: Long,
+      outDir: String
   ): Manifest = {
     // Terms stream to the .tmp file through a DigestOutputStream — the
     // sha256 comes free. Terms emit in byte-lex order, postings in docId
@@ -748,13 +795,10 @@ object SegmentIndex {
     val bytes = Files.size(tmp)
     Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     val sha = digest.digest().map("%02x".format(_)).mkString
-    // doc count comes from the lineage pass when available (the normal
-    // case); the fallback is the task's own doc-row count — which, unlike
-    // the old postings-derived count, also covers token-less docs (matching
-    // lineage semantics).
-    val (lineageXor, nDocs) = lineage.getOrElse(bucket, (0L, nDocsCounted))
+    // stats/lineage are the write task's own in-stream computation (covers
+    // token-less docs too — a doc row with an empty tfmap still counts)
     val m = Manifest(FormatVersion, bucket, inv.nTerms.toLong, inv.nPostings, nDocs, bytes, sha,
-      lineageXor, skipped = false)
+      lineageXor, skipped = false, sumDl = sumDl)
     writeManifest(outDir, m)
     m
   }

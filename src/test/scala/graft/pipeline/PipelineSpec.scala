@@ -236,6 +236,11 @@ class PipelineSpec extends SparkTestBase {
   test("pipeline operators leave NOTHING in executor storage once consumed") {
     val sp = spark
     import sp.implicits._
+    // baseline-relative: OTHER suites' localCheckpoint blocks may still be
+    // draining through the async ContextCleaner when the full suite runs;
+    // this test owns only the RDDs created after its baseline snapshot
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+    def fresh = spark.sparkContext.getPersistentRDDs.keySet -- base
     val docs = docsDF((1L to 30L).map(i =>
       i -> s"tok${i % 9} word${i % 5} filler${i % 3} alpha bravo charlie delta"))
     val vecs = (0L to 9L).map(i =>
@@ -244,13 +249,13 @@ class PipelineSpec extends SparkTestBase {
     // the operators that USED to persist scratch frames for the session's
     // lifetime (VERDICT r3 "what's wrong" #3) — each must run clean now
     Dedup.minhashNearDups(docs, w = 3, jMicrosThreshold = 100000L).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "minhashNearDups leaked cache")
+    assert(fresh.isEmpty, "minhashNearDups leaked cache")
     Similarity.ivfTopK(vecs, Seq(0L), k = 2, numCentroids = 2, nprobe = 1).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "ivfTopK leaked cache")
+    assert(fresh.isEmpty, "ivfTopK leaked cache")
     Similarity.ivfNearDups(vecs, numCentroids = 2, cosMicrosThreshold = 500000L).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "ivfNearDups leaked cache")
+    assert(fresh.isEmpty, "ivfNearDups leaked cache")
     Sampling.packShards(docs, budgetTokens = 20L).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "packShards leaked cache")
+    assert(fresh.isEmpty, "packShards leaked cache")
 
     // nearDupClusters materializes through localCheckpoint (its result IS
     // backed by checkpoint blocks); once the result is consumed and
@@ -258,14 +263,13 @@ class PipelineSpec extends SparkTestBase {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     Dedup.nearDupClusters(pairs).count()
     val deadline = System.currentTimeMillis() + 30000
-    var clean = spark.sparkContext.getPersistentRDDs.isEmpty
+    var clean = fresh.isEmpty
     while (!clean && System.currentTimeMillis() < deadline) {
       System.gc()
       Thread.sleep(500)
-      clean = spark.sparkContext.getPersistentRDDs.isEmpty
+      clean = fresh.isEmpty
     }
-    assert(clean, s"nearDupClusters checkpoint blocks never drained: " +
-      s"${spark.sparkContext.getPersistentRDDs.keySet}")
+    assert(clean, s"nearDupClusters checkpoint blocks never drained: $fresh")
   }
 
   test("multimodal stub decode: deterministic metadata from binary plumbing") {

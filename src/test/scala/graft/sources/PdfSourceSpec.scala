@@ -35,12 +35,13 @@ class PdfSourceSpec extends SparkTestBase {
 
   test("pages: per-page rows, reference OCR policy + merge, per-file error isolation") {
     val paths = Seq("/corpus/rich.pdf", "/corpus/scanny.pdf", "/corpus/corrupt.pdf", "/corpus/empty.pdf")
+    val base = spark.sparkContext.getPersistentRDDs.keySet // other suites may still drain
     val (pages, bad) = PdfSource.pages(spark, paths, FakeExtractor) { (pagesDs, badDs) =>
       (pagesDs.collect().sortBy(p => (p.source_path, p.page_number)),
         badDs.collect().map(b => b.source_path -> b.reason).toMap)
     }
-    // loan scope released its scratch cache — nothing persists after the op
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // loan scope released its scratch cache — nothing NEW persists after it
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- base).isEmpty)
 
     // corrupt + empty land in the bad side output; good files are unaffected
     assert(bad.keySet == Set("/corpus/corrupt.pdf", "/corpus/empty.pdf"))
