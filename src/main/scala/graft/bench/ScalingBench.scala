@@ -203,13 +203,20 @@ object ScalingBench {
     // level — the sandbox VM's throughput drifts over minutes (co-tenant
     // steal), so paired measurements beat sequential ones and more rounds
     // beat fewer when a run matters.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "2").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
     runAt(8, 2, 40)
     val best = scala.collection.mutable.Map[Int, (Long, Double, Int, Double)]()
+    // every (round, level) wall, in round order — speedups are computed as
+    // the MEDIAN OF PAIRED PER-ROUND RATIOS, not min/min across levels: the
+    // rounds are interleaved precisely so co-tenant drift hits both levels
+    // of a round alike, and independent minima re-introduce the drift (a
+    // single lucky low-level round caps the ratio; observed in gate runs)
+    val walls = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[(Double, Double)]]()
     for (r <- 1 to rounds; cores <- levels) {
       awaitQuietHost(s"local[$cores] round")
       val (n, b, qn, q) = runAt(cores, replicas, nQueries)
       Console.err.println(f"[scaling] round $r local[$cores]: build $b%.2f s, query $q%.2f s")
+      walls.getOrElseUpdate(cores, scala.collection.mutable.ArrayBuffer()) += ((b, q))
       val prev = best.get(cores)
       best(cores) = (
         n,
@@ -222,13 +229,20 @@ object ScalingBench {
     val nDocs = best(levels.head)._1
     val nq = best(levels.head)._3
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
     def pairReport(lo: Int, hi: Int): String = {
       val (_, buildLo, _, queryLo) = best(lo)
       val (_, buildHi, _, queryHi) = best(hi)
       val (cpuCeil, memCeil, randCeil, invCeil) = hostCeiling(lo, hi)
       val factor = hi.toDouble / lo
-      val buildSp = buildLo / buildHi
-      val querySp = queryLo / queryHi
+      val buildRatios = walls(lo).zip(walls(hi)).map { case ((bl, _), (bh, _)) => bl / bh }.toSeq
+      val queryRatios = walls(lo).zip(walls(hi)).map { case ((_, ql), (_, qh)) => ql / qh }.toSeq
+      val buildSp = median(buildRatios)
+      val querySp = median(queryRatios)
       // Build's dominant stage is the in-task inversion, so it normalizes
       // against the SAME-ACCESS-PATTERN inversion-kernel ceiling (hash probe
       // + primitive-array append + allocation churn) — the generic stream
@@ -244,7 +258,8 @@ object ScalingBench {
          || segment index build (docs/sec) | ${(nDocs / buildLo).round}%,d | ${(nDocs / buildHi).round}%,d | $buildSp%.2fx | ${buildSp / factor}%.3f | ${buildSp / buildCeil}%.3f |
          || BM25 top-10 batch QPS (Spark fan-out) | ${nq / queryLo}%.1f | ${nq / queryHi}%.1f | $querySp%.2fx | ${querySp / factor}%.3f | ${querySp / queryCeil}%.3f |
          |
-         |Build wall: $buildLo%.2f s -> $buildHi%.2f s. Query wall: $queryLo%.2f s -> $queryHi%.2f s.
+         |Best wall: build $buildLo%.2f s -> $buildHi%.2f s, query $queryLo%.2f s -> $queryHi%.2f s (docs/sec above).
+         |Speedups are the MEDIAN OF PAIRED PER-ROUND RATIOS (build ${buildRatios.map(r => f"$r%.2f").mkString("/")}; query ${queryRatios.map(r => f"$r%.2f").mkString("/")}) — interleaved rounds cancel co-tenant drift pairwise, where independent per-level minima re-introduce it.
          |Host ceiling $lo->$hi threads: pure-CPU $cpuCeil%.2fx, memory-stream $memCeil%.2fx, memory-random $randCeil%.2fx, inversion-kernel $invCeil%.2fx of $factor%.0fx ideal (build normalized by min(cpu, inversion) = $buildCeil%.2fx; query by min(cpu, random) = $queryCeil%.2fx).
          |""".stripMargin
     }
