@@ -280,32 +280,7 @@ object SegmentIndex {
     // >= the largest file so nothing splits; openCostInBytes equally large so
     // nothing packs) hands each write task its whole bucket in order — the
     // round-3 bucket re-shuffle of the entire tfmap corpus is gone.
-    val prevMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
-    val manifests =
-      try {
-        val maxFileBytes = {
-          import scala.jdk.CollectionConverters._
-          val sizes = Files.list(Paths.get(storePath)).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(Files.size).toSeq
-          if (sizes.isEmpty) 1L else sizes.max
-        }
-        val noSplit = (maxFileBytes + (1L << 20)).toString
-        spark.conf.set("spark.sql.files.maxPartitionBytes", noSplit)
-        spark.conf.set("spark.sql.files.openCostInBytes", noSplit)
-        val rows = spark.read.parquet(storePath)
-          .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"), col("sha"))
-        val out = outDir
-        rows.queryExecution.toRdd
-          .mapPartitions(it => writePartition(it, out, lineage))
-          .collect()
-          .toSeq
-          .sortBy(_.bucket)
-      } finally {
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
-        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
-      }
+    val manifests = writeSegmentsFileAligned(spark, storePath, outDir, lineage)
 
     // corpus scalars: from the resume aggregation when it ran, else from the
     // write tasks' own counts (fresh manifests always carry sumDl)
@@ -479,14 +454,9 @@ object SegmentIndex {
       s"compact: docstore stats disagree with $srcDir meta — refusing to write"
     )
 
-    // compact-row exchange, in-task inversion (see build job 3)
-    val rows = segmentRows(store, buckets)
-    val out = dstDir
-    val manifests = rows.queryExecution.toRdd
-      .mapPartitions(it => writePartition(it, out, Some(lineage)))
-      .collect()
-      .toSeq
-      .sortBy(_.bucket)
+    // exchange-free segment pass: the compacted docstore just written above
+    // is one doc_id-sorted file per bucket, same as a fresh build's
+    val manifests = writeSegmentsFileAligned(spark, dstStore, dstDir, Some(lineage))
 
     // lastBatchId travels with the data: if the caller swaps the compacted
     // dir in under a live streaming checkpoint, replayed batches stay no-ops
@@ -539,6 +509,45 @@ object SegmentIndex {
       .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"), col("sha"))
       .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"))
+
+  /** The EXCHANGE-FREE segment pass shared by build and compact: the
+    * docstore at `storePath` is one doc_id-sorted parquet file per bucket,
+    * so each write task reads exactly one file (maxPartitionBytes pinned
+    * above the largest file so nothing splits; openCostInBytes equally
+    * large so nothing packs) and inverts it in place.
+    */
+  private def writeSegmentsFileAligned(
+      spark: SparkSession,
+      storePath: String,
+      outDir: String,
+      lineage: Option[Map[Int, (Long, Long)]]
+  ): Seq[Manifest] = {
+    val prevMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      val maxFileBytes = {
+        import scala.jdk.CollectionConverters._
+        val sizes = Files.list(Paths.get(storePath)).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).toSeq
+        if (sizes.isEmpty) 1L else sizes.max
+      }
+      val noSplit = (maxFileBytes + (1L << 20)).toString
+      spark.conf.set("spark.sql.files.maxPartitionBytes", noSplit)
+      spark.conf.set("spark.sql.files.openCostInBytes", noSplit)
+      val rows = spark.read.parquet(storePath)
+        .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"), col("sha"))
+      val out = outDir
+      rows.queryExecution.toRdd
+        .mapPartitions(it => writePartition(it, out, lineage))
+        .collect()
+        .toSeq
+        .sortBy(_.bucket)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+    }
+  }
 
   /** Per-bucket in-memory term inversion — the reference's `add_document`
     * loop (/root/reference/src/core/inverted_index.cpp:21-41) run once per
