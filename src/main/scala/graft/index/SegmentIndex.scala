@@ -538,11 +538,17 @@ object SegmentIndex {
       val rows = spark.read.parquet(storePath)
         .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"), col("sha"))
       val out = outDir
-      rows.queryExecution.toRdd
+      val ms = rows.queryExecution.toRdd
         .mapPartitions(it => writePartition(it, out, lineage))
         .collect()
         .toSeq
         .sortBy(_.bucket)
+      // cross-partition twin of the in-task contiguity guard: a bucket split
+      // across two scan partitions would produce two manifests (and two
+      // racing segment writes) — fail loudly instead
+      require(ms.map(_.bucket).distinct.size == ms.size,
+        s"bucket split across scan partitions: ${ms.map(_.bucket).groupBy(identity).collect { case (b, g) if g.size > 1 => b }.toSeq.sorted}")
+      ms
     } finally {
       spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
       spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
@@ -665,12 +671,14 @@ object SegmentIndex {
     val results = scala.collection.mutable.ArrayBuffer[Manifest]()
     val diag = sys.env.get("SPARK_GRAFT_WRITE_DIAG").contains("1")
     val md = MessageDigest.getInstance("SHA-256")
+    val seenBuckets = scala.collection.mutable.HashSet[Int]()
     var cur = Int.MinValue
     var skipping = false
     var inv: Inverter = null
     var nDocs = 0L
     var sumDl = 0L
     var lineageXor = 0L
+    var prevDocId = Long.MinValue
     var t0 = 0L
 
     def flush(): Unit = if (cur != Int.MinValue && !skipping) {
@@ -685,7 +693,12 @@ object SegmentIndex {
       val b = r.getInt(0)
       if (b != cur) {
         flush()
-        cur = b; nDocs = 0L; sumDl = 0L; lineageXor = 0L; t0 = System.nanoTime(); inv = null
+        // Loud layout guard: rows must arrive bucket-GROUPED (one run per
+        // bucket) — a revisited bucket means the scan was not file/exchange
+        // aligned and a silent write would truncate the segment.
+        require(seenBuckets.add(b), s"bucket $b rows are not contiguous — docstore layout violated")
+        cur = b; nDocs = 0L; sumDl = 0L; lineageXor = 0L; prevDocId = Long.MinValue
+        t0 = System.nanoTime(); inv = null
         // Skip ONLY when the existing manifest provably describes this run's
         // data: same lineage XOR and doc count as the current corpus slice.
         // A stale segment (source data changed under the same outDir) fails
@@ -699,6 +712,11 @@ object SegmentIndex {
       }
       if (!skipping) {
         val docId = r.getLong(1)
+        // Loud order guard: postings order falls out of doc order; unsorted
+        // input would silently break block bounds and binary search.
+        require(docId > prevDocId,
+          s"doc_id order violated in bucket $cur ($docId after $prevDocId)")
+        prevDocId = docId
         val dl = r.getInt(2)
         val m = r.getMap(3)
         val ks = m.keyArray()
