@@ -8,7 +8,6 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReferenc
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.core.JsonText.esc
 import graft.core.QueryParser
 import graft.index.{DocSidecar, SegmentIndex}
 import graft.search.SegmentSearch
@@ -333,11 +332,24 @@ object SearchServer {
     val scFiles = DocSidecar.sidecarFiles(indexDir)
     if (scFiles.isEmpty)
       throw new IllegalStateException(s"no doc sidecars under $indexDir after backfill")
-    val shares: Seq[(String, SharedReader)] = scFiles.map { f =>
-      val k = fileKey(f)
-      val reused = prev.flatMap(_.sidecarsByKey.get(k)).filter(_.tryAcquire())
-      k -> reused.getOrElse(new SharedReader(DocSidecar.openBucket(f)))
-    }
+    // On a partial failure (a sidecar deleted/truncated under a concurrent
+    // maintenance op) every ref acquired and channel opened SO FAR must be
+    // released, or the carried readers' counts can never reach zero and
+    // each failed /reload leaks descriptors.
+    val acquired = scala.collection.mutable.ArrayBuffer[(String, SharedReader)]()
+    val shares: Seq[(String, SharedReader)] =
+      try {
+        scFiles.foreach { f =>
+          val k = fileKey(f)
+          val reused = prev.flatMap(_.sidecarsByKey.get(k)).filter(_.tryAcquire())
+          acquired += (k -> reused.getOrElse(new SharedReader(DocSidecar.openBucket(f))))
+        }
+        acquired.toSeq
+      } catch {
+        case t: Throwable =>
+          acquired.foreach(_._2.release())
+          throw t
+      }
     val store = new DocSidecar.DocStore(shares.map(_._2.reader).toIndexedSeq, 64L << 20)
     new IndexState(
       new SegmentSearch.ServingEngine(segs, meta),

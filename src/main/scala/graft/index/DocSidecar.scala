@@ -225,13 +225,20 @@ object DocSidecar {
       val lru = new java.util.LinkedHashMap[java.lang.Long, DocRow](256, 0.75f, true)
       var bytes = 0L
       def get(docId: Long): DocRow = lru.synchronized(lru.get(docId))
-      def put(docId: Long, r: DocRow): Unit = lru.synchronized {
-        if (lru.put(docId, r) == null) bytes += rowBytes(r)
-        val it = lru.entrySet().iterator()
-        while (bytes > capBytes && it.hasNext) {
-          val e = it.next()
-          bytes -= rowBytes(e.getValue)
-          it.remove()
+      def put(docId: Long, r: DocRow): Unit = {
+        // a row larger than this shard's whole cap can never be retained —
+        // inserting it would just evict every other hot doc in the shard and
+        // then itself (cache thrash); serve oversized docs straight from the
+        // positional read instead
+        if (rowBytes(r) > capBytes) return
+        lru.synchronized {
+          if (lru.put(docId, r) == null) bytes += rowBytes(r)
+          val it = lru.entrySet().iterator()
+          while (bytes > capBytes && it.hasNext) {
+            val e = it.next()
+            bytes -= rowBytes(e.getValue)
+            it.remove()
+          }
         }
       }
     }

@@ -118,9 +118,16 @@ object PdfSource {
           val img =
             if (java.nio.file.Files.exists(exact)) Some(exact)
             else {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.list(tmp).iterator().asScala
-                .filter(_.getFileName.toString.endsWith(".png")).toSeq.sorted.headOption
+              // poppler zero-pads (p-02.png) — take the one rendered image.
+              // Close the directory stream explicitly: this fallback fires
+              // for every page of a >=10-page PDF, and unclosed
+              // DirectoryStreams hold an fd until GC.
+              val ls = java.nio.file.Files.list(tmp)
+              try {
+                import scala.jdk.CollectionConverters._
+                ls.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".png")).toSeq.sorted.headOption
+              } finally ls.close()
             }
           img match {
             case None => "" // soft: render produced nothing
@@ -129,9 +136,12 @@ object PdfSource {
           }
         }
       } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val walk = java.nio.file.Files.walk(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
       }
     }
   }
