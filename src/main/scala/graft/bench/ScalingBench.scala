@@ -251,6 +251,14 @@ object ScalingBench {
       // dependent random loads. All four ceilings are printed to re-derive.
       val buildCeil = math.min(cpuCeil, invCeil)
       val queryCeil = math.min(cpuCeil, randCeil)
+      // A ceiling outside (1, factor] is a physically impossible reading for
+      // these kernels (128 MB/thread working sets leave no cache-residency
+      // edge): it means the LO or HI baseline itself was throttled by a
+      // co-tenant burst. Flag it so a reader never trusts the normalized
+      // cell of a contaminated sample.
+      def plaus(v: Double): String =
+        if (v <= 1.0 || v > factor) f"$v%.2fx (IMPLAUSIBLE — ceiling baseline throttled; distrust the normalized cell)"
+        else f"$v%.2fx"
       f"""### Pair local[$lo] -> local[$hi] (N -> 4N)
          |
          || metric | local[$lo] | local[$hi] | speedup | raw efficiency | host-normalized |
@@ -260,7 +268,7 @@ object ScalingBench {
          |
          |Best wall: build $buildLo%.2f s -> $buildHi%.2f s, query $queryLo%.2f s -> $queryHi%.2f s (docs/sec above).
          |Speedups are the MEDIAN OF PAIRED PER-ROUND RATIOS (build ${buildRatios.map(r => f"$r%.2f").mkString("/")}; query ${queryRatios.map(r => f"$r%.2f").mkString("/")}) — interleaved rounds cancel co-tenant drift pairwise, where independent per-level minima re-introduce it.
-         |Host ceiling $lo->$hi threads: pure-CPU $cpuCeil%.2fx, memory-stream $memCeil%.2fx, memory-random $randCeil%.2fx, inversion-kernel $invCeil%.2fx of $factor%.0fx ideal (build normalized by min(cpu, inversion) = $buildCeil%.2fx; query by min(cpu, random) = $queryCeil%.2fx).
+         |Host ceiling $lo->$hi threads: pure-CPU $cpuCeil%.2fx, memory-stream $memCeil%.2fx, memory-random ${plaus(randCeil)}, inversion-kernel ${plaus(invCeil)} of $factor%.0fx ideal (build normalized by min(cpu, inversion) = $buildCeil%.2fx; query by min(cpu, random) = $queryCeil%.2fx).
          |""".stripMargin
     }
 
