@@ -33,6 +33,22 @@ class PropertySpec extends AnyFunSuite {
       1 -> Gen.oneOf('é', 'ß', '中') // non-ASCII must always split
     )).map(_.mkString)
 
+  test("property: JSON escInto round-trips through a JSON parser and matches esc") {
+    val anyText: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('"', '\\', '\n', '\t', '\r', ' ', 'é', '中'),
+      1 -> Gen.choose(0.toChar, 31.toChar)
+    )).map(_.mkString)
+    forAll(anyText) { s =>
+      val sb = new java.lang.StringBuilder
+      JsonText.escInto(sb, s)
+      assert(sb.toString == JsonText.esc(s)) // the two surfaces can't diverge
+      // what the server emits must decode back to the original string
+      val parsed = org.json4s.jackson.JsonMethods.parse(s""""${sb.toString}"""")
+      assert(parsed.values == s, s"escape not parseable/lossless for ${s.map(_.toInt)}")
+    }
+  }
+
   test("property: tokenizer ≡ model spec (split [^0-9A-Za-z]+, ASCII lowercase)") {
     forAll(asciiText) { s =>
       val model = s.split("[^0-9A-Za-z]+").filter(_.nonEmpty)
