@@ -16,6 +16,7 @@ object Explain {
     show("q_events_hourly", SparkEntry.queries("q_events_hourly")(spark, dir))
     show("q_ann_topk", SparkEntry.queries("q_ann_topk")(spark, dir))
     show("q_dedup_exact", SparkEntry.queries("q_dedup_exact")(spark, dir))
+    show("q_phrase_topk", SparkEntry.queries("q_phrase_topk")(spark, dir))
     spark.stop()
   }
 }

@@ -59,16 +59,24 @@ object SparkEntry {
     * per occurrence — weight = occurrence count), AND/OR candidates,
     * k1=1.2, b=0.75, idf = ln((n-df+0.5)/(df+0.5)+1).
     */
-  private def scoresCte(terms: Seq[(String, Int)], isOr: Boolean): String = {
-    val lst = inList(terms.map(_._1))
-    val weightCase = terms
-      .map { case (t, w) => s"WHEN p.term = '$t' THEN $w.0" }
-      .mkString("CASE ", " ", " END")
-    val candidate =
+  private def scoresCte(
+      terms: Seq[(String, Int)],
+      isOr: Boolean,
+      candSql: Option[String] = None,
+      termFilterSql: Option[String] = None,
+      uniformWeight: Boolean = false): String = {
+    val lst = termFilterSql.getOrElse(s"term IN ${inList(terms.map(_._1))}")
+    val weightCase =
+      if (uniformWeight) "1.0"
+      else
+        terms
+          .map { case (t, w) => s"WHEN p.term = '$t' THEN $w.0" }
+          .mkString("CASE ", " ", " END")
+    val candidate = candSql.getOrElse(
       if (isOr) "SELECT DISTINCT doc_id FROM posts"
-      else s"SELECT doc_id FROM posts GROUP BY doc_id HAVING count(DISTINCT term) = ${terms.size}"
-    s"""posts AS (SELECT term, doc_id, count(*) AS tf FROM tok2 WHERE term IN $lst GROUP BY term, doc_id),
-       |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 WHERE term IN $lst GROUP BY term),
+      else s"SELECT doc_id FROM posts GROUP BY doc_id HAVING count(DISTINCT term) = ${terms.size}")
+    s"""posts AS (SELECT term, doc_id, count(*) AS tf FROM tok2 WHERE $lst GROUP BY term, doc_id),
+       |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 WHERE $lst GROUP BY term),
        |cand AS ($candidate),
        |parts AS (
        |  SELECT p.doc_id,
@@ -98,8 +106,11 @@ object SparkEntry {
     * funnels the full candidate set through one task. The row_number window
     * that assigns ranks runs over the ALREADY-limited <= k rows only.
     */
-  private def bm25TopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
-    val scored = engine(spark, dir).scoredDF(query)
+  private def bm25TopK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
+    rankTopK(engine(spark, dir).scoredDF(query), k)
+
+  /** (doc_id, score) -> ranked micro-unit top-k, the shared gate projection. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.orderBy(col("score_r").desc, col("doc_id").asc)
     scored
       .select(col("doc_id"), micros(col("score")).as("score_r"))
@@ -153,6 +164,14 @@ object SparkEntry {
     "q_bm25_or_topk" -> ((s, dir) => bm25TopK(s, dir, "spark OR stream vector", 20)),
     // --- A5: duplicate query terms score per occurrence ---
     "q_bm25_dup_topk" -> ((s, dir) => bm25TopK(s, dir, "the the fast", 15)),
+    // --- phrase-adjacent top-k (extension: the reference's deferred phrase
+    //     phase — AND candidates, adjacency verified on candidates only) ---
+    "q_phrase_topk" -> ((s, dir) =>
+      rankTopK(engine(s, dir).phraseScoredDF("stream table hash"), 10)),
+    // --- prefix query top-k (extension: dictionary range expansion, OR-mode
+    //     scoring in byte-lex term order) ---
+    "q_prefix_topk" -> ((s, dir) =>
+      rankTopK(engine(s, dir).prefixScoredDF("s"), 20)),
     // --- F2: snippets on the ranked top-k ---
     "q_snippets" -> ((s, dir) => {
       val snippetUdf = udf((text: String) =>
@@ -246,6 +265,9 @@ object SparkEntry {
     // --- document fingerprint (bottom-4 shingle sketch) ---
     "q_fingerprint" -> ((s, dir) =>
       graft.pipeline.TextStats.fingerprint(documents(s, dir), w = 5)),
+    // --- Gopher-style repetition signals (top-bigram share, distinct ratio) ---
+    "q_repetition" -> ((s, dir) =>
+      graft.pipeline.TextStats.repetition(documents(s, dir))),
     // --- hourly tumbling-window rollup (streaming twin in graft.streaming) ---
     "q_events_hourly" -> ((s, dir) =>
       graft.pipeline.Events.hourlyRollup(s.read.parquet(s"$dir/events.parquet"))),
@@ -323,6 +345,24 @@ object SparkEntry {
     "q_bm25_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
     "q_bm25_or_topk" -> bm25Sql(Seq("spark" -> 1, "stream" -> 1, "vector" -> 1), isOr = true, k = 20),
     "q_bm25_dup_topk" -> bm25Sql(Seq("the" -> 2, "fast" -> 1), isOr = false, k = 15),
+    // phrase adjacency twin: candidates = docs whose space-joined reference
+    // token stream contains the phrase as a substring bounded by spaces —
+    // exactly "the token sequence occurs consecutively"
+    "q_phrase_topk" ->
+      s"""$tokCte,
+         |tarr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+         |pj AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS js FROM tarr),
+         |${scoresCte(
+          Seq("stream" -> 1, "table" -> 1, "hash" -> 1),
+          isOr = false,
+          candSql = Some("SELECT doc_id FROM pj WHERE strpos(js, ' stream table hash ') > 0"))}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 10""".stripMargin,
+    // prefix twin: same scoring chain with the term filter LIKE 's%' and
+    // uniform weight 1 per matched term
+    "q_prefix_topk" ->
+      s"""$tokCte,
+         |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE 's%'"), uniformWeight = true)}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
     "q_snippets" -> {
       // reference snippet (snippet.cpp:12-34): earliest substring pos of any
       // term in the lowercased text; window 120 chars from max(0, pos - 40);
@@ -505,6 +545,26 @@ object SparkEntry {
       s"""${shingleCte(5)}
          |SELECT doc_id, array_to_string(list_sort(list(DISTINCT md5(sh)))[1:4], ',') AS fp
          |FROM sh GROUP BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH ta AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b
+        |  FROM ta WHERE len(toks) >= 2
+        |), bc AS (
+        |  SELECT doc_id, max(c) AS maxc
+        |  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id
+        |), base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+        |  FROM ta
+        |)
+        |SELECT base.doc_id,
+        |  CAST(greatest(n_toks - 1, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(CASE WHEN n_toks >= 2 THEN maxc * 1000000 // (n_toks - 1) ELSE 0 END AS BIGINT) AS top_bigram_micros,
+        |  CAST(CASE WHEN n_toks > 0 THEN nd * 1000000 // n_toks ELSE 0 END AS BIGINT) AS distinct_ratio_micros
+        |FROM base LEFT JOIN bc ON base.doc_id = bc.doc_id""".stripMargin,
     "q_events_hourly" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, event_type,
         |       count(*) AS n, CAST(round(sum(value) * 1e6) AS BIGINT) AS sum_v_micros

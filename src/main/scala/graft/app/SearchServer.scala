@@ -155,10 +155,19 @@ object SearchServer {
         if (st == null) respond(ex, 503, "text/plain", "") // stopped
         else try {
           val params = queryParams(ex)
-          val q = params.getOrElse("q", "")
           val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
-          val pq = QueryParser.parse(q)
-          val top = st.engine.search(pq, k)
+          // `phrase=` is an ADDITIVE extension param (SURVEY §2.12); the
+          // reference contract (`q=` + QueryParser semantics) is untouched.
+          val (q, top, highlight) = params.get("phrase") match {
+            case Some(p) =>
+              (p,
+               st.engine.searchPhrase(p, k, id => st.docs(id).map(_.text)),
+               graft.core.Tokenizer.tokenize(p))
+            case None =>
+              val qs = params.getOrElse("q", "")
+              val pq = QueryParser.parse(qs)
+              (qs, st.engine.search(pq, k), pq.terms)
+          }
           // assemble the response in ONE builder — at thousands of rps the
           // per-hit string concatenation was measurable allocation churn
           val sb = new java.lang.StringBuilder(256 + 256 * top.size)
@@ -173,7 +182,7 @@ object SearchServer {
             sb.append("{\"docId\":").append(docId)
             sb.append(",\"score\":").append(score)
             sb.append(",\"snippet\":\"")
-            graft.core.JsonText.escInto(sb, graft.core.Snippets.makeSnippet(d.text, pq.terms))
+            graft.core.JsonText.escInto(sb, graft.core.Snippets.makeSnippet(d.text, highlight))
             sb.append("\",\"source\":\"")
             graft.core.JsonText.escInto(sb, d.source)
             sb.append("\",\"lang\":\"")

@@ -29,6 +29,11 @@ object LatencyBench {
     val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "64").toInt
     val overHttp = sys.env.get("SPARK_GRAFT_LATENCY_HTTP").contains("1")
     val pinnedDocs = sys.env.get("SPARK_GRAFT_LATENCY_PINNED").contains("1")
+    // SPARK_GRAFT_LATENCY_NOOP=1 (HTTP mode only): clients hit /health with
+    // the same shape — measures the pure HTTP-transport + client ceiling of
+    // this host, the divisor that decomposes the /search residual into
+    // (transport ceiling) vs (search + JSON + snippet work).
+    val noop = overHttp && sys.env.get("SPARK_GRAFT_LATENCY_NOOP").contains("1")
 
     val spark = graft.spark.Sessions.local(32, 32, "graft-latency")
     spark.sparkContext.setLogLevel("WARN")
@@ -78,7 +83,8 @@ object LatencyBench {
       case None => engine.search(q, 10).length
       case Some(base) =>
         val url = new java.net.URL(
-          s"$base/search?k=10&q=" + java.net.URLEncoder.encode(q, "UTF-8"))
+          if (noop) s"$base/health"
+          else s"$base/search?k=10&q=" + java.net.URLEncoder.encode(q, "UTF-8"))
         val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
         val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
         conn.disconnect()
@@ -115,10 +121,15 @@ object LatencyBench {
     }.maxBy(_._1)
     def pct(p: Double) = ms(math.min(ms.size - 1, (p * ms.size).toInt))
 
-    val via = if (overHttp) "HTTP /search endpoint" else "in-memory engine"
+    val via =
+      if (noop) "HTTP /health (transport ceiling — no search work)"
+      else if (overHttp) "HTTP /search endpoint"
+      else "in-memory engine"
     val conc = if (concurrency == 50) "" else s", c=$concurrency"
     val sectionKey =
-      if (overHttp) s"## Serving latency ($mode, http$conc)" else s"## Serving latency ($mode$conc)"
+      if (noop) s"## Serving latency (noop, http$conc)"
+      else if (overHttp) s"## Serving latency ($mode, http$conc)"
+      else s"## Serving latency ($mode$conc)"
     val memLine = if (docMemNote.isEmpty) "" else s"\n$docMemNote.\n"
     val md =
       f"""$sectionKey — $via (reference load-test shape)

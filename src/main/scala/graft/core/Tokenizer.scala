@@ -18,10 +18,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Tokenizer extends Serializable {
 
-  @inline private def isAsciiAlnum(c: Char): Boolean =
+  @inline private[core] def isAsciiAlnum(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
-  @inline private def asciiLower(c: Char): Char =
+  @inline private[core] def asciiLower(c: Char): Char =
     if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 
   /** Reference-mode tokenization: split on every non-ASCII-alnum char, ASCII

@@ -2,7 +2,7 @@ package graft.search
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Bm25, ParsedQuery, QueryParser, Snippets}
+import graft.core.{Bm25, ParsedQuery, Phrase, QueryParser, Snippets, Tokenizer}
 import graft.index.IndexTables
 
 /** A ranked search hit (/root/reference/src/core/search_service.h:9-16).
@@ -117,6 +117,66 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
   /** Ranked top-k as a DataFrame — TakeOrderedAndProject shape. */
   def topKDF(query: String, k: Int): DataFrame =
     scoredDF(query).orderBy(col("score").desc, col("doc_id").asc).limit(k)
+
+  /** Phrase-adjacent scoring — EXTENSION beyond the reference (phrase queries
+    * are the reference's explicit deferred phase,
+    * specs/phase3_ranking_query_engine.md:66; see `graft.core.Phrase`).
+    *
+    * Two-stage plan, the classic slow-phrase shape for an index without
+    * positions:
+    *   1. candidates = AND intersection of the phrase's terms through the
+    *      normal index-side scorer (posting scan with `term IN (...)` pushed
+    *      down — cheap, selective);
+    *   2. adjacency is verified against the docstore text for CANDIDATES
+    *      ONLY: the scored candidate set is broadcast into a hash join
+    *      against the docstore scan (no shuffle of the corpus, docstore
+    *      partitioning untouched), and the O(len) single-pass window matcher
+    *      runs on rows that survive the join.
+    *
+    * Scoring = BM25 over the phrase's term list (query-order summation,
+    * duplicates per occurrence) — identical to the AND score of the same
+    * terms; the phrase only FILTERS.
+    *
+    * The verify UDF is deterministic but deliberately marked
+    * non-deterministic: Catalyst would otherwise push the text predicate
+    * below the join and run the O(len) scan on EVERY document instead of
+    * just the candidates.
+    */
+  def phraseScoredDF(phrase: String): DataFrame = {
+    val spark = index.postings.sparkSession
+    val terms = Tokenizer.tokenize(phrase).toIndexedSeq
+    if (terms.isEmpty) return emptyScored(spark)
+    val scored = scoredDF(ParsedQuery(terms, Nil, isOr = false))
+    val verify = udf((text: String) => Phrase.containsPhrase(text, terms)).asNondeterministic()
+    index.docstore
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(scored), Seq("doc_id"))
+      .filter(verify(col("text")))
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** Prefix query — EXTENSION beyond the reference (wildcard matching is the
+    * same deferred non-goal as phrases). Expands the prefix against the term
+    * dictionary (`dfTable` here; on segments this is a contiguous range scan
+    * of the sorted v5 dictionary footer) and scores the union OR-mode, each
+    * matched term once, summation in byte-lex term order (deterministic).
+    * The expansion is vocabulary-bounded and collected driver-side — the
+    * same tiny-df-map shape `scoredDF` already uses for query terms.
+    */
+  def prefixScoredDF(prefix: String): DataFrame = {
+    val spark = index.postings.sparkSession
+    val norm = Tokenizer.tokenize(prefix)
+    if (norm.size != 1) return emptyScored(spark)
+    val expanded = index.dfTable
+      .filter(col("term").startsWith(norm.head))
+      .select(col("term"))
+      .collect()
+      .map(_.getString(0))
+      .sorted
+      .toSeq
+    if (expanded.isEmpty) return emptyScored(spark)
+    scoredDF(ParsedQuery(expanded, Nil, isOr = true))
+  }
 
   /** EP3 facade: full ranking with the reference's epsilon tie comparator at
     * the driver. `k < 0` means no truncation (rank-parity tests). The

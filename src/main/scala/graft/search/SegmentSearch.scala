@@ -3,7 +3,7 @@ package graft.search
 import org.apache.spark.sql.{Encoders, SparkSession}
 import scala.collection.parallel.CollectionConverters._
 
-import graft.core.{Bm25, ParsedQuery, QueryParser}
+import graft.core.{Bm25, ParsedQuery, Phrase, QueryParser, Tokenizer}
 import graft.index.SegmentIndex
 import graft.index.SegmentIndex.LoadedSegment
 
@@ -284,6 +284,41 @@ object SegmentSearch {
           else
             segments.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, k, shared))
         Bm25.sortHits(raw.map(h => (h.docId, h.score))).take(k)
+      } finally inFlight.decrementAndGet()
+    }
+
+    /** Phrase-adjacent top-k over segments — EXTENSION (the reference's
+      * deferred phrase phase; see `graft.core.Phrase` and SURVEY §2.12).
+      *
+      * Stage 1 enumerates the FULL AND intersection (k unbounded, no theta —
+      * adjacency filtering must precede truncation for exact top-k; pruning
+      * by score first could starve the post-filter result). Stage 2 fetches
+      * each candidate's text through `textOf` (the positional-read sidecar
+      * in serving — candidates ≪ corpus) and keeps docs whose token stream
+      * contains the phrase consecutively. Stage 3 ranks with the reference
+      * epsilon comparator. Scores are the BM25 AND scores of the phrase's
+      * terms — the phrase only filters.
+      */
+    def searchPhrase(phrase: String, k: Int, textOf: Long => Option[String]): Seq[(Long, Double)] = {
+      val terms = Tokenizer.tokenize(phrase).toIndexedSeq
+      if (terms.isEmpty) return Nil
+      val pq = ParsedQuery(terms, Nil, isOr = false)
+      val load = inFlight.incrementAndGet()
+      try {
+        val idfs = terms.distinct
+          .flatMap { t => val v = idfOf(t); if (v.isNaN) None else Some(t -> v) }
+          .toMap
+        if (idfs.size < terms.distinct.size) return Nil // AND with a 0-df term
+        val raw =
+          if (parallelSegments && segments.length > 1 && load <= parThreshold)
+            segments.par.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, Int.MaxValue)).seq
+          else
+            segments.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, Int.MaxValue))
+        val verified = raw.iterator
+          .filter(h => textOf(h.docId).exists(t => Phrase.containsPhrase(t, terms)))
+          .map(h => (h.docId, h.score))
+          .toIndexedSeq
+        Bm25.sortHits(verified).take(math.max(1, k))
       } finally inFlight.decrementAndGet()
     }
   }

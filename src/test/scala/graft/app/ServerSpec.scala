@@ -97,6 +97,53 @@ class ServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("phrase extension: /search?phrase= filters to adjacent matches; q= untouched") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "red green blue end", "r", "en"),
+      (2L, "green red x blue", "r", "en"), // all terms, not adjacent
+      (3L, "red green only", "r", "en"), // missing blue
+      (4L, "start red green blue", "r", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val dir = Files.createTempDirectory("graft-server-phrase").toString
+    SegmentIndex.build(docs, dir, buckets = 2)
+    val meta = SegmentIndex.readMeta(dir)
+    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
+    val engine = new SegmentSearch.ServingEngine(segs, meta)
+    val docMap = spark.read.parquet(s"$dir/docstore")
+      .select("doc_id", "text", "source", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> SearchServer.DocRow(r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+
+    // engine-level: full AND enumeration then adjacency filter then rank
+    val got = engine.searchPhrase("red green blue", 10, id => docMap.get(id).map(_.text))
+    assert(got.map(_._1).toSet == Set(1L, 4L))
+    // phrase scores == AND scores of the constituent terms (filter-only)
+    val andScores = engine.search("red green blue", 10).toMap
+    got.foreach { case (id, s) => assert(s == andScores(id)) }
+
+    val server = SearchServer.start(engine, docMap.get, port = 0)
+    val base = s"http://127.0.0.1:${server.port}"
+    try {
+      var tries = 0
+      while (get(s"$base/health")._1 != 200 && tries < 50) { Thread.sleep(50); tries += 1 }
+      // HTTP parity with the engine call
+      val (code, body) = get(s"$base/search?phrase=red+green+blue&k=10")
+      assert(code == 200)
+      val ids = """"docId":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      assert(ids == got.map(_._1), s"body=$body")
+      assert(body.contains(""""snippet":"""")) // snippets decorate from phrase terms
+      // non-phrase q= keeps plain AND semantics (doc 2 comes back)
+      val (_, andBody) = get(s"$base/search?q=red+green+blue&k=10")
+      val andIds = """"docId":(\d+)""".r.findAllMatchIn(andBody).map(_.group(1).toLong).toSeq
+      assert(andIds.toSet == Set(1L, 2L, 4L))
+      // unmatched phrase -> empty results, 200
+      assert(get(s"$base/search?phrase=blue+red")._2.contains(""""results":[]"""))
+    } finally server.stop()
+  }
+
   test("sidecar serving: loadState pins dictionaries only; decoration parity with a pinned doc map") {
     val sp = spark
     import sp.implicits._

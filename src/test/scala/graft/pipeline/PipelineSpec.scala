@@ -217,6 +217,21 @@ class PipelineSpec extends SparkTestBase {
     assert(r.getLong(6) > 0 && r.getLong(6) <= 1000000)
   }
 
+  test("repetition: top-bigram share and distinct ratio, floor-div micro-units") {
+    val df = docsDF(Seq(
+      1L -> "a b a b a b", // bigrams: "a b"x3, "b a"x2 -> top 3/5; distinct 2/6
+      2L -> "x y z", // two distinct bigrams -> top 1/2; distinct 3/3
+      3L -> "solo", // no bigrams
+      4L -> "..." // no tokens
+    ))
+    val out = TextStats.repetition(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((5L, 600000L, 333333L)))
+    assert(out(2L) == ((2L, 500000L, 1000000L)))
+    assert(out(3L) == ((0L, 0L, 1000000L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
   test("sessions: gap splits sessions per user") {
     val sp = spark
     import sp.implicits._
