@@ -10,6 +10,10 @@ import graft.spark.Sessions
   * response shape, apps/searchd/main.cpp:474-489).
   *
   * Usage: SearchCli <corpus.parquet> <k> <query> [<query> ...]
+  *
+  * A query of the form `phrase:<text>` runs the phrase-adjacent extension
+  * (SURVEY §2.12) instead of the reference query language; plain queries
+  * keep the reference-exact semantics.
   */
 object SearchCli {
   def main(args: Array[String]): Unit = {
@@ -32,7 +36,9 @@ object SearchCli {
     import graft.core.JsonText.esc
 
     queries.foreach { q =>
-      val hits = engine.searchWithSnippets(q, k)
+      val hits =
+        if (q.startsWith("phrase:")) engine.searchPhraseWithSnippets(q.substring(7), k)
+        else engine.searchWithSnippets(q, k)
       val body = hits.map(h =>
         s"""{"docId":${h.docId},"score":${h.score},"snippet":"${esc(h.snippet)}",""" +
           s""""source":"${esc(h.source)}","lang":"${esc(h.lang)}"}"""

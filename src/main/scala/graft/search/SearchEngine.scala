@@ -201,7 +201,27 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     */
   def searchWithSnippets(query: String, k: Int = 10): Seq[Hit] = {
     val pq = QueryParser.parse(query)
-    val top = searchScored(query, k)
+    decorate(searchScored(query, k), pq.terms)
+  }
+
+  /** Phrase twin of `searchScored` (extension — see `phraseScoredDF`). */
+  def searchPhraseScored(phrase: String, k: Int = -1): Seq[(Long, Double)] = {
+    val all = phraseScoredDF(phrase)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toIndexedSeq
+    val ranked = Bm25.sortHits(all)
+    if (k >= 0) ranked.take(math.max(1, k)) else ranked
+  }
+
+  /** Phrase twin of `searchWithSnippets` (extension). */
+  def searchPhraseWithSnippets(phrase: String, k: Int = 10): Seq[Hit] =
+    decorate(searchPhraseScored(phrase, k), Tokenizer.tokenize(phrase))
+
+  /** Decorate ranked (docId, score) rows with snippet + doc metadata, text
+    * fetched for the k surviving rows only.
+    */
+  private def decorate(top: Seq[(Long, Double)], terms: Seq[String]): Seq[Hit] = {
     if (top.isEmpty) return Nil
     val ids = top.map(_._1)
     val rows = index.docstore
@@ -212,7 +232,7 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
       .toMap
     top.map { case (id, s) =>
       val (text, source, lang) = rows.getOrElse(id, ("", "", ""))
-      Hit(id, s, Snippets.makeSnippet(text, pq.terms), source, lang)
+      Hit(id, s, Snippets.makeSnippet(text, terms), source, lang)
     }
   }
 }

@@ -54,6 +54,22 @@ class PhraseSpec extends SparkTestBase {
     got.foreach { case (id, s) => assert(s == andScores(id)) }
   }
 
+  test("searchPhraseWithSnippets: ranked, decorated, phrase-filtered") {
+    val eng = new SearchEngine(IndexBuilder.build(docsDF(Seq(
+      1L -> "alpha bravo charlie tail words here",
+      2L -> "bravo alpha x charlie",
+      3L -> "alpha bravo charlie and more alpha"
+    ))).cache())
+    val hits = eng.searchPhraseWithSnippets("alpha bravo charlie", k = 10)
+    assert(hits.map(_.docId).toSet == Set(1L, 3L))
+    // ranked: scores descending under the epsilon rule
+    assert(hits.sliding(2).forall {
+      case Seq(a, b) => a.score >= b.score - 1e-9
+      case _ => true
+    })
+    assert(hits.forall(_.snippet.contains("alpha")))
+  }
+
   test("prefixScoredDF: dictionary expansion, OR semantics, empty prefix") {
     val eng = new SearchEngine(IndexBuilder.build(docsDF(Seq(
       1L -> "scan sort",
