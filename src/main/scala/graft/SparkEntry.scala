@@ -256,6 +256,11 @@ object SparkEntry {
     "q_dedup_embcos_ivf" -> ((s, dir) =>
       graft.pipeline.Similarity.ivfNearDups(
         s.read.parquet(s"$dir/embeddings.parquet"), numCentroids = 8, cosMicrosThreshold = 350000L)),
+    // --- ANN: random-hyperplane LSH-bucketed variant (second scale path) ---
+    "q_ann_lsh" -> ((s, dir) =>
+      graft.pipeline.Similarity.lshTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L),
+        k = 5, numTables = 2, bitsPerTable = 4, dim = 64)),
     // --- language-ID heuristic ---
     "q_langid" -> ((s, dir) =>
       graft.pipeline.TextStats.langId(documents(s, dir))),
@@ -483,6 +488,36 @@ object SparkEntry {
          |        CAST(round(list_dot_product(q.qe, n.e) / (q.qn * n.nrm) * 1e6) AS BIGINT) AS cos_micros
          |      FROM members m JOIN q ON q.query_id = m.query_id JOIN n ON n.vec_id = m.vec_id
          |      WHERE m.vec_id <> m.query_id),
+         |r AS (SELECT query_id, vec_id, cos_micros,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin,
+    // LSH twin: same md5-derived integer hyperplanes, per-table L-bit sign
+    // signature, candidates = bucket mates in ANY table, exact cosine rank
+    "q_ann_lsh" ->
+      s"""$vecCte,
+         |planes AS (
+         |  SELECT t.t, j.j,
+         |    CAST(list_transform(range(1, 65),
+         |      i -> CAST(('0x' || substr(md5('lsh:' || t.t || ':' || j.j || ':' || i), 1, 15)) AS BIGINT) % 2001 - 1000)
+         |      AS DOUBLE[]) AS p
+         |  FROM range(0, 2) t(t) CROSS JOIN range(0, 4) j(j)
+         |),
+         |bits AS (
+         |  SELECT n.vec_id, p.t,
+         |    CASE WHEN list_dot_product(n.e, p.p) > 0 THEN (1 << p.j) ELSE 0 END AS bit
+         |  FROM n CROSS JOIN planes p
+         |),
+         |buck AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY 1, 2),
+         |qb AS (SELECT vec_id AS query_id, t, bucket FROM buck WHERE vec_id IN (0, 1, 2)),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, b.vec_id
+         |  FROM qb q JOIN buck b ON b.t = q.t AND b.bucket = q.bucket AND b.vec_id <> q.query_id
+         |),
+         |s AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    CAST(round(list_dot_product(qn.e, n.e) / (qn.nrm * n.nrm) * 1e6) AS BIGINT) AS cos_micros
+         |  FROM cand c JOIN n qn ON qn.vec_id = c.query_id JOIN n ON n.vec_id = c.vec_id
+         |),
          |r AS (SELECT query_id, vec_id, cos_micros,
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
          |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin,

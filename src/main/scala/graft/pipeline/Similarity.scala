@@ -155,6 +155,86 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_micros"))
   }
 
+  /** Deterministic random-hyperplane components, derived from md5 exactly as
+    * the DuckDB oracle derives them (`('0x'||substr(md5(key),1,15))::BIGINT
+    * % 2001 - 1000`): integer components in [-1000, 1000], key =
+    * "lsh:table:bit:componentIndex" with componentIndex 1-based. O(T*L*dim)
+    * driver-side work — never a function of N.
+    */
+  def lshPlanes(numTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] = {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    (0 until numTables).map { t =>
+      (0 until bitsPerTable).map { j =>
+        (1 to dim)
+          .map(i => (java.lang.Long.parseLong(md5hex(s"lsh:$t:$j:$i").substring(0, 15), 16) % 2001L - 1000L).toDouble)
+          .toArray
+      }
+    }
+  }
+
+  /** LSH-bucketed ANN — the second scale path next to IVF (random-hyperplane
+    * / SimHash-for-cosine LSH: Charikar 2002): each vector gets, per hash
+    * table, an L-bit signature whose bit j is sign(dot(e, plane_tj)); only
+    * vectors sharing a query's (table, bucket) are ranked.
+    *
+    * Scale shape:
+    *   - plane tables are literal-sized constants (T*L*dim integers);
+    *   - signatures are ROW-LOCAL column folds over those literals — zero
+    *     shuffle to index N vectors, same property as `ivfAssign`;
+    *   - the query signature table (|queries| * T rows) is broadcast into
+    *     the signature scan, so candidate selection never shuffles the
+    *     N-row side; candidates ≪ N by bucketing (recall tuned by T/L — the
+    *     standard multi-table LSH trade);
+    *   - only the final per-query top-k windows over candidates.
+    *
+    * Output: (query_id, rank, vec_id, cos_micros).
+    */
+  def lshTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      numTables: Int,
+      bitsPerTable: Int,
+      dim: Int): DataFrame = {
+    val v = prepared(emb)
+    val planes = lshPlanes(numTables, bitsPerTable, dim)
+    // per-table bucket id: sum_j [dot(e, p_tj) > 0] << j — a row-local fold
+    val bucketCols: Seq[Column] = planes.zipWithIndex.map { case (tbl, t) =>
+      tbl.zipWithIndex
+        .map { case (p, j) =>
+          val dot = aggregate(zip_with(col("e"), typedLit(p.toSeq), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+          when(dot > lit(0.0), lit(1L << j)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+        .as(s"b$t")
+    }
+    val sigs = v
+      .select(col("vec_id") +: col("e") +: col("nrm") +: bucketCols: _*)
+      .select(
+        col("vec_id"), col("e"), col("nrm"),
+        posexplode(array((0 until numTables).map(t => col(s"b$t")): _*)).as(Seq("t", "bucket")))
+    val qb = sigs
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"), col("t"), col("bucket"))
+    val cand = sigs
+      .join(broadcast(qb), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qe"), col("qn"), col("e"), col("nrm"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand.select(
+      col("query_id"),
+      col("vec_id"),
+      cosMicros("qe", "qn", "e", "nrm").as("cos_micros"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_micros").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_micros"))
+  }
+
   /** IVF-bucketed embedding near-dup (the scale path Dedup.embeddingNearDups
     * points to): assign every vector to a cell row-locally, then compare only
     * WITHIN-cell pairs — the all-pairs N^2 collapses to sum of per-cell n_c^2,

@@ -49,6 +49,23 @@ class PipelineSpec extends SparkTestBase {
     assert(ann(1L) == 1L) // nearest neighbor of 0 is 1
   }
 
+  test("LSH buckets: same-direction vectors always collide; exact cosine rank") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)), // same direction as 0 -> same sign bits in EVERY table
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(vecs, Seq(0L), k = 3, numTables = 2, bitsPerTable = 4, dim = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // rank 1 must be the co-directional vector at cosine exactly 1.0
+    assert(got.head == ((1L, 1L, 1000000L)), got.mkString(","))
+    // every candidate came from a shared bucket; the query itself is excluded
+    assert(!got.exists(_._2 == 0L))
+  }
+
   test("IVF probes nearest cells and ranks members") {
     val sp = spark
     import sp.implicits._
