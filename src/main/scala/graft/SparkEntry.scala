@@ -172,6 +172,10 @@ object SparkEntry {
     //     scoring in byte-lex term order) ---
     "q_prefix_topk" -> ((s, dir) =>
       rankTopK(engine(s, dir).prefixScoredDF("s"), 20)),
+    // --- facet counts over the full match set (the reference's deferred
+    //     Phase 9 faceting, delivered as an extension) ---
+    "q_facets" -> ((s, dir) =>
+      engine(s, dir).facetCounts("data table join")),
     // --- F2: snippets on the ranked top-k ---
     "q_snippets" -> ((s, dir) => {
       val snippetUdf = udf((text: String) =>
@@ -368,6 +372,13 @@ object SparkEntry {
       s"""$tokCte,
          |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE 's%'"), uniformWeight = true)}
          |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
+    // facet twin: AND candidate set joined to doc metadata, counted per cell
+    "q_facets" ->
+      s"""$tokCte,
+         |cand AS (SELECT doc_id FROM tok2 WHERE term IN ${inList(Seq("data", "table", "join"))}
+         |         GROUP BY doc_id HAVING count(DISTINCT term) = 3)
+         |SELECT d.lang, d.source, count(*) AS n_docs
+         |FROM cand c JOIN documents d ON c.doc_id = d.doc_id GROUP BY 1, 2""".stripMargin,
     "q_snippets" -> {
       // reference snippet (snippet.cpp:12-34): earliest substring pos of any
       // term in the lowercased text; window 120 chars from max(0, pos - 40);

@@ -178,6 +178,24 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     scoredDF(ParsedQuery(expanded, Nil, isOr = true))
   }
 
+  /** Facet counts over the FULL match set — the reference's deferred Phase 9
+    * faceting (/root/reference/README.md:64 "Faceting... future Phase 9")
+    * delivered as an extension: hit counts per (lang, source) for a query's
+    * entire candidate set, not just the top-k page.
+    *
+    * Scale shape: the candidate id set is broadcast into a hash join against
+    * the docstore's meta columns (no corpus shuffle, text column pruned from
+    * the scan), and the aggregation shuffles only map-side-combined
+    * (lang, source) partials — output cardinality = |langs| x |sources|,
+    * never a function of N.
+    */
+  def facetCounts(query: String): DataFrame =
+    index.docstore
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(broadcast(scoredDF(query).select(col("doc_id"))), Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** EP3 facade: full ranking with the reference's epsilon tie comparator at
     * the driver. `k < 0` means no truncation (rank-parity tests). The
     * reference also ranks the FULL candidate set before truncating

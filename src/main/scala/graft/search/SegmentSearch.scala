@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Encoders, SparkSession}
 import scala.collection.parallel.CollectionConverters._
 
 import graft.core.{Bm25, ParsedQuery, Phrase, QueryParser, Tokenizer}
-import graft.index.SegmentIndex
+import graft.index.{DocSidecar, SegmentIndex}
 import graft.index.SegmentIndex.LoadedSegment
 
 /** Query serving over on-disk segments (the scale path / EP2).
@@ -61,6 +61,30 @@ object SegmentSearch {
     cache.computeIfAbsent(key, _ => SegmentIndex.loadSegment(path, eager = false))
   }
 
+  /** Executor-local sidecar reader cache (phrase batch verification), same
+    * file-identity key + superseded-version eviction discipline as
+    * `loadCached`. A reader pins 20 B/doc (dictionary only); text rows are
+    * positional reads.
+    */
+  @transient private lazy val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DocSidecar.BucketReader]()
+
+  def loadCachedSidecar(path: String): DocSidecar.BucketReader = {
+    val p = java.nio.file.Paths.get(path)
+    val key = s"$path|${java.nio.file.Files.size(p)}|${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    val hit = sidecarCache.get(key)
+    if (hit != null) return hit
+    val keys = sidecarCache.keys()
+    while (keys.hasMoreElements) {
+      val k = keys.nextElement()
+      if (k.startsWith(path + "|") && k != key) {
+        val old = sidecarCache.remove(k)
+        if (old != null) old.close() // loud ClosedChannelException on racers, like segments
+      }
+    }
+    sidecarCache.computeIfAbsent(key, _ => DocSidecar.openBucket(path))
+  }
+
   final case class QueryHit(qid: Int, docId: Long, score: Double)
 
   /** Global idf per positive query term from IN-MEMORY segments: global df =
@@ -94,7 +118,6 @@ object SegmentSearch {
     val meta = SegmentIndex.readMeta(indexDir)
     val files = SegmentIndex.segmentFiles(indexDir)
     val parsed: Seq[(Int, ParsedQuery)] = queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
-    val n = meta.n
     val avgdl = meta.avgdl
 
     import spark.implicits._
@@ -106,40 +129,7 @@ object SegmentSearch {
       .createDataset(files)(Encoders.STRING)
       .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
 
-    // phase 1: global df for the batch's positive terms. Results are cached
-    // per INDEX STATE — (dir, n, sumDl) plus a fingerprint of the segment
-    // files' (name, size, mtime), so any add/compact/in-place rebuild (even
-    // one that happens to preserve n and sumDl) changes the key. Repeated
-    // batches against a warm index skip the job entirely.
-    val filesFp = SegmentIndex.sha256Hex(
-      files.map { f =>
-        val p = java.nio.file.Paths.get(f)
-        s"$f|${java.nio.file.Files.size(p)}|${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val cacheKey = (indexDir, meta.n, meta.sumDl, filesFp)
-    val dfCache = dfCaches.computeIfAbsent(
-      cacheKey, _ => new java.util.concurrent.ConcurrentHashMap[String, Long]())
-    val allTerms = parsed.flatMap(_._2.terms).distinct
-    val missing = allTerms.filterNot(dfCache.containsKey)
-    if (missing.nonEmpty) {
-      val tbc = spark.sparkContext.broadcast(missing)
-      val found = fileDs
-        .mapPartitions { paths =>
-          paths.flatMap { p =>
-            val seg = loadCached(p)
-            tbc.value.iterator.flatMap(t => seg.terms.get(t).map(td => (t, td.df)))
-          }
-        }(Encoders.product[(String, Long)])
-        .collect()
-        .groupBy(_._1)
-        .map { case (t, v) => t -> v.map(_._2).sum }
-      missing.foreach(t => dfCache.put(t, found.getOrElse(t, 0L)))
-    }
-    val idfs: Map[String, Double] =
-      allTerms.flatMap { t =>
-        val df = dfCache.get(t)
-        if (df > 0) Some(t -> Bm25.idf(n, df)) else None
-      }.toMap
+    val idfs = batchIdfs(spark, indexDir, meta, files, fileDs, parsed.flatMap(_._2.terms).distinct)
     val bc = spark.sparkContext.broadcast((parsed, idfs))
 
     val queryDiag = sys.env.get("SPARK_GRAFT_QUERY_DIAG").contains("1")
@@ -162,9 +152,64 @@ object SegmentSearch {
         }
       }(Encoders.product[QueryHit])
 
-    // Per-query merge runs DISTRIBUTED (one group per query, epsilon
-    // comparator inside) so the driver collects only nQueries * k final rows
-    // — a driver-side merge would grow with segment count and anti-scale.
+    mergeDistributed(hits, queries.size, k)
+  }
+
+  final case class RankedHit(qid: Int, rank: Int, docId: Long, score: Double)
+
+  /** Phase 1 of a batch: global df (sum of per-segment local dfs) for the
+    * batch's positive terms. Results are cached per INDEX STATE — (dir, n,
+    * sumDl) plus a fingerprint of the segment files' (name, size, mtime),
+    * so any add/compact/in-place rebuild (even one that happens to preserve
+    * n and sumDl) changes the key. Repeated batches against a warm index
+    * skip the job entirely.
+    */
+  private def batchIdfs(
+      spark: SparkSession,
+      indexDir: String,
+      meta: SegmentIndex.Meta,
+      files: Seq[String],
+      fileDs: org.apache.spark.sql.Dataset[String],
+      allTerms: Seq[String]
+  ): Map[String, Double] = {
+    val filesFp = SegmentIndex.sha256Hex(
+      files.map { f =>
+        val p = java.nio.file.Paths.get(f)
+        s"$f|${java.nio.file.Files.size(p)}|${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cacheKey = (indexDir, meta.n, meta.sumDl, filesFp)
+    val dfCache = dfCaches.computeIfAbsent(
+      cacheKey, _ => new java.util.concurrent.ConcurrentHashMap[String, Long]())
+    val missing = allTerms.filterNot(dfCache.containsKey)
+    if (missing.nonEmpty) {
+      val tbc = spark.sparkContext.broadcast(missing)
+      val found = fileDs
+        .mapPartitions { paths =>
+          paths.flatMap { p =>
+            val seg = loadCached(p)
+            tbc.value.iterator.flatMap(t => seg.terms.get(t).map(td => (t, td.df)))
+          }
+        }(Encoders.product[(String, Long)])
+        .collect()
+        .groupBy(_._1)
+        .map { case (t, v) => t -> v.map(_._2).sum }
+      missing.foreach(t => dfCache.put(t, found.getOrElse(t, 0L)))
+    }
+    allTerms.flatMap { t =>
+      val df = dfCache.get(t)
+      if (df > 0) Some(t -> Bm25.idf(meta.n, df)) else None
+    }.toMap
+  }
+
+  /** Per-query merge runs DISTRIBUTED (one group per query, epsilon
+    * comparator inside) so the driver collects only nQueries * k final rows
+    * — a driver-side merge would grow with segment count and anti-scale.
+    */
+  private def mergeDistributed(
+      hits: org.apache.spark.sql.Dataset[QueryHit],
+      nQueries: Int,
+      k: Int
+  ): Map[Int, Seq[(Long, Double)]] = {
     val kk = k
     val merged = hits
       .groupByKey(_.qid)(Encoders.scalaInt)
@@ -178,12 +223,61 @@ object SegmentSearch {
       .collect()
 
     val byQ = merged.groupBy(_.qid)
-    (0 until queries.size).map { qid =>
+    (0 until nQueries).map { qid =>
       qid -> byQ.getOrElse(qid, Array.empty[RankedHit]).sortBy(_.rank).map(h => (h.docId, h.score)).toSeq
     }.toMap
   }
 
-  final case class RankedHit(qid: Int, rank: Int, docId: Long, score: Double)
+  /** Distributed PHRASE batch over on-disk segments — the batch scale path
+    * of the phrase extension (SURVEY §2.12). Per segment task: enumerate the
+    * FULL AND intersection of the phrase's terms (unbounded k — adjacency
+    * filtering must precede truncation for exact top-k), then verify
+    * adjacency against the segment's sibling doc sidecar (positional reads,
+    * executor-locally cached, 20 B/doc pinned) and emit only verified hits.
+    * Zero shuffle on the search side; the only exchange is the
+    * nQueries-group distributed merge — identical to `searchBatch`.
+    */
+  def phraseBatch(
+      spark: SparkSession,
+      indexDir: String,
+      phrases: Seq[String],
+      k: Int
+  ): Map[Int, Seq[(Long, Double)]] = {
+    val meta = SegmentIndex.readMeta(indexDir)
+    DocSidecar.ensure(spark, indexDir) // idempotent; sidecars are derived data
+    val files = SegmentIndex.segmentFiles(indexDir)
+    val parsed: Seq[(Int, IndexedSeq[String])] =
+      phrases.zipWithIndex.map { case (p, i) => (i, Tokenizer.tokenize(p).toIndexedSeq) }
+    val avgdl = meta.avgdl
+
+    import spark.implicits._
+    val fileDs = spark
+      .createDataset(files)(Encoders.STRING)
+      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+
+    val idfs = batchIdfs(spark, indexDir, meta, files, fileDs, parsed.flatMap(_._2).distinct)
+    val bc = spark.sparkContext.broadcast((parsed, idfs))
+
+    val hits = fileDs
+      .mapPartitions { paths =>
+        val (qs, idfMap) = bc.value
+        paths.flatMap { p =>
+          val seg = loadCached(p)
+          lazy val sidecar = loadCachedSidecar(p.replace("segment-", "docs-"))
+          qs.iterator.flatMap { case (qid, terms) =>
+            if (terms.isEmpty) Iterator.empty
+            else {
+              val pq = ParsedQuery(terms, Nil, isOr = false)
+              Wand.searchSegment(seg, pq, idfMap, avgdl, Int.MaxValue).iterator
+                .filter(h => sidecar.get(h.docId).exists(d => Phrase.containsPhrase(d.text, terms)))
+                .map(h => QueryHit(qid, h.docId, h.score))
+            }
+          }
+        }
+      }(Encoders.product[QueryHit])
+
+    mergeDistributed(hits, phrases.size, k)
+  }
 
   /** Same batch contract served from pre-loaded in-memory segments (no Spark
     * job — the reference's HTTP serving model, for latency/QPS benchmarks on

@@ -2,7 +2,7 @@ package graft.search
 
 import graft.SparkTestBase
 import graft.core.{Phrase, Tokenizer}
-import graft.index.IndexBuilder
+import graft.index.{IndexBuilder, SegmentIndex}
 
 class PhraseSpec extends SparkTestBase {
 
@@ -68,6 +68,49 @@ class PhraseSpec extends SparkTestBase {
       case _ => true
     })
     assert(hits.forall(_.snippet.contains("alpha")))
+  }
+
+  test("phraseBatch: distributed segment phrase matches the serving-tier phrase") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "red green blue end", "r", "en"),
+      (2L, "green red x blue", "r", "en"),
+      (3L, "red green only", "r", "en"),
+      (4L, "start red green blue", "r", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase-batch").toString
+    SegmentIndex.build(docs, dir, buckets = 2)
+
+    val got = SegmentSearch.phraseBatch(spark, dir, Seq("red green blue", "green red", "zzz"), 10)
+    assert(got(0).map(_._1).toSet == Set(1L, 4L))
+    assert(got(1).map(_._1) == Seq(2L))
+    assert(got(2).isEmpty)
+
+    // parity with the in-memory serving phrase path (same segments + sidecar)
+    val meta = SegmentIndex.readMeta(dir)
+    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
+    val engine = new SegmentSearch.ServingEngine(segs, meta)
+    val store = graft.index.DocSidecar.openStore(dir).get
+    try {
+      val serving = engine.searchPhrase("red green blue", 10, id => store.get(id).map(_.text))
+      assert(got(0) == serving)
+    } finally store.close()
+  }
+
+  test("facetCounts: per (lang, source) counts over the FULL AND match set") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo", "r1", "en"),
+      (2L, "alpha bravo", "r1", "de"),
+      (3L, "alpha only", "r2", "en"), // not in the AND set
+      (4L, "alpha bravo more", "r2", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val eng = new SearchEngine(IndexBuilder.build(docs).cache())
+    val got = eng.facetCounts("alpha bravo").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("en", "r1") -> 1L, ("de", "r1") -> 1L, ("en", "r2") -> 1L))
   }
 
   test("prefixScoredDF: dictionary expansion, OR semantics, empty prefix") {
