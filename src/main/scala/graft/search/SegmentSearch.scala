@@ -263,7 +263,12 @@ object SegmentSearch {
         val (qs, idfMap) = bc.value
         paths.flatMap { p =>
           val seg = loadCached(p)
-          lazy val sidecar = loadCachedSidecar(p.replace("segment-", "docs-"))
+          // sibling sidecar: swap only the FILENAME prefix (a dir component
+          // containing "segment-" must not be rewritten)
+          lazy val sidecar = loadCachedSidecar {
+            val sp = java.nio.file.Paths.get(p)
+            sp.resolveSibling(sp.getFileName.toString.replace("segment-", "docs-")).toString
+          }
           qs.iterator.flatMap { case (qid, terms) =>
             if (terms.isEmpty) Iterator.empty
             else {
