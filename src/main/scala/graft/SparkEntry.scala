@@ -32,6 +32,37 @@ object SparkEntry {
   private def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  // On-disk segment index per (app, corpus) — lets the oracle gates cover
+  // the SEGMENT tier (v5 files + block-max WAND + sidecar) end-to-end, not
+  // just the dataflow engine.
+  private val segDirCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def segmentDir(spark: SparkSession, dir: String): String =
+    segDirCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + dir, {
+        val out = java.nio.file.Files.createTempDirectory("graft-entry-seg").toString
+        graft.index.SegmentIndex.build(documents(spark, dir), out, buckets = 8)
+        out
+      }
+    )
+
+  /** Ranked micro-unit top-k from a FULL epsilon-ranked candidate list:
+    * re-rank on the rounded micro score exactly like the oracle's
+    * row_number(ORDER BY score_r DESC, doc_id ASC) — the engine's 1e-9
+    * epsilon order and the oracle's 1e-6 rounded order can differ between
+    * candidates closer than a micro, so the gate ranks in micro space.
+    */
+  private def rankTopKLocal(spark: SparkSession, all: Seq[(Long, Double)], k: Int): DataFrame = {
+    import spark.implicits._
+    all
+      .map { case (d, s) => (d, math.round(s * 1e6)) }
+      .sortBy { case (d, sr) => (-sr, d) }
+      .take(k)
+      .zipWithIndex
+      .map { case ((d, sr), i) => (i + 1L, d, sr) }
+      .toDF("rank", "doc_id", "score_r")
+  }
+
   /** double -> integer micro-units, the cross-engine-stable score encoding. */
   private def micros(c: org.apache.spark.sql.Column) =
     round(c * lit(1e6)).cast("long")
@@ -93,6 +124,16 @@ object SparkEntry {
        |  FROM scores
        |)""".stripMargin
   }
+
+  private lazy val phraseOracleSql: String =
+    s"""$tokCte,
+       |tarr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |pj AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS js FROM tarr),
+       |${scoresCte(
+        Seq("stream" -> 1, "table" -> 1, "hash" -> 1),
+        isOr = false,
+        candSql = Some("SELECT doc_id FROM pj WHERE strpos(js, ' stream table hash ') > 0"))}
+       |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 10""".stripMargin
 
   private def bm25Sql(terms: Seq[(String, Int)], isOr: Boolean, k: Int): String =
     s"""$tokCte,
@@ -176,6 +217,19 @@ object SparkEntry {
     //     Phase 9 faceting, delivered as an extension) ---
     "q_facets" -> ((s, dir) =>
       engine(s, dir).facetCounts("data table join")),
+    // --- SEGMENT-tier BM25 top-k: v5 segment files + block-max WAND +
+    //     distributed merge, against the same DuckDB oracle as the dataflow
+    //     gate (k unbounded so the micro-space re-rank is exact) ---
+    "q_bm25_seg_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        graft.search.SegmentSearch.searchBatch(s, segmentDir(s, dir), Seq("table scan merge"), Int.MaxValue)(0),
+        20)),
+    // --- SEGMENT-tier phrase: full AND enumeration + sidecar adjacency
+    //     verification, distributed (phraseBatch) ---
+    "q_phrase_seg_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        graft.search.SegmentSearch.phraseBatch(s, segmentDir(s, dir), Seq("stream table hash"), Int.MaxValue)(0),
+        10)),
     // --- F2: snippets on the ranked top-k ---
     "q_snippets" -> ((s, dir) => {
       val snippetUdf = udf((text: String) =>
@@ -352,20 +406,16 @@ object SparkEntry {
          |GROUP BY doc_id HAVING count(DISTINCT term) = 2
          |EXCEPT SELECT DISTINCT doc_id FROM tok2 WHERE term = 'filter'""".stripMargin,
     "q_bm25_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
+    // segment tier answers the SAME oracle as the dataflow tier
+    "q_bm25_seg_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
     "q_bm25_or_topk" -> bm25Sql(Seq("spark" -> 1, "stream" -> 1, "vector" -> 1), isOr = true, k = 20),
     "q_bm25_dup_topk" -> bm25Sql(Seq("the" -> 2, "fast" -> 1), isOr = false, k = 15),
     // phrase adjacency twin: candidates = docs whose space-joined reference
     // token stream contains the phrase as a substring bounded by spaces —
     // exactly "the token sequence occurs consecutively"
-    "q_phrase_topk" ->
-      s"""$tokCte,
-         |tarr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
-         |pj AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS js FROM tarr),
-         |${scoresCte(
-          Seq("stream" -> 1, "table" -> 1, "hash" -> 1),
-          isOr = false,
-          candSql = Some("SELECT doc_id FROM pj WHERE strpos(js, ' stream table hash ') > 0"))}
-         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_phrase_topk" -> phraseOracleSql,
+    // segment tier (phraseBatch) answers the SAME oracle
+    "q_phrase_seg_topk" -> phraseOracleSql,
     // prefix twin: same scoring chain with the term filter LIKE 's%' and
     // uniform weight 1 per matched term
     "q_prefix_topk" ->
