@@ -10,6 +10,10 @@ import graft.search.SegmentSearch
   *
   * Usage: QueryJob <indexDir> <k> <query> [<query> ...]
   * Prints one JSON line per query: {"query":…,"results":[{docId,score}…]}.
+  *
+  * A query of the form `phrase:<text>` runs the distributed phrase batch
+  * (SegmentSearch.phraseBatch — SURVEY §2.12); plain queries keep the
+  * reference-exact language.
   */
 object QueryJob {
   def main(args: Array[String]): Unit = {
@@ -25,10 +29,19 @@ object QueryJob {
       else graft.spark.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, 16, "graft-job")
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val results = SegmentSearch.searchBatch(spark, indexDir, queries, k)
+      val (phraseQ, plainQ) = queries.zipWithIndex.partition(_._1.startsWith("phrase:"))
+      val plainRes =
+        if (plainQ.isEmpty) Map.empty[Int, Seq[(Long, Double)]]
+        else SegmentSearch.searchBatch(spark, indexDir, plainQ.map(_._1), k)
+      val phraseRes =
+        if (phraseQ.isEmpty) Map.empty[Int, Seq[(Long, Double)]]
+        else SegmentSearch.phraseBatch(spark, indexDir, phraseQ.map(_._1.substring(7)), k)
+      val byInput: Map[Int, Seq[(Long, Double)]] =
+        plainQ.map(_._2).zipWithIndex.map { case (orig, j) => orig -> plainRes(j) }.toMap ++
+          phraseQ.map(_._2).zipWithIndex.map { case (orig, j) => orig -> phraseRes(j) }.toMap
       import graft.core.JsonText.esc
       queries.zipWithIndex.foreach { case (q, i) =>
-        val hits = results(i).map { case (d, s) => s"""{"docId":$d,"score":$s}""" }.mkString("[", ",", "]")
+        val hits = byInput(i).map { case (d, s) => s"""{"docId":$d,"score":$s}""" }.mkString("[", ",", "]")
         println(s"""{"query":"${esc(q)}","results":$hits}""")
       }
     } catch {

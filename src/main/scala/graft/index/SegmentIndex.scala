@@ -719,6 +719,9 @@ object SegmentIndex {
         prevDocId = docId
         val dl = r.getInt(2)
         val m = r.getMap(3)
+        // loud guard: a null tfmap means a null text reached the docstore
+        // (e.g. a mis-shaped source NULL-filled by an explicit read schema)
+        require(m != null, s"null tfmap for doc_id=$docId in bucket $cur — null text in the corpus?")
         val ks = m.keyArray()
         val vs = m.valueArray()
         val ne = m.numElements()

@@ -28,8 +28,19 @@ object SourceTable {
   ))
 
   def load(spark: SparkSession, pathOrTable: String): DataFrame =
-    if (pathOrTable.contains("/")) spark.read.schema(schema).parquet(pathOrTable)
-    else spark.read.table(pathOrTable)
+    if (pathOrTable.contains("/")) {
+      // Fail fast on a wrong-shaped file: an explicit read schema makes Spark
+      // silently NULL-fill columns the parquet lacks, which surfaces five
+      // stages later as an NPE deep in the segment writer. Footer-only check.
+      val actual = spark.read.parquet(pathOrTable).schema.fieldNames.toSet
+      val missing = schema.fieldNames.filterNot(actual)
+      require(
+        missing.isEmpty,
+        s"source table at $pathOrTable lacks required column(s) ${missing.mkString(", ")} " +
+          s"(found: ${actual.toSeq.sorted.mkString(", ")}; expected the input_hint shape " +
+          "repo/path/commit/lang/content)")
+      spark.read.schema(schema).parquet(pathOrTable)
+    } else spark.read.table(pathOrTable)
 
   /** Attach the ingest-time invariant column. */
   def withSha(src: DataFrame): DataFrame =

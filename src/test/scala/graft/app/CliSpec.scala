@@ -42,6 +42,13 @@ class CliSpec extends AnyFunSuite {
     assert(IndexJob.run(Array(srcDir + "/", out, "--add")) == 3)
   }
 
+  test("IndexJob: a mis-shaped source parquet fails fast with exit 3, not a deep NPE") {
+    // documents-shaped parquet (doc_id, text, ...) is NOT the source shape
+    // (repo, path, commit, lang, content); an explicit read schema would
+    // silently NULL-fill the missing columns — SourceTable.load must refuse
+    assert(IndexJob.run(Array("/root/testdata/sf0.001/documents.parquet", tmp(), "4")) == 3)
+  }
+
   // ------------------------------------------------------------ CompactJob
   test("CompactJob: usage errors exit 2, in validation order") {
     assert(CompactJob.run(Array.empty) == 2)
