@@ -188,6 +188,9 @@ object Similarity {
     *     the signature scan, so candidate selection never shuffles the
     *     N-row side; candidates ≪ N by bucketing (recall tuned by T/L — the
     *     standard multi-table LSH trade);
+    *   - the multi-table dedup exchange carries BARE (query_id, vec_id)
+    *     pairs (16 bytes/row); vectors re-attach after dedup via broadcast
+    *     joins (the candidate-id set is |queries|-bounded, never O(N));
     *   - only the final per-query top-k windows over candidates.
     *
     * Output: (query_id, rank, vec_id, cos_micros).
@@ -211,23 +214,32 @@ object Similarity {
         .reduce(_ + _)
         .as(s"b$t")
     }
+    // signatures carry ONLY (vec_id, t, bucket) — the multi-table dedup
+    // exchange must not ship dim-length vectors T times per candidate pair
     val sigs = v
-      .select(col("vec_id") +: col("e") +: col("nrm") +: bucketCols: _*)
+      .select(col("vec_id") +: bucketCols: _*)
       .select(
-        col("vec_id"), col("e"), col("nrm"),
+        col("vec_id"),
         posexplode(array((0 until numTables).map(t => col(s"b$t")): _*)).as(Seq("t", "bucket")))
     val qb = sigs
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"), col("t"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val cand = sigs
       .join(broadcast(qb), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qe"), col("qn"), col("e"), col("nrm"))
-      .dropDuplicates("query_id", "vec_id")
-    val scored = cand.select(
-      col("query_id"),
-      col("vec_id"),
-      cosMicros("qe", "qn", "e", "nrm").as("cos_micros"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id") // 16-byte rows through the exchange
+    // re-attach vectors AFTER dedup: tiny query table broadcast; the
+    // candidate-id set is broadcast into the vector scan (no N-side shuffle)
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        cosMicros("qe", "qn", "e", "nrm").as("cos_micros"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_micros").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

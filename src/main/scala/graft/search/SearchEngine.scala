@@ -128,10 +128,12 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     *      normal index-side scorer (posting scan with `term IN (...)` pushed
     *      down — cheap, selective);
     *   2. adjacency is verified against the docstore text for CANDIDATES
-    *      ONLY: the scored candidate set is broadcast into a hash join
-    *      against the docstore scan (no shuffle of the corpus, docstore
-    *      partitioning untouched), and the O(len) single-pass window matcher
-    *      runs on rows that survive the join.
+    *      ONLY: the scored candidate set joins the docstore scan and the
+    *      O(len) single-pass window matcher runs on rows that survive the
+    *      join. No FORCED broadcast: candidates are O(matching docs) — a
+    *      common-term phrase's set grows with N — so AQE broadcasts when
+    *      the measured size is small and shuffles otherwise rather than
+    *      dying on the broadcast limit.
     *
     * Scoring = BM25 over the phrase's term list (query-order summation,
     * duplicates per occurrence) — identical to the AND score of the same
@@ -150,7 +152,7 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     val verify = udf((text: String) => Phrase.containsPhrase(text, terms)).asNondeterministic()
     index.docstore
       .select(col("doc_id"), col("text"))
-      .join(broadcast(scored), Seq("doc_id"))
+      .join(scored, Seq("doc_id"))
       .filter(verify(col("text")))
       .select(col("doc_id"), col("score"))
   }
@@ -183,16 +185,18 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     * delivered as an extension: hit counts per (lang, source) for a query's
     * entire candidate set, not just the top-k page.
     *
-    * Scale shape: the candidate id set is broadcast into a hash join against
-    * the docstore's meta columns (no corpus shuffle, text column pruned from
-    * the scan), and the aggregation shuffles only map-side-combined
-    * (lang, source) partials — output cardinality = |langs| x |sources|,
-    * never a function of N.
+    * Scale shape: the candidate id set joins against the docstore's meta
+    * columns (text pruned from the scan); no FORCED broadcast — the
+    * candidate set is O(matching docs), a function of N for common-term
+    * queries, so AQE picks broadcast when the actual size is small and
+    * falls back to a shuffle join instead of failing on the 8 GB broadcast
+    * limit. The aggregation shuffles only map-side-combined (lang, source)
+    * partials — output cardinality = |langs| x |sources|.
     */
   def facetCounts(query: String): DataFrame =
     index.docstore
       .select(col("doc_id"), col("source"), col("lang"))
-      .join(broadcast(scoredDF(query).select(col("doc_id"))), Seq("doc_id"))
+      .join(scoredDF(query).select(col("doc_id")), Seq("doc_id"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"))
 

@@ -273,9 +273,16 @@ object SegmentSearch {
             if (terms.isEmpty) Iterator.empty
             else {
               val pq = ParsedQuery(terms, Nil, isOr = false)
-              Wand.searchSegment(seg, pq, idfMap, avgdl, Int.MaxValue).iterator
-                .filter(h => sidecar.get(h.docId).exists(d => Phrase.containsPhrase(d.text, terms)))
-                .map(h => QueryHit(qid, h.docId, h.score))
+              val raw = Wand.searchSegment(seg, pq, idfMap, avgdl, Int.MaxValue)
+              // verify IN SEGMENT-RANK ORDER with early exit at k verified:
+              // any global top-k phrase hit living in this segment is among
+              // the segment's first k verified hits, so the merge stays
+              // exact while text reads drop from O(candidates) to ~k per
+              // segment for selective phrases
+              Bm25.sortHits(raw.map(h => (h.docId, h.score))).iterator
+                .filter { case (d, _) => sidecar.get(d).exists(r => Phrase.containsPhrase(r.text, terms)) }
+                .take(if (k == Int.MaxValue) Int.MaxValue else math.max(1, k))
+                .map { case (d, s) => QueryHit(qid, d, s) }
             }
           }
         }
@@ -390,15 +397,23 @@ object SegmentSearch {
       * deferred phrase phase; see `graft.core.Phrase` and SURVEY §2.12).
       *
       * Stage 1 enumerates the FULL AND intersection (k unbounded, no theta —
-      * adjacency filtering must precede truncation for exact top-k; pruning
-      * by score first could starve the post-filter result). Stage 2 fetches
-      * each candidate's text through `textOf` (the positional-read sidecar
-      * in serving — candidates ≪ corpus) and keeps docs whose token stream
-      * contains the phrase consecutively. Stage 3 ranks with the reference
-      * epsilon comparator. Scores are the BM25 AND scores of the phrase's
-      * terms — the phrase only filters.
+      * posting-level work only, the same cost as a plain AND query; score
+      * pruning cannot apply before the adjacency filter without losing
+      * exactness). Stage 2 ranks the candidates with the reference epsilon
+      * comparator FIRST, then verifies adjacency IN RANK ORDER with early
+      * exit: because the phrase only FILTERS (scores are the BM25 AND
+      * scores), the first k candidates that pass verification ARE the exact
+      * phrase top-k — expected sidecar text reads ≈ k / selectivity instead
+      * of O(all candidates). `maxVerify` hard-bounds the pathological case
+      * (a frequent-term phrase that never occurs adjacently): past the cap
+      * the result is best-effort-truncated instead of an accidental-DoS
+      * full-corpus text scan from one cheap HTTP request.
       */
-    def searchPhrase(phrase: String, k: Int, textOf: Long => Option[String]): Seq[(Long, Double)] = {
+    def searchPhrase(
+        phrase: String,
+        k: Int,
+        textOf: Long => Option[String],
+        maxVerify: Int = 100000): Seq[(Long, Double)] = {
       val terms = Tokenizer.tokenize(phrase).toIndexedSeq
       if (terms.isEmpty) return Nil
       val pq = ParsedQuery(terms, Nil, isOr = false)
@@ -413,11 +428,21 @@ object SegmentSearch {
             segments.par.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, Int.MaxValue)).seq
           else
             segments.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, Int.MaxValue))
-        val verified = raw.iterator
-          .filter(h => textOf(h.docId).exists(t => Phrase.containsPhrase(t, terms)))
-          .map(h => (h.docId, h.score))
-          .toIndexedSeq
-        Bm25.sortHits(verified).take(math.max(1, k))
+        val ranked = Bm25.sortHits(raw.map(h => (h.docId, h.score)))
+        val kk = math.max(1, k)
+        val out = Seq.newBuilder[(Long, Double)]
+        var found = 0
+        var checked = 0
+        val it = ranked.iterator
+        while (found < kk && checked < maxVerify && it.hasNext) {
+          val hit = it.next()
+          checked += 1
+          if (textOf(hit._1).exists(t => Phrase.containsPhrase(t, terms))) {
+            out += hit
+            found += 1
+          }
+        }
+        out.result()
       } finally inFlight.decrementAndGet()
     }
   }

@@ -32,8 +32,10 @@ object SourceTable {
       // Fail fast on a wrong-shaped file: an explicit read schema makes Spark
       // silently NULL-fill columns the parquet lacks, which surfaces five
       // stages later as an NPE deep in the segment writer. Footer-only check.
-      val actual = spark.read.parquet(pathOrTable).schema.fieldNames.toSet
-      val missing = schema.fieldNames.filterNot(actual)
+      // case-insensitive: Spark's schema resolution is case-insensitive by
+      // default, so Repo/Content etc. are valid — only truly absent columns fail
+      val actual = spark.read.parquet(pathOrTable).schema.fieldNames.map(_.toLowerCase).toSet
+      val missing = schema.fieldNames.filterNot(f => actual(f.toLowerCase))
       require(
         missing.isEmpty,
         s"source table at $pathOrTable lacks required column(s) ${missing.mkString(", ")} " +
