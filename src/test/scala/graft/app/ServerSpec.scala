@@ -117,12 +117,22 @@ class ServerSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> SearchServer.DocRow(r.getString(1), r.getString(2), r.getString(3)))
       .toMap
 
-    // engine-level: full AND enumeration then adjacency filter then rank
+    // engine-level: full AND enumeration then rank-order adjacency filter
     val got = engine.searchPhrase("red green blue", 10, id => docMap.get(id).map(_.text))
     assert(got.map(_._1).toSet == Set(1L, 4L))
     // phrase scores == AND scores of the constituent terms (filter-only)
     val andScores = engine.search("red green blue", 10).toMap
     got.foreach { case (id, s) => assert(s == andScores(id)) }
+    // early exit: k=1 returns exactly the best verified hit
+    val top1 = engine.searchPhrase("red green blue", 1, id => docMap.get(id).map(_.text))
+    assert(top1 == got.take(1))
+    // maxVerify hard cap: with a cap of 1 and the best-ranked candidate not
+    // adjacent, the result is best-effort-truncated (cap counts CHECKED
+    // candidates, not verified hits)
+    val andRanked = engine.search("red green blue", 10)
+    val bestIsAdjacent = got.headOption.map(_._1) == andRanked.headOption.map(_._1)
+    val capped = engine.searchPhrase("red green blue", 10, id => docMap.get(id).map(_.text), maxVerify = 1)
+    assert(capped.size == (if (bestIsAdjacent) 1 else 0))
 
     val server = SearchServer.start(engine, docMap.get, port = 0)
     val base = s"http://127.0.0.1:${server.port}"
