@@ -156,14 +156,17 @@ object SearchServer {
         else try {
           val params = queryParams(ex)
           val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
-          // `phrase=` is an ADDITIVE extension param (SURVEY §2.12); the
-          // reference contract (`q=` + QueryParser semantics) is untouched.
-          val (q, top, highlight) = params.get("phrase") match {
-            case Some(p) =>
+          // `phrase=` / `prefix=` are ADDITIVE extension params (SURVEY
+          // §2.12); the reference contract (`q=` + QueryParser semantics)
+          // is untouched.
+          val (q, top, highlight) = (params.get("phrase"), params.get("prefix")) match {
+            case (Some(p), _) =>
               (p,
                st.engine.searchPhrase(p, k, id => st.docs(id).map(_.text)),
                graft.core.Tokenizer.tokenize(p))
-            case None =>
+            case (None, Some(p)) =>
+              (p, st.engine.searchPrefix(p, k), graft.core.Tokenizer.tokenize(p))
+            case _ =>
               val qs = params.getOrElse("q", "")
               val pq = QueryParser.parse(qs)
               (qs, st.engine.search(pq, k), pq.terms)

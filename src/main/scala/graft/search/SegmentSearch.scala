@@ -393,6 +393,27 @@ object SegmentSearch {
       } finally inFlight.decrementAndGet()
     }
 
+    /** Prefix top-k over segments — EXTENSION (same deferred wildcard phase
+      * as phrases; SURVEY §2.12). Expands the prefix against each segment's
+      * in-memory term dictionary, then scores the union OR-mode in byte-lex
+      * term order (matching `SearchEngine.prefixScoredDF`). The in-memory
+      * expansion is an O(vocab) key scan per segment per request — the v5
+      * dictionary footer is SORTED on disk, so a production serving tier
+      * can range-scan it instead; `maxTerms` bounds a degenerate one-letter
+      * prefix from turning into a thousand-term OR query.
+      */
+    def searchPrefix(prefix: String, k: Int, maxTerms: Int = 64): Seq[(Long, Double)] = {
+      val norm = Tokenizer.tokenize(prefix)
+      if (norm.size != 1) return Nil
+      val p = norm.head
+      val expanded = segments.iterator
+        .flatMap(_.terms.keysIterator.filter(_.startsWith(p)))
+        .toSeq.distinct.sorted
+        .take(maxTerms)
+      if (expanded.isEmpty) Nil
+      else search(ParsedQuery(expanded, Nil, isOr = true), k)
+    }
+
     /** Phrase-adjacent top-k over segments — EXTENSION (the reference's
       * deferred phrase phase; see `graft.core.Phrase` and SURVEY §2.12).
       *

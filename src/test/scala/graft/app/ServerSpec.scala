@@ -151,6 +151,15 @@ class ServerSpec extends SparkTestBase {
       assert(andIds.toSet == Set(1L, 2L, 4L))
       // unmatched phrase -> empty results, 200
       assert(get(s"$base/search?phrase=blue+red")._2.contains(""""results":[]"""))
+
+      // prefix extension: dictionary expansion over segments, OR scoring
+      // ("e" expands to "end" -> doc 1 only; parity with the plain term)
+      assert(engine.searchPrefix("e", 10) == engine.search("end", 10))
+      assert(engine.searchPrefix("zz", 10).isEmpty)
+      assert(engine.searchPrefix("a b", 10).isEmpty) // not a single token
+      val (pc, pBody) = get(s"$base/search?prefix=e&k=10")
+      assert(pc == 200)
+      assert(""""docId":(\d+)""".r.findAllMatchIn(pBody).map(_.group(1).toLong).toSeq == Seq(1L))
     } finally server.stop()
   }
 
