@@ -230,6 +230,17 @@ object SparkEntry {
       rankTopKLocal(s,
         graft.search.SegmentSearch.phraseBatch(s, segmentDir(s, dir), Seq("stream table hash"), Int.MaxValue)(0),
         10)),
+    // --- SERVING-tier prefix: pinned in-memory segments + dictionary
+    //     expansion (ServingEngine.searchPrefix), same oracle as the
+    //     dataflow prefix gate — the third tier under the oracle ---
+    "q_prefix_serving_topk" -> ((s, dir) => {
+      val sd = segmentDir(s, dir)
+      val meta = graft.index.SegmentIndex.readMeta(sd)
+      val segs = graft.index.SegmentIndex.segmentFiles(sd)
+        .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
+      val eng = new graft.search.SegmentSearch.ServingEngine(segs, meta)
+      rankTopKLocal(s, eng.searchPrefix("s", Int.MaxValue), 20)
+    }),
     // --- F2: snippets on the ranked top-k ---
     "q_snippets" -> ((s, dir) => {
       val snippetUdf = udf((text: String) =>
@@ -419,6 +430,11 @@ object SparkEntry {
     // prefix twin: same scoring chain with the term filter LIKE 's%' and
     // uniform weight 1 per matched term
     "q_prefix_topk" ->
+      s"""$tokCte,
+         |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE 's%'"), uniformWeight = true)}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
+    // serving tier (pinned segments + dictionary expansion), same oracle
+    "q_prefix_serving_topk" ->
       s"""$tokCte,
          |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE 's%'"), uniformWeight = true)}
          |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
