@@ -46,6 +46,24 @@ object SparkEntry {
       }
     )
 
+  // Pinned in-memory serving engine + sidecar store per (app, corpus) —
+  // the searchd serving model under the oracle gates.
+  private val servingCache =
+    scala.collection.concurrent.TrieMap[String, (graft.search.SegmentSearch.ServingEngine, graft.index.DocSidecar.DocStore)]()
+
+  private def serving(spark: SparkSession, dir: String): (graft.search.SegmentSearch.ServingEngine, graft.index.DocSidecar.DocStore) =
+    servingCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + dir, {
+        val sd = segmentDir(spark, dir)
+        graft.index.DocSidecar.ensure(spark, sd)
+        val meta = graft.index.SegmentIndex.readMeta(sd)
+        val segs = graft.index.SegmentIndex.segmentFiles(sd)
+          .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
+        (new graft.search.SegmentSearch.ServingEngine(segs, meta),
+         graft.index.DocSidecar.openStore(sd).get)
+      }
+    )
+
   /** Ranked micro-unit top-k from a FULL epsilon-ranked candidate list:
     * re-rank on the rounded micro score exactly like the oracle's
     * row_number(ORDER BY score_r DESC, doc_id ASC) — the engine's 1e-9
@@ -230,16 +248,20 @@ object SparkEntry {
       rankTopKLocal(s,
         graft.search.SegmentSearch.phraseBatch(s, segmentDir(s, dir), Seq("stream table hash"), Int.MaxValue)(0),
         10)),
-    // --- SERVING-tier prefix: pinned in-memory segments + dictionary
-    //     expansion (ServingEngine.searchPrefix), same oracle as the
-    //     dataflow prefix gate — the third tier under the oracle ---
-    "q_prefix_serving_topk" -> ((s, dir) => {
-      val sd = segmentDir(s, dir)
-      val meta = graft.index.SegmentIndex.readMeta(sd)
-      val segs = graft.index.SegmentIndex.segmentFiles(sd)
-        .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
-      val eng = new graft.search.SegmentSearch.ServingEngine(segs, meta)
-      rankTopKLocal(s, eng.searchPrefix("s", Int.MaxValue), 20)
+    // --- SERVING tier under the oracle (pinned in-memory segments — the
+    //     searchd model): BM25 WAND, dictionary-expansion prefix, and
+    //     sidecar-verified phrase each answer the SAME DuckDB SQL as their
+    //     dataflow twins ---
+    "q_bm25_serving_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        serving(s, dir)._1.search("table scan merge", Int.MaxValue), 20)),
+    "q_prefix_serving_topk" -> ((s, dir) =>
+      rankTopKLocal(s, serving(s, dir)._1.searchPrefix("s", Int.MaxValue), 20)),
+    "q_phrase_serving_topk" -> ((s, dir) => {
+      val (eng, store) = serving(s, dir)
+      rankTopKLocal(s,
+        eng.searchPhrase("stream table hash", Int.MaxValue, id => store.get(id).map(_.text)),
+        10)
     }),
     // --- F2: snippets on the ranked top-k ---
     "q_snippets" -> ((s, dir) => {
@@ -417,8 +439,10 @@ object SparkEntry {
          |GROUP BY doc_id HAVING count(DISTINCT term) = 2
          |EXCEPT SELECT DISTINCT doc_id FROM tok2 WHERE term = 'filter'""".stripMargin,
     "q_bm25_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
-    // segment tier answers the SAME oracle as the dataflow tier
+    // segment + serving tiers answer the SAME oracle as the dataflow tier
     "q_bm25_seg_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
+    "q_bm25_serving_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
+    "q_phrase_serving_topk" -> phraseOracleSql,
     "q_bm25_or_topk" -> bm25Sql(Seq("spark" -> 1, "stream" -> 1, "vector" -> 1), isOr = true, k = 20),
     "q_bm25_dup_topk" -> bm25Sql(Seq("the" -> 2, "fast" -> 1), isOr = false, k = 15),
     // phrase adjacency twin: candidates = docs whose space-joined reference
