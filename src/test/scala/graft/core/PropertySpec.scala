@@ -115,4 +115,19 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: containsPhrase ≡ sliding-window model over the token stream") {
+    // small alphabet forces repeats and overlapping near-matches — the
+    // circular-window matcher's hard cases
+    val tok = Gen.oneOf("a", "b", "ab", "c")
+    val doc: Gen[List[String]] = Gen.listOfN(12, tok).flatMap(l => Gen.choose(0, 12).map(l.take))
+    val phrase: Gen[List[String]] = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, tok))
+    val sep = Gen.oneOf(" ", "-", ".", "\t", "--", " é ")
+    forAll(Gen.zip(doc, phrase, sep), trials = 400) { case (d, p, s) =>
+      val text = d.mkString(s)
+      val model = d.sliding(p.length).contains(p) && d.length >= p.length
+      val got = Phrase.containsPhrase(text, p.toIndexedSeq)
+      assert(got == model, s"doc=$d phrase=$p sep='$s' got=$got model=$model")
+    }
+  }
 }
