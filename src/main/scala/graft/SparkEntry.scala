@@ -85,6 +85,16 @@ object SparkEntry {
   private def micros(c: org.apache.spark.sql.Column) =
     round(c * lit(1e6)).cast("long")
 
+  /** Already-ranked (term, global df) suggestion rows -> the gate's
+    * (rank, term, df) frame.
+    */
+  private def rankSuggest(spark: SparkSession, rows: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.zipWithIndex
+      .map { case ((t, df), i) => (i + 1L, t, df) }
+      .toDF("rank", "term", "df")
+  }
+
   // ------------------------------------------------------------ oracle CTEs
   /** Shared DuckDB CTE prefix: reference tokenization + doc lengths + corpus
     * stats over the `documents` table. ASCII corpus => the regex split is
@@ -151,6 +161,24 @@ object SparkEntry {
         Seq("stream" -> 1, "table" -> 1, "hash" -> 1),
         isOr = false,
         candSql = Some("SELECT doc_id FROM pj WHERE strpos(js, ' stream table hash ') > 0"))}
+       |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 10""".stripMargin
+
+  private lazy val suggestOracleSql: String =
+    s"""$tokCte,
+       |sdfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |         FROM tok2 WHERE term LIKE 's%' GROUP BY term),
+       |sranked AS (SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rank, term, df FROM sdfs)
+       |SELECT rank, term, df FROM sranked WHERE rank <= 5""".stripMargin
+
+  private lazy val filterOracleSql: String =
+    s"""$tokCte,
+       |${scoresCte(
+        Seq("table" -> 1, "scan" -> 1, "merge" -> 1),
+        isOr = false,
+        candSql = Some(
+          "SELECT c.doc_id FROM (SELECT doc_id FROM posts GROUP BY doc_id " +
+          "HAVING count(DISTINCT term) = 3) c " +
+          "JOIN documents d ON c.doc_id = d.doc_id WHERE d.lang = 'en'"))}
        |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 10""".stripMargin
 
   private def bm25Sql(terms: Seq[(String, Int)], isOr: Boolean, k: Int): String =
@@ -235,6 +263,40 @@ object SparkEntry {
     //     Phase 9 faceting, delivered as an extension) ---
     "q_facets" -> ((s, dir) =>
       engine(s, dir).facetCounts("data table join")),
+    // --- prefix suggestions / autocomplete (deferred Phase 9), all three
+    //     tiers against the same oracle: global df desc, term asc ---
+    "q_suggest" -> ((s, dir) => {
+      val w = Window.orderBy(col("df").desc, col("term").asc)
+      engine(s, dir).suggestDF("s", 5)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("term"), col("df"))
+    }),
+    "q_suggest_seg" -> ((s, dir) =>
+      rankSuggest(s, graft.search.SegmentSearch.suggestBatch(s, segmentDir(s, dir), "s", 5))),
+    "q_suggest_serving" -> ((s, dir) =>
+      rankSuggest(s, serving(s, dir)._1.suggest("s", 5))),
+    // --- metadata-filtered ranked search (deferred Phase 9 "filters"):
+    //     filter restricts candidates BEFORE truncation; scores unchanged ---
+    "q_filter_topk" -> ((s, dir) =>
+      rankTopK(engine(s, dir).filteredScoredDF("table scan merge", lang = Some("en")), 10)),
+    "q_filter_seg_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        graft.search.SegmentSearch.searchFilteredBatch(
+          s, segmentDir(s, dir), Seq("table scan merge"), Int.MaxValue, Some("en"), None)(0),
+        10)),
+    "q_filter_serving_topk" -> ((s, dir) => {
+      val (eng, store) = serving(s, dir)
+      rankTopKLocal(s,
+        eng.searchFiltered(
+          graft.core.QueryParser.parse("table scan merge"), Int.MaxValue,
+          id => store.get(id).exists(_.lang == "en")),
+        10)
+    }),
+    // --- synonym-expanded search (optional Phase 10 "synonyms"): OR within
+    //     each synonym group, AND across groups, uniform-weight scoring ---
+    "q_synonyms_topk" -> ((s, dir) =>
+      rankTopK(engine(s, dir).synonymScoredDF("scan merge",
+        Map("scan" -> Seq("filter"), "merge" -> Seq("join", "sort"))), 15)),
     // --- SEGMENT-tier BM25 top-k: v5 segment files + block-max WAND +
     //     distributed merge, against the same DuckDB oracle as the dataflow
     //     gate (k unbounded so the micro-space re-rank is exact) ---
@@ -462,6 +524,27 @@ object SparkEntry {
       s"""$tokCte,
          |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE 's%'"), uniformWeight = true)}
          |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
+    // suggestion twin (all three tiers answer the same SQL): per-term global
+    // df over the prefix's dictionary range, ranked df desc / term asc
+    "q_suggest" -> suggestOracleSql,
+    "q_suggest_seg" -> suggestOracleSql,
+    "q_suggest_serving" -> suggestOracleSql,
+    // filter twin: the AND candidate set intersected with the metadata
+    // predicate BEFORE ranking/truncation; scoring chain unchanged
+    "q_filter_topk" -> filterOracleSql,
+    "q_filter_seg_topk" -> filterOracleSql,
+    "q_filter_serving_topk" -> filterOracleSql,
+    // synonym twin: OR within each group, AND across groups (INTERSECT of
+    // the groups' candidate sets), uniform weight 1 per matched term
+    "q_synonyms_topk" ->
+      s"""$tokCte,
+         |${scoresCte(Nil, isOr = true,
+            candSql = Some(
+              "SELECT DISTINCT doc_id FROM posts WHERE term IN ('scan','filter') " +
+              "INTERSECT SELECT DISTINCT doc_id FROM posts WHERE term IN ('merge','join','sort')"),
+            termFilterSql = Some("term IN ('filter','join','merge','scan','sort')"),
+            uniformWeight = true)}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 15""".stripMargin,
     // facet twin: AND candidate set joined to doc metadata, counted per cell
     "q_facets" ->
       s"""$tokCte,

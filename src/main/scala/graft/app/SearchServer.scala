@@ -87,6 +87,52 @@ object SearchServer {
     def nSegments: Int = engine.segments.length
   }
 
+  /** Serving observability (the reference's Phase 6 "Metrics, logs, tracing
+    * hooks", /root/reference/README.md:62) — request counters, an error
+    * counter, a fixed-size latency ring (last `RingSize` /search service
+    * times, lock-free single-writer-per-slot), and the reload generation.
+    * All hot-path writes are LongAdder/AtomicLongArray — no locks, no
+    * allocation — so /metrics costs the serving path nothing measurable.
+    */
+  final class Metrics {
+    import java.util.concurrent.atomic.{AtomicLong, AtomicLongArray}
+    private val startedNanos = System.nanoTime()
+    val searches = new java.util.concurrent.atomic.LongAdder
+    val suggests = new java.util.concurrent.atomic.LongAdder
+    val healths = new java.util.concurrent.atomic.LongAdder
+    val errors = new java.util.concurrent.atomic.LongAdder
+    val reloads = new java.util.concurrent.atomic.LongAdder
+    private val RingSize = 4096
+    private val ring = new AtomicLongArray(RingSize) // micros; 0 = unset
+    private val ringIdx = new AtomicLong(0)
+
+    def recordSearchMicros(us: Long): Unit =
+      ring.set((ringIdx.getAndIncrement() % RingSize).toInt, math.max(1L, us))
+
+    def uptimeMillis: Long = (System.nanoTime() - startedNanos) / 1000000L
+
+    /** (p50, p95, p99, n) over the ring's filled slots; zeros when empty. */
+    def latencyQuantiles: (Long, Long, Long, Int) = {
+      val snap = Array.tabulate(RingSize)(ring.get).filter(_ > 0L)
+      if (snap.isEmpty) return (0L, 0L, 0L, 0)
+      java.util.Arrays.sort(snap)
+      def q(p: Double) = snap(math.min(snap.length - 1, (p * snap.length).toInt))
+      (q(0.50), q(0.95), q(0.99), snap.length)
+    }
+
+    def toJson(st: IndexState): String = {
+      val (p50, p95, p99, n) = latencyQuantiles
+      s"""{"uptime_ms":$uptimeMillis,""" +
+        s""""requests":{"search":${searches.sum},"suggest":${suggests.sum},""" +
+        s""""health":${healths.sum},"reload":${reloads.sum}},""" +
+        s""""errors":${errors.sum},""" +
+        s""""search_latency_us":{"p50":$p50,"p95":$p95,"p99":$p99,"window":$n},""" +
+        s""""index":{"docs":${if (st == null) 0L else st.nDocs},""" +
+        s""""segments":${if (st == null) 0 else st.nSegments},""" +
+        s""""generation":${reloads.sum + 1}}}"""
+    }
+  }
+
   /** Handle to a started server. `beginShutdown()` flips /health to 503
     * (drain phase — a load balancer stops routing while in-flight /search
     * requests still complete, the reference's g_shutdown_in_progress
@@ -95,7 +141,8 @@ object SearchServer {
   final class Running private[SearchServer] (
       http: HttpServer,
       ready: AtomicBoolean,
-      state: AtomicReference[IndexState]
+      state: AtomicReference[IndexState],
+      val metrics: Metrics
   ) {
     def port: Int = http.getAddress.getPort
     def current: IndexState = state.get
@@ -131,6 +178,7 @@ object SearchServer {
     val ready = new AtomicBoolean(true)
     val stateRef = new AtomicReference[IndexState](initial)
     val reloading = new AtomicBoolean(false)
+    val metrics = new Metrics
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     // daemon workers: an embedding JVM (bench, spec) exits cleanly after
     // stop(); the standalone main stays alive via its explicit join
@@ -139,11 +187,14 @@ object SearchServer {
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
 
     server.createContext("/health", (ex: HttpExchange) => {
+      metrics.healths.increment()
       val (code, body) = if (ready.get) (200, "OK") else (503, "")
       respond(ex, code, "text/plain", body)
     })
 
     server.createContext("/search", (ex: HttpExchange) => {
+      val t0 = System.nanoTime()
+      metrics.searches.increment()
       try {
         // pin this request's generation; a concurrent /reload swap cannot
         // close it underneath us (retain fails only when the state is
@@ -156,20 +207,38 @@ object SearchServer {
         else try {
           val params = queryParams(ex)
           val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
+          // `lang=` / `source=` are ADDITIVE metadata filters (deferred
+          // Phase 9 "filters"): restrict candidates BEFORE truncation via
+          // rank-order early-exit verification against the sidecar row.
+          val wantLang = params.get("lang").filter(_.nonEmpty)
+          val wantSource = params.get("source").filter(_.nonEmpty)
+          val hasFilter = wantLang.nonEmpty || wantSource.nonEmpty
+          def metaOk(row: DocRow): Boolean =
+            wantLang.forall(_ == row.lang) && wantSource.forall(_ == row.source)
+          def pred(id: Long): Boolean = st.docs(id).exists(metaOk)
           // `phrase=` / `prefix=` are ADDITIVE extension params (SURVEY
           // §2.12); the reference contract (`q=` + QueryParser semantics)
           // is untouched.
           val (q, top, highlight) = (params.get("phrase"), params.get("prefix")) match {
             case (Some(p), _) =>
+              // a filtered phrase composes through textOf: a doc failing the
+              // metadata filter yields no text, so verification rejects it
               (p,
-               st.engine.searchPhrase(p, k, id => st.docs(id).map(_.text)),
+               st.engine.searchPhrase(p, k,
+                 id => st.docs(id).filter(metaOk).map(_.text)),
                graft.core.Tokenizer.tokenize(p))
             case (None, Some(p)) =>
-              (p, st.engine.searchPrefix(p, k), graft.core.Tokenizer.tokenize(p))
+              (p,
+               if (hasFilter) st.engine.searchPrefixFiltered(p, k, pred)
+               else st.engine.searchPrefix(p, k),
+               graft.core.Tokenizer.tokenize(p))
             case _ =>
               val qs = params.getOrElse("q", "")
               val pq = QueryParser.parse(qs)
-              (qs, st.engine.search(pq, k), pq.terms)
+              (qs,
+               if (hasFilter) st.engine.searchFiltered(pq, k, pred)
+               else st.engine.search(pq, k),
+               pq.terms)
           }
           // assemble the response in ONE builder — at thousands of rps the
           // per-hit string concatenation was measurable allocation churn
@@ -193,8 +262,59 @@ object SearchServer {
             sb.append("\"}")
           }
           sb.append("]}")
+          metrics.recordSearchMicros((System.nanoTime() - t0) / 1000L)
           respond(ex, 200, "application/json", sb.toString)
         } finally st.release()
+      } catch {
+        case e: Exception =>
+          metrics.errors.increment()
+          respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
+      }
+    })
+
+    // Phase-9 autocomplete: top-k dictionary terms for a prefix, ranked by
+    // global df (sum of per-segment local dfs) desc, term asc.
+    server.createContext("/suggest", (ex: HttpExchange) => {
+      metrics.suggests.increment()
+      try {
+        var st = stateRef.get
+        while (st != null && !st.retain()) st = stateRef.get
+        if (st == null) respond(ex, 503, "text/plain", "")
+        else try {
+          val params = queryParams(ex)
+          val q = params.getOrElse("q", "")
+          val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
+          val rows = st.engine.suggest(q, k)
+          val sb = new java.lang.StringBuilder(64 + 32 * rows.size)
+          sb.append("{\"prefix\":\"")
+          graft.core.JsonText.escInto(sb, q)
+          sb.append("\",\"suggestions\":[")
+          var first = true
+          rows.foreach { case (term, df) =>
+            if (!first) sb.append(',')
+            first = false
+            sb.append("{\"term\":\"")
+            graft.core.JsonText.escInto(sb, term)
+            sb.append("\",\"df\":").append(df).append('}')
+          }
+          sb.append("]}")
+          respond(ex, 200, "application/json", sb.toString)
+        } finally st.release()
+      } catch {
+        case e: Exception =>
+          metrics.errors.increment()
+          respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
+      }
+    })
+
+    // Phase-6 observability: counters + /search latency quantiles + index
+    // generation info, one lock-free JSON snapshot.
+    server.createContext("/metrics", (ex: HttpExchange) => {
+      try {
+        var st = stateRef.get
+        while (st != null && !st.retain()) st = stateRef.get
+        try respond(ex, 200, "application/json", metrics.toJson(st))
+        finally if (st != null) st.release()
       } catch {
         case e: Exception => respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
       }
@@ -234,9 +354,11 @@ object SearchServer {
               if (stopped) {
                 if (next != null) next.release() // stopped mid-build: discard
                 respond(ex, 503, "text/plain", "server stopped")
-              } else
+              } else {
+                metrics.reloads.increment()
                 respond(ex, 200, "application/json",
                   s"""{"reloaded":true,"docs":${next.nDocs},"segments":${next.nSegments}}""")
+              }
             } catch {
               case e: Exception => // old state keeps serving untouched
                 respond(ex, 500, "text/plain", s"reload failed: ${e.getMessage}")
@@ -246,7 +368,7 @@ object SearchServer {
     })
 
     server.start()
-    new Running(server, ready, stateRef)
+    new Running(server, ready, stateRef, metrics)
   }
 
   /** Back-compat entry for benches/specs that pin their own doc map. */

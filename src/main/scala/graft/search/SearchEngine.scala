@@ -180,6 +180,126 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     scoredDF(ParsedQuery(expanded, Nil, isOr = true))
   }
 
+  /** Prefix term suggestions — the reference's deferred Phase 9 "autocomplete"
+    * (/root/reference/README.md:64 "Facets, autocomplete, filters") delivered
+    * as an extension: the top-k dictionary terms for a typed prefix, ranked by
+    * global document frequency (df desc, then term asc for determinism).
+    *
+    * Scale shape: the df table is vocabulary-sized (not corpus-sized) and the
+    * prefix predicate prunes it further; `orderBy(...).limit(k)` plans
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k rows) —
+    * no global sort, no full-vocabulary collect.
+    */
+  def suggestDF(prefix: String, k: Int): DataFrame = {
+    val spark = index.postings.sparkSession
+    val norm = Tokenizer.tokenize(prefix)
+    if (norm.size != 1)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType))))
+    index.dfTable
+      .filter(col("term").startsWith(norm.head))
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** Metadata-filtered search — the reference's deferred Phase 9 "filters"
+    * (/root/reference/README.md:64) as an extension: restrict the candidate
+    * set to documents matching the given metadata equality filters, THEN rank
+    * and truncate. Scores are unchanged (BM25 per-doc terms are global-idf
+    * based — a filter restricts candidates, it does not re-weight), so
+    * filter-then-rank equals rank-then-filter; truncation happens after both,
+    * per the reference's ranking-before-truncation rule.
+    *
+    * Scale shape: the metadata predicates push down into the docstore parquet
+    * scan (text column pruned), and the candidate restriction is a LEFT SEMI
+    * join — no payload duplication, AQE picks broadcast when the filtered
+    * meta side measures small.
+    */
+  def filteredScoredDF(
+      query: String,
+      lang: Option[String] = None,
+      source: Option[String] = None): DataFrame = {
+    val scored = scoredDF(query)
+    if (lang.isEmpty && source.isEmpty) return scored
+    var meta = index.docstore.select(col("doc_id"), col("source"), col("lang"))
+    lang.foreach(v => meta = meta.filter(col("lang") === lit(v)))
+    source.foreach(v => meta = meta.filter(col("source") === lit(v)))
+    scored.join(meta.select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
+  /** Synonym-expanded search — the reference's optional Phase 10 "synonyms"
+    * (/root/reference/README.md:65 "Masterclass Features ... Synonyms")
+    * as an extension. Each positive query term expands into its synonym
+    * GROUP (the term itself plus its table entries, tokenizer-normalized,
+    * order-preserving dedup); candidates must match at least one term of
+    * EVERY group (OR within a group, AND across groups — the standard IR
+    * expansion semantics); the score is the uniform-weight BM25 sum over all
+    * expanded terms the document matches, summed in byte-lex term order
+    * (deterministic, matching `prefixScoredDF`'s expansion discipline).
+    * NOT terms are untouched by expansion.
+    */
+  def synonymScoredDF(query: String, synonyms: Map[String, Seq[String]]): DataFrame = {
+    val spark = index.postings.sparkSession
+    val pq = QueryParser.parse(query)
+    if (pq.terms.isEmpty) return emptyScored(spark)
+    val groups: Seq[Seq[String]] = pq.terms.distinct.map { t =>
+      (t +: synonyms.getOrElse(t, Nil).flatMap(Tokenizer.tokenize)).distinct
+    }
+    val expanded = groups.flatten.distinct.sorted
+    val stats = index.stats
+    if (stats.n == 0L) return emptyScored(spark)
+
+    val dfMap: Map[String, Long] = index.dfTable
+      .filter(col("term").isin(expanded: _*))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val idfMap: Map[String, Double] =
+      dfMap.map { case (t, d) => t -> Bm25.idf(stats.n, d) }
+
+    val qPost = index.postings.filter(col("term").isin(expanded: _*))
+    val normCol =
+      if (stats.avgdl > 0.0)
+        lit(1.0 - Bm25.B) + lit(Bm25.B) * col("dl").cast("double") / lit(stats.avgdl)
+      else lit(1.0)
+    val idfCol = element_at(typedLit(idfMap), col("term"))
+    val partCol = idfCol * (col("tf").cast("double") * lit(Bm25.K1 + 1.0)) /
+      (col("tf").cast("double") + lit(Bm25.K1) * normCol)
+
+    val perDoc = qPost
+      .withColumn("part", partCol)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("part")))).as("parts"))
+
+    // group coverage: at least one matched term per synonym group
+    val coverage = groups
+      .map(g => g.map(t => element_at(col("parts"), t).isNotNull).reduce(_ || _))
+      .reduce(_ && _)
+    val candidates = perDoc.filter(coverage)
+
+    val afterNot =
+      if (pq.notTerms.isEmpty) candidates
+      else {
+        val notDocs = index.postings
+          .filter(col("term").isin(pq.notTerms.distinct: _*))
+          .select(col("doc_id"))
+          .distinct()
+        candidates.join(notDocs, Seq("doc_id"), "left_anti")
+      }
+
+    val termsArr = typedLit(expanded)
+    val scoreCol = aggregate(
+      termsArr,
+      lit(0.0),
+      (acc, t) => acc + coalesce(element_at(col("parts"), t), lit(0.0))
+    )
+    afterNot.select(col("doc_id"), scoreCol.as("score"))
+  }
+
   /** Facet counts over the FULL match set — the reference's deferred Phase 9
     * faceting (/root/reference/README.md:64 "Faceting... future Phase 9")
     * delivered as an extension: hit counts per (lang, source) for a query's

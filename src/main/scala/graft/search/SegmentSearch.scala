@@ -291,6 +291,105 @@ object SegmentSearch {
     mergeDistributed(hits, phrases.size, k)
   }
 
+  /** Distributed prefix suggestions over on-disk segments — EXTENSION
+    * (deferred Phase 9 "autocomplete"), the batch twin of
+    * `ServingEngine.suggest`. Per segment task: scan the (pinned, vocab-sized)
+    * dictionary for prefix matches and emit (term, LOCAL df); global df = sum
+    * over segments (the Lucene model), aggregated with map-side combine —
+    * the only shuffled rows are per-(segment, matching-term) partials, and
+    * the top-k runs as TakeOrderedAndProject (no global sort, the driver
+    * receives k rows).
+    */
+  def suggestBatch(
+      spark: SparkSession,
+      indexDir: String,
+      prefix: String,
+      k: Int
+  ): Seq[(String, Long)] = {
+    val norm = Tokenizer.tokenize(prefix)
+    if (norm.size != 1) return Nil
+    val p = norm.head
+    val files = SegmentIndex.segmentFiles(indexDir)
+    import spark.implicits._
+    spark
+      .createDataset(files)(Encoders.STRING)
+      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+      .mapPartitions { paths =>
+        paths.flatMap { f =>
+          loadCached(f).terms.iterator.collect {
+            case (t, td) if t.startsWith(p) => (t, td.df)
+          }
+        }
+      }(Encoders.product[(String, Long)])
+      .toDF("term", "df")
+      .groupBy("term")
+      .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+      .orderBy(org.apache.spark.sql.functions.col("df").desc,
+               org.apache.spark.sql.functions.col("term").asc)
+      .limit(k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+  }
+
+  /** Distributed metadata-filtered batch search — EXTENSION (deferred Phase 9
+    * "filters"), the batch twin of `ServingEngine.searchFiltered`. Per
+    * segment task: full enumeration (k unbounded — the filter must precede
+    * truncation for exact top-k), then the metadata predicate is verified
+    * against the segment's sibling doc sidecar IN RANK ORDER with early exit
+    * at k accepted (exact per segment because the filter only filters; the
+    * cross-segment merge stays exact because any global top-k survivor in
+    * this segment is among its first k survivors). Identical shape to
+    * `phraseBatch` with a metadata predicate instead of adjacency.
+    */
+  def searchFilteredBatch(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Seq[String],
+      k: Int,
+      lang: Option[String],
+      source: Option[String]
+  ): Map[Int, Seq[(Long, Double)]] = {
+    val meta = SegmentIndex.readMeta(indexDir)
+    DocSidecar.ensure(spark, indexDir)
+    val files = SegmentIndex.segmentFiles(indexDir)
+    val parsed: Seq[(Int, ParsedQuery)] =
+      queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
+    val avgdl = meta.avgdl
+
+    import spark.implicits._
+    val fileDs = spark
+      .createDataset(files)(Encoders.STRING)
+      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+
+    val idfs = batchIdfs(spark, indexDir, meta, files, fileDs, parsed.flatMap(_._2.terms).distinct)
+    val bc = spark.sparkContext.broadcast((parsed, idfs, lang, source))
+
+    val hits = fileDs
+      .mapPartitions { paths =>
+        val (qs, idfMap, wantLang, wantSource) = bc.value
+        paths.flatMap { p =>
+          val seg = loadCached(p)
+          lazy val sidecar = loadCachedSidecar {
+            val sp = java.nio.file.Paths.get(p)
+            sp.resolveSibling(sp.getFileName.toString.replace("segment-", "docs-")).toString
+          }
+          def accept(d: Long): Boolean = sidecar.get(d).exists { r =>
+            wantLang.forall(_ == r.lang) && wantSource.forall(_ == r.source)
+          }
+          qs.iterator.flatMap { case (qid, pq) =>
+            val raw = Wand.searchSegment(seg, pq, idfMap, avgdl, Int.MaxValue)
+            Bm25.sortHits(raw.map(h => (h.docId, h.score))).iterator
+              .filter { case (d, _) => accept(d) }
+              .take(if (k == Int.MaxValue) Int.MaxValue else math.max(1, k))
+              .map { case (d, s) => QueryHit(qid, d, s) }
+          }
+        }
+      }(Encoders.product[QueryHit])
+
+    mergeDistributed(hits, queries.size, k)
+  }
+
   /** Same batch contract served from pre-loaded in-memory segments (no Spark
     * job — the reference's HTTP serving model, for latency/QPS benchmarks on
     * a warmed index). Parallelism = one task per segment via parallel
@@ -393,6 +492,55 @@ object SegmentSearch {
       } finally inFlight.decrementAndGet()
     }
 
+    /** Prefix term suggestions — EXTENSION (the reference's deferred Phase 9
+      * "autocomplete"): top-k dictionary terms for a prefix, ranked by GLOBAL
+      * df (sum of per-segment local dfs — the same Lucene-model summation as
+      * scoring) desc, then term asc. The scan is O(vocab) over the pinned
+      * dictionaries; the v5 footer is sorted on disk, so a production tier
+      * can range-scan instead (same note as `searchPrefix`).
+      */
+    def suggest(prefix: String, k: Int): Seq[(String, Long)] = {
+      val norm = Tokenizer.tokenize(prefix)
+      if (norm.size != 1) return Nil
+      val p = norm.head
+      val dfs = scala.collection.mutable.HashMap.empty[String, Long]
+      segments.foreach(_.terms.foreach { case (t, td) =>
+        if (t.startsWith(p)) dfs.update(t, dfs.getOrElse(t, 0L) + td.df)
+      })
+      dfs.toSeq.sortBy { case (t, df) => (-df, t) }.take(k)
+    }
+
+    /** Metadata-filtered top-k — EXTENSION (the reference's deferred Phase 9
+      * "filters"). The filter only RESTRICTS candidates (scores are global-idf
+      * BM25, unchanged), so the exact filtered top-k is obtained by ranking
+      * the FULL enumeration and verifying the predicate IN RANK ORDER with
+      * early exit at k accepted — the same argument (and code) as
+      * `searchPhrase`'s adjacency verification. `pred` typically reads the
+      * doc sidecar (source/lang travel on the 3-field sidecar row).
+      */
+    def searchFiltered(
+        pq: ParsedQuery,
+        k: Int,
+        pred: Long => Boolean,
+        maxVerify: Int = 100000): Seq[(Long, Double)] = {
+      val ranked = search(pq, Int.MaxValue)
+      verifyInRankOrder(ranked, k, pred, maxVerify)
+    }
+
+    /** Metadata-filtered prefix search — the prefix expansion scored OR-mode
+      * with the Phase-9 filter verified in rank order (see `searchFiltered`).
+      */
+    def searchPrefixFiltered(
+        prefix: String,
+        k: Int,
+        pred: Long => Boolean,
+        maxTerms: Int = 64,
+        maxVerify: Int = 100000): Seq[(Long, Double)] = {
+      val expanded = expandPrefix(prefix, maxTerms)
+      if (expanded.isEmpty) Nil
+      else searchFiltered(ParsedQuery(expanded, Nil, isOr = true), k, pred, maxVerify)
+    }
+
     /** Prefix top-k over segments — EXTENSION (same deferred wildcard phase
       * as phrases; SURVEY §2.12). Expands the prefix against each segment's
       * in-memory term dictionary, then scores the union OR-mode in byte-lex
@@ -403,15 +551,19 @@ object SegmentSearch {
       * prefix from turning into a thousand-term OR query.
       */
     def searchPrefix(prefix: String, k: Int, maxTerms: Int = 64): Seq[(Long, Double)] = {
+      val expanded = expandPrefix(prefix, maxTerms)
+      if (expanded.isEmpty) Nil
+      else search(ParsedQuery(expanded, Nil, isOr = true), k)
+    }
+
+    private def expandPrefix(prefix: String, maxTerms: Int): Seq[String] = {
       val norm = Tokenizer.tokenize(prefix)
       if (norm.size != 1) return Nil
       val p = norm.head
-      val expanded = segments.iterator
+      segments.iterator
         .flatMap(_.terms.keysIterator.filter(_.startsWith(p)))
         .toSeq.distinct.sorted
         .take(maxTerms)
-      if (expanded.isEmpty) Nil
-      else search(ParsedQuery(expanded, Nil, isOr = true), k)
     }
 
     /** Phrase-adjacent top-k over segments — EXTENSION (the reference's
@@ -450,21 +602,36 @@ object SegmentSearch {
           else
             segments.flatMap(seg => Wand.searchSegment(seg, pq, idfs, meta.avgdl, Int.MaxValue))
         val ranked = Bm25.sortHits(raw.map(h => (h.docId, h.score)))
-        val kk = math.max(1, k)
-        val out = Seq.newBuilder[(Long, Double)]
-        var found = 0
-        var checked = 0
-        val it = ranked.iterator
-        while (found < kk && checked < maxVerify && it.hasNext) {
-          val hit = it.next()
-          checked += 1
-          if (textOf(hit._1).exists(t => Phrase.containsPhrase(t, terms))) {
-            out += hit
-            found += 1
-          }
-        }
-        out.result()
+        verifyInRankOrder(ranked, k,
+          id => textOf(id).exists(t => Phrase.containsPhrase(t, terms)), maxVerify)
       } finally inFlight.decrementAndGet()
+    }
+
+    /** Accept ranked hits passing `pred` IN RANK ORDER, early-exiting at k
+      * accepted (exact when the predicate only filters — the k first
+      * survivors ARE the filtered top-k) and hard-bounded by `maxVerify`
+      * checked candidates (a never-matching predicate on a frequent-term
+      * query must not become a full-corpus sidecar scan from one request).
+      */
+    private def verifyInRankOrder(
+        ranked: Seq[(Long, Double)],
+        k: Int,
+        pred: Long => Boolean,
+        maxVerify: Int): Seq[(Long, Double)] = {
+      val kk = math.max(1, k)
+      val out = Seq.newBuilder[(Long, Double)]
+      var found = 0
+      var checked = 0
+      val it = ranked.iterator
+      while (found < kk && checked < maxVerify && it.hasNext) {
+        val hit = it.next()
+        checked += 1
+        if (pred(hit._1)) {
+          out += hit
+          found += 1
+        }
+      }
+      out.result()
     }
   }
 

@@ -163,6 +163,86 @@ class ServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("suggest + filters + metrics: the Phase 6/9 endpoints") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie", "repoA", "en"),
+      (2L, "alpha alpha delta", "repoB", "de"),
+      (3L, "bravo charlie delta echo", "repoA", "en"),
+      (4L, "charlie delta echo foxtrot", "repoC", "fr"),
+      (5L, "alpha echo", "repoB", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val dir = Files.createTempDirectory("graft-server-ext").toString
+    SegmentIndex.build(docs, dir, buckets = 2)
+    val meta = SegmentIndex.readMeta(dir)
+    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
+    val engine = new SegmentSearch.ServingEngine(segs, meta)
+    val docMap = spark.read.parquet(s"$dir/docstore")
+      .select("doc_id", "text", "source", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> SearchServer.DocRow(r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+
+    val server = SearchServer.start(engine, docMap.get, port = 0)
+    val base = s"http://127.0.0.1:${server.port}"
+    try {
+      var tries = 0
+      while (get(s"$base/health")._1 != 200 && tries < 50) { Thread.sleep(50); tries += 1 }
+
+      // /suggest: global df desc, term asc; k truncates; empty prefix -> []
+      // dfs here: charlie/delta/echo = 3, alpha = 3, bravo = 2, foxtrot = 1
+      val (sc, sBody) = get(s"$base/suggest?q=c&k=5")
+      assert(sc == 200)
+      assert(sBody.contains(""""term":"charlie","df":3"""), sBody)
+      val (_, eBody) = get(s"$base/suggest?q=e&k=5")
+      assert(eBody.contains(""""term":"echo","df":3"""), eBody)
+      assert(get(s"$base/suggest?q=zz")._2.contains(""""suggestions":[]"""))
+      // k=1 truncation on a multi-term prefix: 'b' -> bravo only (df 2)
+      val (_, bBody) = get(s"$base/suggest?q=b&k=1")
+      assert(""""term":"""".r.findAllIn(bBody).size == 1)
+
+      // /search?lang= filter: candidates restricted BEFORE truncation,
+      // parity with the engine-level searchFiltered
+      val expect = engine.searchFiltered(
+        graft.core.QueryParser.parse("alpha"), 10,
+        id => docMap.get(id).exists(_.lang == "en"))
+      val (fc, fBody) = get(s"$base/search?q=alpha&lang=en&k=10")
+      assert(fc == 200)
+      val fIds = """"docId":(\d+)""".r.findAllMatchIn(fBody).map(_.group(1).toLong).toSeq
+      assert(fIds == expect.map(_._1), s"body=$fBody expected=$expect")
+      assert(fIds.toSet == Set(1L, 5L)) // doc 2 is 'de'
+      // source filter + combined filters
+      val (_, srcBody) = get(s"$base/search?q=delta&source=repoB&k=10")
+      assert(""""docId":(\d+)""".r.findAllMatchIn(srcBody).map(_.group(1).toLong).toSeq == Seq(2L))
+      val (_, bothBody) = get(s"$base/search?q=charlie&lang=en&source=repoA&k=10")
+      assert(""""docId":(\d+)""".r.findAllMatchIn(bothBody).map(_.group(1).toLong).toSeq.toSet == Set(1L, 3L))
+      // filtered prefix and filtered phrase compose
+      val (_, pfBody) = get(s"$base/search?prefix=d&lang=fr&k=10")
+      assert(""""docId":(\d+)""".r.findAllMatchIn(pfBody).map(_.group(1).toLong).toSeq == Seq(4L))
+      val (_, phBody) = get(s"$base/search?phrase=alpha+bravo&lang=en&k=10")
+      assert(""""docId":(\d+)""".r.findAllMatchIn(phBody).map(_.group(1).toLong).toSeq == Seq(1L))
+      val (_, phNone) = get(s"$base/search?phrase=alpha+bravo&lang=fr&k=10")
+      assert(phNone.contains(""""results":[]"""))
+
+      // /metrics: counters moved, latency window filled, index info present
+      val (mc, mBody) = get(s"$base/metrics")
+      assert(mc == 200, mBody)
+      def field(name: String): Long =
+        s""""$name":(\\d+)""".r.findFirstMatchIn(mBody).map(_.group(1).toLong)
+          .getOrElse(fail(s"missing $name in $mBody"))
+      assert(field("search") >= 6L, mBody) // the /search calls above
+      assert(field("suggest") >= 4L, mBody)
+      assert(field("health") >= 1L, mBody)
+      assert(field("errors") == 0L, mBody)
+      assert(field("window") >= 6L, mBody) // latency samples recorded
+      assert(field("p50") >= 1L, mBody)
+      assert(field("docs") == 5L, mBody)
+      assert(field("segments") == segs.size.toLong, mBody)
+      assert(field("generation") == 1L, mBody) // no reload yet
+    } finally server.stop()
+  }
+
   test("sidecar serving: loadState pins dictionaries only; decoration parity with a pinned doc map") {
     val sp = spark
     import sp.implicits._
