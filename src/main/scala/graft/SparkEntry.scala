@@ -259,6 +259,15 @@ object SparkEntry {
     //     scoring in byte-lex term order) ---
     "q_prefix_topk" -> ((s, dir) =>
       rankTopK(engine(s, dir).prefixScoredDF("s"), 20)),
+    // --- typo-tolerant query (extension: dictionary expansion at
+    //     Levenshtein <= 1, OR-mode scoring in byte-lex term order;
+    //     'hast' -> {fast, hash}) ---
+    "q_fuzzy_topk" -> ((s, dir) =>
+      rankTopK(engine(s, dir).fuzzyScoredDF("hast", maxDist = 1), 20)),
+    // --- RAG context pack (Phase 11b retrieval half: ranked top-k with
+    //     citation metadata + query-focused snippet) ---
+    "q_rag_context" -> ((s, dir) =>
+      engine(s, dir).contextPackDF("table scan merge", 10)),
     // --- facet counts over the full match set (the reference's deferred
     //     Phase 9 faceting, delivered as an extension) ---
     "q_facets" -> ((s, dir) =>
@@ -414,6 +423,17 @@ object SparkEntry {
       graft.pipeline.Similarity.lshTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L),
         k = 5, numTables = 2, bitsPerTable = 4, dim = 64)),
+    // --- hybrid lexical+vector retrieval (Phase 11a): BM25 leg + exact
+    //     cosine leg fused with integer-micros RRF ---
+    "q_hybrid_topk" -> ((s, dir) =>
+      graft.search.Hybrid.hybridTopK(
+        engine(s, dir), s.read.parquet(s"$dir/embeddings.parquet"),
+        "merge join", queryVecId = 7L, k = 15)),
+    // --- hybrid with the IVF-bucketed vector leg (the 100 TB scale path) ---
+    "q_hybrid_ivf_topk" -> ((s, dir) =>
+      graft.search.Hybrid.hybridTopKIvf(
+        engine(s, dir), s.read.parquet(s"$dir/embeddings.parquet"),
+        "merge join", queryVecId = 7L, k = 15, numCentroids = 8, nprobe = 2)),
     // --- language-ID heuristic ---
     "q_langid" -> ((s, dir) =>
       graft.pipeline.TextStats.langId(documents(s, dir))),
@@ -519,6 +539,27 @@ object SparkEntry {
       s"""$tokCte,
          |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE 's%'"), uniformWeight = true)}
          |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
+    // fuzzy twin: same scoring chain with the term filter levenshtein <= 1
+    // (DuckDB's levenshtein == graft.core.EditDistance semantics) and
+    // uniform weight 1 per matched term
+    "q_fuzzy_topk" ->
+      s"""$tokCte,
+         |${scoresCte(Nil, isOr = true, termFilterSql = Some("levenshtein(term, 'hast') <= 1"), uniformWeight = true)}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
+    // RAG context twin: hits-meta columns + the reference snippet expression
+    // (earliest term occurrence, 120-char window from max(0, pos-40))
+    "q_rag_context" -> {
+      val posExpr = Seq("table", "scan", "merge")
+        .map(t => s"nullif(strpos(lower(d.text),'$t'),0)")
+        .mkString("least(", ", ", ")")
+      s"""$tokCte,
+         |${scoresCte(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false)}
+         |SELECT k.rank, k.doc_id, k.score_r, d.source, d.lang,
+         |  substr(d.text,
+         |    CASE WHEN $posExpr - 1 > 40 THEN $posExpr - 40 ELSE 1 END,
+         |    120) AS snippet
+         |FROM ranked k JOIN documents d ON k.doc_id = d.doc_id WHERE k.rank <= 10""".stripMargin
+    },
     // serving tier (pinned segments + dictionary expansion), same oracle
     "q_prefix_serving_topk" ->
       s"""$tokCte,
@@ -705,6 +746,32 @@ object SparkEntry {
          |r AS (SELECT query_id, vec_id, cos_micros,
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
          |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin,
+    // hybrid twins (Phase 11a): the scoresCte lexical rank + the ANN chain's
+    // cosine rank fused with integer RRF — 1000000 // (60 + rank) per leg,
+    // absent leg = 0; final order (rrf_r desc, doc_id asc)
+    "q_hybrid_topk" -> hybridOracleSql(
+      """s2 AS (SELECT nn.vec_id,
+        |        CAST(round(list_dot_product(q.qe, nn.e) / (q.qn * nn.nrm) * 1e6) AS BIGINT) AS cos_micros
+        |      FROM q JOIN n nn ON nn.vec_id <> q.query_id)""".stripMargin),
+    "q_hybrid_ivf_topk" -> hybridOracleSql(
+      """cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT n.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      CAST(round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn) * 1e6) AS BIGINT) DESC,
+        |      c.centroid_id ASC) AS rn
+        |  FROM n CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (SELECT centroid_id FROM (
+        |  SELECT c.centroid_id,
+        |    row_number() OVER (ORDER BY
+        |      CAST(round(list_dot_product(q.qe, c.ce) / (q.qn * c.cn) * 1e6) AS BIGINT) DESC,
+        |      c.centroid_id ASC) AS rn
+        |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+        |members AS (SELECT a.vec_id FROM probes p JOIN asg a USING (centroid_id)),
+        |s2 AS (SELECT m.vec_id,
+        |        CAST(round(list_dot_product(q.qe, n.e) / (q.qn * n.nrm) * 1e6) AS BIGINT) AS cos_micros
+        |      FROM members m CROSS JOIN q JOIN n ON n.vec_id = m.vec_id
+        |      WHERE m.vec_id <> q.query_id)""".stripMargin),
     "q_dedup_embcos_ivf" ->
       s"""$vecCte,
          |cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
@@ -960,4 +1027,31 @@ object SparkEntry {
   private val vecCte =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
+
+  /** Hybrid (Phase 11a) oracle: BM25 lexical rank over `documents` fused by
+    * integer RRF with a cosine rank over `embeddings`. `vecLegSql` must
+    * define `s2(vec_id, cos_micros)` for query vec_id 7 (brute or IVF chain —
+    * the two gates differ only in that leg). Mirrors `graft.search.Hybrid`:
+    * query "merge join", nLex = nVec = 50, rrfK = 60, k = 15.
+    */
+  private def hybridOracleSql(vecLegSql: String): String =
+    s"""$tokCte,
+       |${scoresCte(Seq("merge" -> 1, "join" -> 1), isOr = false)},
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id = 7),
+       |$vecLegSql,
+       |vr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cos_micros DESC, vec_id ASC) AS BIGINT) AS vec_rank FROM s2),
+       |lexl AS (SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank FROM ranked WHERE rank <= 50),
+       |vecl AS (SELECT vec_id AS doc_id, vec_rank FROM vr WHERE vec_rank <= 50),
+       |f AS (SELECT COALESCE(l.doc_id, ve.doc_id) AS doc_id,
+       |        COALESCE(l.lex_rank, 0) AS lex_rank, COALESCE(ve.vec_rank, 0) AS vec_rank
+       |      FROM lexl l FULL OUTER JOIN vecl ve ON l.doc_id = ve.doc_id),
+       |g AS (SELECT doc_id, lex_rank, vec_rank,
+       |        CAST((CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank) ELSE 0 END) +
+       |             (CASE WHEN vec_rank > 0 THEN 1000000 // (60 + vec_rank) ELSE 0 END) AS BIGINT) AS rrf_r FROM f)
+       |SELECT * FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY rrf_r DESC, doc_id ASC) AS BIGINT) AS rank,
+       |         doc_id, rrf_r, lex_rank, vec_rank FROM g
+       |) WHERE rank <= 15""".stripMargin
 }

@@ -180,6 +180,71 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     scoredDF(ParsedQuery(expanded, Nil, isOr = true))
   }
 
+  /** Typo-tolerant (fuzzy) query — EXTENSION beyond the reference (its own
+    * product survey marks typo tolerance as the gap vs Meilisearch/Typesense,
+    * /root/reference/COMMERCIAL_ROADMAP.md:31). A single query term expands
+    * against the term dictionary to every term within Levenshtein distance
+    * `maxDist` (plain unit-cost — DuckDB `levenshtein` semantics, see
+    * `graft.core.EditDistance`), then scores the union OR-mode exactly like
+    * `prefixScoredDF`: each matched term once, summation in byte-lex term
+    * order.
+    *
+    * Scale shape: the candidate scan is vocabulary-sized, not corpus-sized,
+    * and a `length(term)` BETWEEN predicate (|len(a)-len(b)| <= maxDist is a
+    * necessary condition) pushes into the parquet scan before the banded-DP
+    * UDF runs; the surviving expansion is a tiny driver-side list, the same
+    * shape as the prefix expansion. A production vocabulary at 100 TB scale
+    * would precompute a SymSpell-style deletion-neighborhood index instead of
+    * scanning — the dictionary stays vocabulary-bounded either way.
+    */
+  def fuzzyScoredDF(term: String, maxDist: Int = 1): DataFrame = {
+    val spark = index.postings.sparkSession
+    val norm = Tokenizer.tokenize(term)
+    if (norm.size != 1) return emptyScored(spark)
+    val t = norm.head
+    val within = udf((cand: String) => graft.core.EditDistance.within(cand, t, maxDist))
+    val expanded = index.dfTable
+      .filter(length(col("term")).between(t.length - maxDist, t.length + maxDist))
+      .filter(within(col("term")))
+      .select(col("term"))
+      .collect()
+      .map(_.getString(0))
+      .sorted
+      .toSeq
+    if (expanded.isEmpty) return emptyScored(spark)
+    scoredDF(ParsedQuery(expanded, Nil, isOr = true))
+  }
+
+  /** Retrieval half of the reference's Phase 11b RAG plan
+    * (/root/reference/COMMERCIAL_ROADMAP.md:57-59: question -> "answer with a
+    * citation to the exact page of the exact document"): the ranked top-k
+    * context pack — each row carries the citation metadata (source, lang —
+    * this corpus's twins of file_name/page_number) and the query-focused
+    * snippet, ready to hand to a generator. The LLM call itself is out of
+    * scope (no external services); the contract here is the deterministic
+    * context assembly.
+    *
+    * Scale shape: rank-then-decorate — `orderBy(...).limit(k)` plans
+    * TakeOrderedAndProject, and only the k SURVIVING rows join the docstore
+    * (AQE broadcasts the k-row side), so text is fetched for k docs, never
+    * for the candidate set.
+    */
+  def contextPackDF(query: String, k: Int): DataFrame = {
+    val terms = QueryParser.parse(query).terms
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_r").desc, col("doc_id").asc)
+    val ranked = scoredDF(query)
+      .select(col("doc_id"), round(col("score") * lit(1e6)).cast("long").as("score_r"))
+      .orderBy(col("score_r").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val snip = udf((text: String) => Snippets.makeSnippet(text, terms))
+    ranked
+      .join(index.docstore.select(col("doc_id"), col("text"), col("source"), col("lang")), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("score_r"), col("source"), col("lang"),
+        snip(col("text")).as("snippet"))
+  }
+
   /** Prefix term suggestions — the reference's deferred Phase 9 "autocomplete"
     * (/root/reference/README.md:64 "Facets, autocomplete, filters") delivered
     * as an extension: the top-k dictionary terms for a typed prefix, ranked by
