@@ -64,6 +64,25 @@ object SparkEntry {
       }
     )
 
+  // Pinned embedding store per (app, corpus) — the serving tier's hybrid
+  // vector leg (arithmetic-parity twin of Similarity.prepared).
+  private val vecStoreCache = scala.collection.concurrent.TrieMap[String, graft.search.VecStore]()
+
+  private def vecStore(spark: SparkSession, dir: String): graft.search.VecStore =
+    vecStoreCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + dir,
+      graft.search.VecStore.load(spark, s"$dir/embeddings.parquet"))
+
+  /** Fused hybrid rows -> the gate frame (shared by the serving and segment
+    * hybrid tiers).
+    */
+  private def hybridRowsDF(
+      spark: SparkSession,
+      rows: Seq[(Long, Long, Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("rank", "doc_id", "rrf_r", "lex_rank", "vec_rank")
+  }
+
   /** Ranked micro-unit top-k from a FULL epsilon-ranked candidate list:
     * re-rank on the rounded micro score exactly like the oracle's
     * row_number(ORDER BY score_r DESC, doc_id ASC) — the engine's 1e-9
@@ -180,6 +199,40 @@ object SparkEntry {
           "HAVING count(DISTINCT term) = 3) c " +
           "JOIN documents d ON c.doc_id = d.doc_id WHERE d.lang = 'en'"))}
        |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** Fuzzy twin (dataflow + serving tiers answer the same SQL): scoring
+    * chain with the term filter levenshtein <= 1 (DuckDB's `levenshtein` ==
+    * `graft.core.EditDistance` semantics) and uniform weight 1 per term.
+    */
+  private lazy val fuzzyOracleSql: String =
+    s"""$tokCte,
+       |${scoresCte(Nil, isOr = true, termFilterSql = Some("levenshtein(term, 'hast') <= 1"), uniformWeight = true)}
+       |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin
+
+  /** RAG context twin (dataflow + serving tiers): hits-meta columns + the
+    * reference snippet expression (earliest term occurrence, 120-char window
+    * from max(0, pos - 40)).
+    */
+  private lazy val ragOracleSql: String = {
+    val posExpr = Seq("table", "scan", "merge")
+      .map(t => s"nullif(strpos(lower(d.text),'$t'),0)")
+      .mkString("least(", ", ", ")")
+    s"""$tokCte,
+       |${scoresCte(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false)}
+       |SELECT k.rank, k.doc_id, k.score_r, d.source, d.lang,
+       |  substr(d.text,
+       |    CASE WHEN $posExpr - 1 > 40 THEN $posExpr - 40 ELSE 1 END,
+       |    120) AS snippet
+       |FROM ranked k JOIN documents d ON k.doc_id = d.doc_id WHERE k.rank <= 10""".stripMargin
+  }
+
+  /** Hybrid twin with the brute-force cosine leg — shared by the dataflow,
+    * segment, and serving tiers (all three must fuse to the same rows).
+    */
+  private lazy val bruteHybridOracleSql: String = hybridOracleSql(
+    """s2 AS (SELECT nn.vec_id,
+      |        CAST(round(list_dot_product(q.qe, nn.e) / (q.qn * nn.nrm) * 1e6) AS BIGINT) AS cos_micros
+      |      FROM q JOIN n nn ON nn.vec_id <> q.query_id)""".stripMargin)
 
   private def bm25Sql(terms: Seq[(String, Int)], isOr: Boolean, k: Int): String =
     s"""$tokCte,
@@ -333,6 +386,43 @@ object SparkEntry {
       rankTopKLocal(s,
         eng.searchPhrase("stream table hash", Int.MaxValue, id => store.get(id).map(_.text)),
         10)
+    }),
+    // --- SERVING-tier fuzzy: per-segment dictionary expansion at
+    //     Levenshtein <= 1, same oracle as the dataflow gate ---
+    "q_fuzzy_serving_topk" -> ((s, dir) =>
+      rankTopKLocal(s, serving(s, dir)._1.searchFuzzy("hast", Int.MaxValue), 20)),
+    // --- SERVING-tier hybrid: pinned WAND lexical leg + pinned VecStore
+    //     brute cosine leg, local integer-RRF fusion ---
+    "q_hybrid_serving_topk" -> ((s, dir) =>
+      hybridRowsDF(s, graft.search.Hybrid.hybridServing(
+        serving(s, dir)._1, vecStore(s, dir), "merge join", queryVecId = 7L, k = 15))),
+    // --- SEGMENT-tier hybrid: distributed WAND batch lexical leg + the
+    //     distributed brute ANN leg, fused with the same integer RRF ---
+    "q_hybrid_seg_topk" -> ((s, dir) => {
+      val lex = graft.search.Hybrid.lexLegLocal(
+        graft.search.SegmentSearch.searchBatch(s, segmentDir(s, dir), Seq("merge join"), Int.MaxValue)(0),
+        50)
+      val vec = graft.pipeline.Similarity
+        .bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), Seq(7L), 50)
+        .collect().map(r => (r.getLong(2), r.getLong(1))).toSeq
+      hybridRowsDF(s, graft.search.Hybrid.fuseRanksLocal(lex, vec, k = 15))
+    }),
+    // --- SERVING-tier RAG context pack: pinned engine + sidecar decoration,
+    //     same oracle as the dataflow gate ---
+    "q_rag_serving" -> ((s, dir) => {
+      import s.implicits._
+      val (eng, store) = serving(s, dir)
+      val terms = graft.core.QueryParser.parse("table scan merge").terms
+      eng.search("table scan merge", Int.MaxValue)
+        .map { case (d, sc) => (d, math.round(sc * 1e6)) }
+        .sortBy { case (d, sr) => (-sr, d) }
+        .take(10).zipWithIndex
+        .map { case ((d, sr), i) =>
+          val row = store.get(d).getOrElse(graft.index.DocSidecar.DocRow("", "", ""))
+          (i + 1L, d, sr, row.source, row.lang,
+           graft.core.Snippets.makeSnippet(row.text, terms))
+        }
+        .toDF("rank", "doc_id", "score_r", "source", "lang", "snippet")
     }),
     // --- F2: snippets on the ranked top-k ---
     "q_snippets" -> ((s, dir) => {
@@ -539,27 +629,12 @@ object SparkEntry {
       s"""$tokCte,
          |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE 's%'"), uniformWeight = true)}
          |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
-    // fuzzy twin: same scoring chain with the term filter levenshtein <= 1
-    // (DuckDB's levenshtein == graft.core.EditDistance semantics) and
-    // uniform weight 1 per matched term
-    "q_fuzzy_topk" ->
-      s"""$tokCte,
-         |${scoresCte(Nil, isOr = true, termFilterSql = Some("levenshtein(term, 'hast') <= 1"), uniformWeight = true)}
-         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
-    // RAG context twin: hits-meta columns + the reference snippet expression
-    // (earliest term occurrence, 120-char window from max(0, pos-40))
-    "q_rag_context" -> {
-      val posExpr = Seq("table", "scan", "merge")
-        .map(t => s"nullif(strpos(lower(d.text),'$t'),0)")
-        .mkString("least(", ", ", ")")
-      s"""$tokCte,
-         |${scoresCte(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false)}
-         |SELECT k.rank, k.doc_id, k.score_r, d.source, d.lang,
-         |  substr(d.text,
-         |    CASE WHEN $posExpr - 1 > 40 THEN $posExpr - 40 ELSE 1 END,
-         |    120) AS snippet
-         |FROM ranked k JOIN documents d ON k.doc_id = d.doc_id WHERE k.rank <= 10""".stripMargin
-    },
+    // fuzzy twin: dataflow + serving tiers answer the same SQL
+    "q_fuzzy_topk" -> fuzzyOracleSql,
+    "q_fuzzy_serving_topk" -> fuzzyOracleSql,
+    // RAG context twin: dataflow + serving tiers answer the same SQL
+    "q_rag_context" -> ragOracleSql,
+    "q_rag_serving" -> ragOracleSql,
     // serving tier (pinned segments + dictionary expansion), same oracle
     "q_prefix_serving_topk" ->
       s"""$tokCte,
@@ -749,10 +824,10 @@ object SparkEntry {
     // hybrid twins (Phase 11a): the scoresCte lexical rank + the ANN chain's
     // cosine rank fused with integer RRF — 1000000 // (60 + rank) per leg,
     // absent leg = 0; final order (rrf_r desc, doc_id asc)
-    "q_hybrid_topk" -> hybridOracleSql(
-      """s2 AS (SELECT nn.vec_id,
-        |        CAST(round(list_dot_product(q.qe, nn.e) / (q.qn * nn.nrm) * 1e6) AS BIGINT) AS cos_micros
-        |      FROM q JOIN n nn ON nn.vec_id <> q.query_id)""".stripMargin),
+    "q_hybrid_topk" -> bruteHybridOracleSql,
+    // segment + serving hybrid tiers fuse to the SAME rows
+    "q_hybrid_seg_topk" -> bruteHybridOracleSql,
+    "q_hybrid_serving_topk" -> bruteHybridOracleSql,
     "q_hybrid_ivf_topk" -> hybridOracleSql(
       """cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
         |asg AS (SELECT vec_id, centroid_id FROM (

@@ -216,21 +216,28 @@ object SearchServer {
           def metaOk(row: DocRow): Boolean =
             wantLang.forall(_ == row.lang) && wantSource.forall(_ == row.source)
           def pred(id: Long): Boolean = st.docs(id).exists(metaOk)
-          // `phrase=` / `prefix=` are ADDITIVE extension params (SURVEY
-          // §2.12); the reference contract (`q=` + QueryParser semantics)
-          // is untouched.
-          val (q, top, highlight) = (params.get("phrase"), params.get("prefix")) match {
-            case (Some(p), _) =>
+          // `phrase=` / `prefix=` / `fuzzy=` are ADDITIVE extension params
+          // (SURVEY §2.12/§2.14); the reference contract (`q=` + QueryParser
+          // semantics) is untouched.
+          val (q, top, highlight) = (params.get("phrase"), params.get("prefix"), params.get("fuzzy")) match {
+            case (Some(p), _, _) =>
               // a filtered phrase composes through textOf: a doc failing the
               // metadata filter yields no text, so verification rejects it
               (p,
                st.engine.searchPhrase(p, k,
                  id => st.docs(id).filter(metaOk).map(_.text)),
                graft.core.Tokenizer.tokenize(p))
-            case (None, Some(p)) =>
+            case (None, Some(p), _) =>
               (p,
                if (hasFilter) st.engine.searchPrefixFiltered(p, k, pred)
                else st.engine.searchPrefix(p, k),
+               graft.core.Tokenizer.tokenize(p))
+            case (None, None, Some(p)) =>
+              // typo-tolerant expansion (distance <= 1); filters compose
+              // through the same bounded rank-order verification as prefix
+              (p,
+               if (hasFilter) st.engine.searchFuzzyFiltered(p, k, pred)
+               else st.engine.searchFuzzy(p, k),
                graft.core.Tokenizer.tokenize(p))
             case _ =>
               val qs = params.getOrElse("q", "")

@@ -99,6 +99,61 @@ object Hybrid {
     fuse(lexLeg(engine, query, nLex), vec, k, rrfK)
   }
 
+  /** Driver-side fusion twin for the pinned tiers: both legs as 1-based
+    * (id, rank) lists (already truncated to their top-n), identical integer
+    * RRF and final ordering. Output rows (rank, doc_id, rrf_r, lex_rank,
+    * vec_rank) with 0 = absent leg — the same contract as `fuse`.
+    */
+  def fuseRanksLocal(
+      lex: Seq[(Long, Long)],
+      vec: Seq[(Long, Long)],
+      k: Int,
+      rrfK: Int = 60): Seq[(Long, Long, Long, Long, Long)] = {
+    val lm = lex.toMap
+    val vm = vec.toMap
+    def c(r: Long): Long = if (r > 0) 1000000L / (rrfK + r) else 0L
+    (lm.keySet ++ vm.keySet).toSeq
+      .map { d =>
+        val lr = lm.getOrElse(d, 0L)
+        val vr = vm.getOrElse(d, 0L)
+        (d, c(lr) + c(vr), lr, vr)
+      }
+      .sortBy { case (d, rrf, _, _) => (-rrf, d) }
+      .take(k)
+      .zipWithIndex
+      .map { case ((d, rrf, lr, vr), i) => (i + 1L, d, rrf, lr, vr) }
+  }
+
+  /** Micro-space lexical leg from a full ranked candidate list — the local
+    * twin of `lexLeg` (same (score_micros desc, doc_id asc) rank space).
+    */
+  def lexLegLocal(all: Seq[(Long, Double)], nLex: Int): Seq[(Long, Long)] =
+    all
+      .map { case (d, s) => (d, math.round(s * 1e6)) }
+      .sortBy { case (d, sr) => (-sr, d) }
+      .take(nLex)
+      .zipWithIndex
+      .map { case ((d, _), i) => d -> (i + 1L) }
+
+  /** Serving-tier hybrid: the pinned WAND engine's full enumeration as the
+    * lexical leg (micro re-rank, the oracle's rank space) + the pinned
+    * `VecStore` brute leg, fused with the same integer RRF. One serving node
+    * answers both legs from memory — the searchd model extended to Phase 11a.
+    */
+  def hybridServing(
+      eng: SegmentSearch.ServingEngine,
+      vs: VecStore,
+      query: String,
+      queryVecId: Long,
+      k: Int,
+      nLex: Int = 50,
+      nVec: Int = 50,
+      rrfK: Int = 60): Seq[(Long, Long, Long, Long, Long)] =
+    fuseRanksLocal(
+      lexLegLocal(eng.search(query, Int.MaxValue), nLex),
+      vs.topK(queryVecId, nVec),
+      k, rrfK)
+
   /** Hybrid top-k with the IVF-bucketed vector leg — the 100 TB scale path
     * (fixed-count centroids, row-local assignment, probes broadcast; see
     * `Similarity.ivfTopK`). Identical fusion semantics; the leg itself is

@@ -556,6 +556,47 @@ object SegmentSearch {
       else search(ParsedQuery(expanded, Nil, isOr = true), k)
     }
 
+    /** Typo-tolerant top-k over segments — EXTENSION (the reference's own
+      * competitive-gap row, COMMERCIAL_ROADMAP.md:31). Expands the term
+      * against each segment's in-memory dictionary at Levenshtein <=
+      * `maxDist` (banded DP, length pre-check — `graft.core.EditDistance`,
+      * DuckDB `levenshtein` semantics), then scores the union OR-mode in
+      * byte-lex term order — exactly `searchPrefix`'s discipline, and the
+      * same O(vocab)-per-request scan note: a production tier precomputes a
+      * SymSpell-style deletion neighborhood over the sorted v5 dictionary.
+      */
+    def searchFuzzy(term: String, k: Int, maxDist: Int = 1, maxTerms: Int = 64): Seq[(Long, Double)] = {
+      val expanded = expandFuzzy(term, maxDist, maxTerms)
+      if (expanded.isEmpty) Nil
+      else search(ParsedQuery(expanded, Nil, isOr = true), k)
+    }
+
+    /** Metadata-filtered fuzzy search — the expansion scored OR-mode with the
+      * Phase-9 filter verified in rank order (see `searchFiltered`).
+      */
+    def searchFuzzyFiltered(
+        term: String,
+        k: Int,
+        pred: Long => Boolean,
+        maxDist: Int = 1,
+        maxTerms: Int = 64,
+        maxVerify: Int = 100000): Seq[(Long, Double)] = {
+      val expanded = expandFuzzy(term, maxDist, maxTerms)
+      if (expanded.isEmpty) Nil
+      else searchFiltered(ParsedQuery(expanded, Nil, isOr = true), k, pred, maxVerify)
+    }
+
+    private def expandFuzzy(term: String, maxDist: Int, maxTerms: Int): Seq[String] = {
+      val norm = Tokenizer.tokenize(term)
+      if (norm.size != 1) return Nil
+      val t = norm.head
+      segments.iterator
+        .flatMap(_.terms.keysIterator.filter(c =>
+          graft.core.EditDistance.within(c, t, maxDist)))
+        .toSeq.distinct.sorted
+        .take(maxTerms)
+    }
+
     private def expandPrefix(prefix: String, maxTerms: Int): Seq[String] = {
       val norm = Tokenizer.tokenize(prefix)
       if (norm.size != 1) return Nil

@@ -1,0 +1,96 @@
+package graft.search
+
+import org.apache.spark.sql.SparkSession
+
+/** Pinned in-memory embedding store for the SERVING tier's hybrid vector leg
+  * (Phase 11a, /root/reference/COMMERCIAL_ROADMAP.md:86-99) — the serving
+  * twin of `graft.pipeline.Similarity.prepared`: float vectors widened to
+  * double, precomputed L2 norms, cosine in integer micro-units.
+  *
+  * Arithmetic parity is the contract: the dot product folds LEFT-TO-RIGHT in
+  * element order (exactly Spark's `aggregate(zip_with(a, b, *), 0.0, +)`),
+  * and micros round HALF AWAY FROM ZERO (Spark's `round` via BigDecimal
+  * HALF_UP on positives/negatives == DuckDB `round`), so the serving leg
+  * reproduces the distributed operator's cos_micros bit-for-bit.
+  *
+  * Scale note: this is the pinned-corpus brute-force leg — O(N·dim) per
+  * query, the right shape for a serving node's shard of vectors. A 100 TB
+  * deployment fronts this with the IVF/LSH bucketing the batch operators
+  * already implement (probe a few cells, brute-force within them); the
+  * within-cell kernel IS this scan.
+  */
+final class VecStore private (
+    private val ids: Array[Long],
+    private val vecs: Array[Array[Double]],
+    private val norms: Array[Double]) {
+
+  def size: Int = ids.length
+
+  private def cosMicros(qi: Int, i: Int): Long = {
+    val a = vecs(qi)
+    val b = vecs(i)
+    var dot = 0.0
+    var j = 0
+    while (j < a.length) { dot += a(j) * b(j); j += 1 }
+    VecStore.roundHalfAwayMicros(dot / (norms(qi) * norms(i)))
+  }
+
+  /** Top-n neighbors of the stored vector `queryVecId` (self excluded), as
+    * 1-based (vec_id, rank) by (cos_micros desc, vec_id asc) — the exact
+    * ordering contract of `Similarity.bruteForceTopK`.
+    */
+  def topK(queryVecId: Long, n: Int): Seq[(Long, Long)] = {
+    val qi = java.util.Arrays.binarySearch(ids, queryVecId)
+    if (qi < 0) return Nil
+    val scored = new Array[(Long, Long)](ids.length - 1) // (cos, id)
+    var w = 0
+    var i = 0
+    while (i < ids.length) {
+      if (i != qi) { scored(w) = (cosMicros(qi, i), ids(i)); w += 1 }
+      i += 1
+    }
+    scala.util.Sorting.stableSort(scored,
+      (x: (Long, Long), y: (Long, Long)) => x._1 > y._1 || (x._1 == y._1 && x._2 < y._2))
+    scored.iterator.take(n).zipWithIndex.map { case ((_, id), r) => (id, r + 1L) }.toSeq
+  }
+}
+
+object VecStore {
+
+  /** Round to integer micros, half away from zero — the semantics shared by
+    * Spark `round` (BigDecimal HALF_UP) and DuckDB `round` on doubles.
+    * (`math.round` alone rounds half UP — wrong for negative cosines.)
+    */
+  def roundHalfAwayMicros(x: Double): Long = {
+    val scaled = x * 1e6
+    if (scaled >= 0) math.floor(scaled + 0.5).toLong else -math.floor(-scaled + 0.5).toLong
+  }
+
+  /** Load an embeddings parquet (vec_id long, embedding array<float>) into a
+    * pinned store, sorted by vec_id. Driver/serving-node memory is
+    * O(N·dim) — the serving shard's working set, by design (see class note).
+    */
+  def load(spark: SparkSession, path: String): VecStore = {
+    val rows = spark.read.parquet(path)
+      .select("vec_id", "embedding")
+      .collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val fs = r.getSeq[Float](1)
+        val v = new Array[Double](fs.length)
+        var i = 0
+        while (i < fs.length) { v(i) = fs(i).toDouble; i += 1 }
+        (id, v)
+      }
+      .sortBy(_._1)
+    val ids = rows.map(_._1)
+    val vecs = rows.map(_._2)
+    val norms = vecs.map { v =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    new VecStore(ids, vecs, norms)
+  }
+}

@@ -160,6 +160,16 @@ class ServerSpec extends SparkTestBase {
       val (pc, pBody) = get(s"$base/search?prefix=e&k=10")
       assert(pc == 200)
       assert(""""docId":(\d+)""".r.findAllMatchIn(pBody).map(_.group(1).toLong).toSeq == Seq(1L))
+
+      // fuzzy extension: "gren" is distance 1 from "green" -> parity with
+      // the engine's own expansion
+      val fuzzyExpect = engine.searchFuzzy("gren", 10)
+      assert(fuzzyExpect.map(_._1) == engine.search("green", 10).map(_._1))
+      val (fc, fBody) = get(s"$base/search?fuzzy=gren&k=10")
+      assert(fc == 200)
+      assert(""""docId":(\d+)""".r.findAllMatchIn(fBody).map(_.group(1).toLong).toSeq ==
+        fuzzyExpect.map(_._1))
+      assert(get(s"$base/search?fuzzy=zzzzzz")._2.contains(""""results":[]"""))
     } finally server.stop()
   }
 
