@@ -46,6 +46,24 @@ object SparkEntry {
       }
     )
 
+  // Multi-tenant catalog per (app, corpus): per-tenant SegmentIndexes for
+  // the two gate tenants, built through the REAL staging path (one
+  // tenant-partitioned pass over the corpus, then partition-pruned reads).
+  private val tenantRootCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def tenantSegDir(spark: SparkSession, dir: String, tenant: String): String = {
+    val root = tenantRootCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + dir, {
+        val out = java.nio.file.Files.createTempDirectory("graft-entry-tenants").toString
+        graft.index.TenantCatalog.buildAll(
+          documents(spark, dir), out, buckets = 4,
+          only = Some(Seq("src3", "src7")))
+        out
+      }
+    )
+    graft.index.TenantCatalog.tenantDir(root, tenant)
+  }
+
   // Pinned in-memory serving engine + sidecar store per (app, corpus) —
   // the searchd serving model under the oracle gates.
   private val servingCache =
@@ -119,15 +137,23 @@ object SparkEntry {
     * stats over the `documents` table. ASCII corpus => the regex split is
     * byte-identical to the engine's byte-wise tokenizer.
     */
-  private val tokCte =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents
+  /** The CTE chain parameterized by its corpus: `docsSql` scopes every
+    * downstream stat (dl, N, avgdl, df) — the multi-tenant gates pass a
+    * tenant-filtered corpus so the oracle computes the SAME tenant-local
+    * statistics a per-tenant index holds.
+    */
+  private def tokCteOver(docsSql: String): String =
+    s"""WITH docs_src AS ($docsSql),
+      |toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM docs_src
       |), tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
       |dls AS (
       |  SELECT d.doc_id, count(t.term) AS dl
-      |  FROM documents d LEFT JOIN tok2 t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+      |  FROM docs_src d LEFT JOIN tok2 t ON d.doc_id = t.doc_id GROUP BY d.doc_id
       |),
       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls)""".stripMargin
+
+  private val tokCte = tokCteOver("SELECT * FROM documents")
 
   private def inList(terms: Seq[String]): String =
     terms.distinct.map(t => s"'$t'").mkString("(", ",", ")")
@@ -372,6 +398,23 @@ object SparkEntry {
       rankTopKLocal(s,
         graft.search.SegmentSearch.phraseBatch(s, segmentDir(s, dir), Seq("stream table hash"), Int.MaxValue)(0),
         10)),
+    // --- MULTI-TENANT tier (TenantCatalog): one SegmentIndex per tenant,
+    //     so N/avgdl/df are tenant-LOCAL — the oracle recomputes the whole
+    //     BM25 chain over ONLY that tenant's corpus and must agree ---
+    "q_tenant_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        graft.search.SegmentSearch.searchBatch(
+          s, tenantSegDir(s, dir, "src3"), Seq("table scan merge"), Int.MaxValue)(0),
+        10)),
+    // --- per-tenant corpus statistics isolation (N, sumDl, avgdl straight
+    //     from each tenant index's meta) ---
+    "q_tenant_stats" -> ((s, dir) => {
+      import s.implicits._
+      Seq("src3", "src7").map { t =>
+        val m = graft.index.SegmentIndex.readMeta(tenantSegDir(s, dir, t))
+        (t, m.n, m.sumDl, math.round(m.sumDl.toDouble / m.n * 1e6))
+      }.toDF("tenant", "n", "sumdl", "avgdl_micros")
+    }),
     // --- SERVING tier under the oracle (pinned in-memory segments — the
     //     searchd model): BM25 WAND, dictionary-expansion prefix, and
     //     sidecar-verified phrase each answer the SAME DuckDB SQL as their
@@ -613,6 +656,23 @@ object SparkEntry {
     "q_bm25_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
     // segment + serving tiers answer the SAME oracle as the dataflow tier
     "q_bm25_seg_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
+    // tenant-scoped BM25: the WHOLE stat chain (dl, N, avgdl, df, idf) runs
+    // over only src3's documents — agreement proves per-tenant isolation
+    "q_tenant_topk" ->
+      s"""${tokCteOver("SELECT * FROM documents WHERE source = 'src3'")},
+         |${scoresCte(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false)}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_tenant_stats" ->
+      """WITH docs_src AS (SELECT * FROM documents WHERE source IN ('src3','src7')),
+        |toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM docs_src),
+        |tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |dls AS (
+        |  SELECT d.doc_id, d.source, count(t.term) AS dl
+        |  FROM docs_src d LEFT JOIN tok2 t ON d.doc_id = t.doc_id GROUP BY d.doc_id, d.source
+        |)
+        |SELECT source AS tenant, CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+        |       CAST(round(CAST(sum(dl) AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS avgdl_micros
+        |FROM dls GROUP BY source""".stripMargin,
     "q_bm25_serving_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
     "q_phrase_serving_topk" -> phraseOracleSql,
     "q_bm25_or_topk" -> bm25Sql(Seq("spark" -> 1, "stream" -> 1, "vector" -> 1), isOr = true, k = 20),

@@ -205,72 +205,9 @@ object SearchServer {
         while (st != null && !st.retain()) st = stateRef.get
         if (st == null) respond(ex, 503, "text/plain", "") // stopped
         else try {
-          val params = queryParams(ex)
-          val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
-          // `lang=` / `source=` are ADDITIVE metadata filters (deferred
-          // Phase 9 "filters"): restrict candidates BEFORE truncation via
-          // rank-order early-exit verification against the sidecar row.
-          val wantLang = params.get("lang").filter(_.nonEmpty)
-          val wantSource = params.get("source").filter(_.nonEmpty)
-          val hasFilter = wantLang.nonEmpty || wantSource.nonEmpty
-          def metaOk(row: DocRow): Boolean =
-            wantLang.forall(_ == row.lang) && wantSource.forall(_ == row.source)
-          def pred(id: Long): Boolean = st.docs(id).exists(metaOk)
-          // `phrase=` / `prefix=` / `fuzzy=` are ADDITIVE extension params
-          // (SURVEY §2.12/§2.14); the reference contract (`q=` + QueryParser
-          // semantics) is untouched.
-          val (q, top, highlight) = (params.get("phrase"), params.get("prefix"), params.get("fuzzy")) match {
-            case (Some(p), _, _) =>
-              // a filtered phrase composes through textOf: a doc failing the
-              // metadata filter yields no text, so verification rejects it
-              (p,
-               st.engine.searchPhrase(p, k,
-                 id => st.docs(id).filter(metaOk).map(_.text)),
-               graft.core.Tokenizer.tokenize(p))
-            case (None, Some(p), _) =>
-              (p,
-               if (hasFilter) st.engine.searchPrefixFiltered(p, k, pred)
-               else st.engine.searchPrefix(p, k),
-               graft.core.Tokenizer.tokenize(p))
-            case (None, None, Some(p)) =>
-              // typo-tolerant expansion (distance <= 1); filters compose
-              // through the same bounded rank-order verification as prefix
-              (p,
-               if (hasFilter) st.engine.searchFuzzyFiltered(p, k, pred)
-               else st.engine.searchFuzzy(p, k),
-               graft.core.Tokenizer.tokenize(p))
-            case _ =>
-              val qs = params.getOrElse("q", "")
-              val pq = QueryParser.parse(qs)
-              (qs,
-               if (hasFilter) st.engine.searchFiltered(pq, k, pred)
-               else st.engine.search(pq, k),
-               pq.terms)
-          }
-          // assemble the response in ONE builder — at thousands of rps the
-          // per-hit string concatenation was measurable allocation churn
-          val sb = new java.lang.StringBuilder(256 + 256 * top.size)
-          sb.append("{\"query\":\"")
-          graft.core.JsonText.escInto(sb, q)
-          sb.append("\",\"results\":[")
-          var first = true
-          top.foreach { case (docId, score) =>
-            if (!first) sb.append(',')
-            first = false
-            val d = st.docs(docId).getOrElse(DocRow("", "", ""))
-            sb.append("{\"docId\":").append(docId)
-            sb.append(",\"score\":").append(score)
-            sb.append(",\"snippet\":\"")
-            graft.core.JsonText.escInto(sb, graft.core.Snippets.makeSnippet(d.text, highlight))
-            sb.append("\",\"source\":\"")
-            graft.core.JsonText.escInto(sb, d.source)
-            sb.append("\",\"lang\":\"")
-            graft.core.JsonText.escInto(sb, d.lang)
-            sb.append("\"}")
-          }
-          sb.append("]}")
+          val body = searchBody(st, queryParams(ex))
           metrics.recordSearchMicros((System.nanoTime() - t0) / 1000L)
-          respond(ex, 200, "application/json", sb.toString)
+          respond(ex, 200, "application/json", body)
         } finally st.release()
       } catch {
         case e: Exception =>
@@ -278,7 +215,6 @@ object SearchServer {
           respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
       }
     })
-
     // Phase-9 autocomplete: top-k dictionary terms for a prefix, ranked by
     // global df (sum of per-segment local dfs) desc, term asc.
     server.createContext("/suggest", (ex: HttpExchange) => {
@@ -378,6 +314,79 @@ object SearchServer {
     new Running(server, ready, stateRef, metrics)
   }
 
+  /** Assemble the `/search` response body for one pinned generation.
+    * Factored out of the handler so gateways that route requests across
+    * many serving generations (the multi-tenant `TenantServer`) serve the
+    * exact same response contract; the caller owns retain/release, status
+    * codes, and latency metrics.
+    */
+  private[app] def searchBody(st: IndexState, params: Map[String, String]): String = {
+          val k = math.max(1, params.get("k").flatMap(_.toIntOption).getOrElse(10))
+          // `lang=` / `source=` are ADDITIVE metadata filters (deferred
+          // Phase 9 "filters"): restrict candidates BEFORE truncation via
+          // rank-order early-exit verification against the sidecar row.
+          val wantLang = params.get("lang").filter(_.nonEmpty)
+          val wantSource = params.get("source").filter(_.nonEmpty)
+          val hasFilter = wantLang.nonEmpty || wantSource.nonEmpty
+          def metaOk(row: DocRow): Boolean =
+            wantLang.forall(_ == row.lang) && wantSource.forall(_ == row.source)
+          def pred(id: Long): Boolean = st.docs(id).exists(metaOk)
+          // `phrase=` / `prefix=` / `fuzzy=` are ADDITIVE extension params
+          // (SURVEY §2.12/§2.14); the reference contract (`q=` + QueryParser
+          // semantics) is untouched.
+          val (q, top, highlight) = (params.get("phrase"), params.get("prefix"), params.get("fuzzy")) match {
+            case (Some(p), _, _) =>
+              // a filtered phrase composes through textOf: a doc failing the
+              // metadata filter yields no text, so verification rejects it
+              (p,
+               st.engine.searchPhrase(p, k,
+                 id => st.docs(id).filter(metaOk).map(_.text)),
+               graft.core.Tokenizer.tokenize(p))
+            case (None, Some(p), _) =>
+              (p,
+               if (hasFilter) st.engine.searchPrefixFiltered(p, k, pred)
+               else st.engine.searchPrefix(p, k),
+               graft.core.Tokenizer.tokenize(p))
+            case (None, None, Some(p)) =>
+              // typo-tolerant expansion (distance <= 1); filters compose
+              // through the same bounded rank-order verification as prefix
+              (p,
+               if (hasFilter) st.engine.searchFuzzyFiltered(p, k, pred)
+               else st.engine.searchFuzzy(p, k),
+               graft.core.Tokenizer.tokenize(p))
+            case _ =>
+              val qs = params.getOrElse("q", "")
+              val pq = QueryParser.parse(qs)
+              (qs,
+               if (hasFilter) st.engine.searchFiltered(pq, k, pred)
+               else st.engine.search(pq, k),
+               pq.terms)
+          }
+          // assemble the response in ONE builder — at thousands of rps the
+          // per-hit string concatenation was measurable allocation churn
+          val sb = new java.lang.StringBuilder(256 + 256 * top.size)
+          sb.append("{\"query\":\"")
+          graft.core.JsonText.escInto(sb, q)
+          sb.append("\",\"results\":[")
+          var first = true
+          top.foreach { case (docId, score) =>
+            if (!first) sb.append(',')
+            first = false
+            val d = st.docs(docId).getOrElse(DocRow("", "", ""))
+            sb.append("{\"docId\":").append(docId)
+            sb.append(",\"score\":").append(score)
+            sb.append(",\"snippet\":\"")
+            graft.core.JsonText.escInto(sb, graft.core.Snippets.makeSnippet(d.text, highlight))
+            sb.append("\",\"source\":\"")
+            graft.core.JsonText.escInto(sb, d.source)
+            sb.append("\",\"lang\":\"")
+            graft.core.JsonText.escInto(sb, d.lang)
+            sb.append("\"}")
+          }
+          sb.append("]}")
+          sb.toString
+  }
+
   /** Back-compat entry for benches/specs that pin their own doc map. */
   def start(
       engine: SegmentSearch.ServingEngine,
@@ -385,7 +394,7 @@ object SearchServer {
       port: Int
   ): Running = start(new IndexState(engine, docs), port, None)
 
-  private def respond(ex: HttpExchange, code: Int, ctype: String, body: String): Unit = {
+  private[app] def respond(ex: HttpExchange, code: Int, ctype: String, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", ctype)
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
@@ -397,7 +406,7 @@ object SearchServer {
     ex.close()
   }
 
-  private def queryParams(ex: HttpExchange): Map[String, String] = {
+  private[app] def queryParams(ex: HttpExchange): Map[String, String] = {
     val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     raw.split('&').filter(_.nonEmpty).flatMap { kv =>
       kv.split("=", 2) match {

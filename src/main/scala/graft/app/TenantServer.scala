@@ -1,0 +1,224 @@
+package graft.app
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentHashMap, ExecutorService, Executors}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.index.TenantCatalog
+import SearchServer.{respond, queryParams, searchBody, IndexState}
+
+/** Multi-tenant serving gateway over a [[TenantCatalog]] root — the serving
+  * half of the reference's Phase 5 commercial fork ("Multi-tenancy: isolate
+  * many customers' data", /root/reference/COMMERCIAL_ROADMAP.md:67,105).
+  *
+  *   GET /tenants                   -> {"tenants":[...]} (on-disk catalog)
+  *   GET /search?tenant=X&q&k&...   -> the EXACT single-tenant /search
+  *                                     contract, served from tenant X's own
+  *                                     index (own N/avgdl/df — ranking is
+  *                                     provably independent of other tenants)
+  *   GET /reload?tenant=X           -> delta hot reload of ONE tenant
+  *   GET /health                    -> 200 while not shutting down
+  *
+  * Missing tenant param -> 400; tenant not in the catalog -> 404 (existence
+  * is checked against the DIRECTORY, so a typo never triggers a load).
+  *
+  * Memory model for many tenants: states load lazily on first request and at
+  * most `maxLoaded` stay resident; beyond that the least-recently-used
+  * tenant's generation is released (refcounted — in-flight requests on the
+  * evicted tenant drain safely, the next request reloads it). Heap is
+  * O(hot tenants), not O(catalog), which is what lets one gateway front
+  * thousands of tenants whose union of indexes dwarfs RAM. Load/evict/reload
+  * transitions serialize on a small lock; the hot path (resident tenant) is
+  * lock-free retain/release, identical to [[SearchServer]].
+  */
+object TenantServer {
+
+  /** Per-tenant slot: the swappable generation + LRU clock. `state` holds
+    * null before first load and after eviction/stop (the SearchServer
+    * sentinel discipline: observers re-check and 503/reload instead of
+    * spinning).
+    */
+  private final class Slot {
+    val state = new AtomicReference[IndexState](null)
+    @volatile var lastAccess: Long = 0L
+  }
+
+  final class Running private[TenantServer] (
+      http: HttpServer,
+      val rootDir: String,
+      slots: ConcurrentHashMap[String, Slot],
+      ready: AtomicBoolean
+  ) {
+    def port: Int = http.getAddress.getPort
+    private[TenantServer] def slotMap: ConcurrentHashMap[String, Slot] = slots
+    /** Tenants currently resident (loaded generations), for specs/ops. */
+    def loadedTenants: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      slots.entrySet().asScala.collect {
+        case e if e.getValue.state.get() != null => e.getKey
+      }.toSeq.sorted
+    }
+    def beginShutdown(): Unit = ready.set(false)
+    def stop(delaySeconds: Int = 0): Unit = {
+      ready.set(false)
+      http.stop(delaySeconds)
+      http.getExecutor match {
+        case e: ExecutorService => e.shutdownNow()
+        case _ =>
+      }
+      import scala.jdk.CollectionConverters._
+      slots.values().asScala.foreach { s =>
+        val old = s.state.getAndSet(null)
+        if (old != null) old.release()
+      }
+    }
+  }
+
+  def start(rootDir: String, port: Int, maxLoaded: Int = Int.MaxValue): Running = {
+    require(maxLoaded >= 1, s"maxLoaded must be >= 1, got $maxLoaded")
+    val ready = new AtomicBoolean(true)
+    val slots = new ConcurrentHashMap[String, Slot]()
+    val clock = new AtomicLong(0L)
+    val loadLock = new Object // cold-path transitions only
+
+    def tenantDirOf(t: String): String = TenantCatalog.tenantDir(rootDir, t)
+
+    /** Resident-and-retained fast path; null when a (re)load is needed. */
+    def retained(slot: Slot): IndexState = {
+      var st = slot.state.get()
+      while (st != null && !st.retain()) st = slot.state.get()
+      if (st != null) slot.lastAccess = clock.incrementAndGet()
+      st
+    }
+
+    /** Load (or re-load) tenant `t`'s generation, evicting LRU residents
+      * beyond `maxLoaded`. Returns the new state RETAINED for the caller.
+      */
+    def loadRetained(t: String, slot: Slot): IndexState = loadLock.synchronized {
+      // someone else may have loaded while we queued on the lock
+      val again = retained(slot)
+      if (again != null) return again
+      val fresh = SearchServer.loadState(tenantDirOf(t), None)
+      if (!fresh.retain()) throw new IllegalStateException("fresh state unretainable")
+      slot.state.set(fresh)
+      slot.lastAccess = clock.incrementAndGet()
+      evictOverflow(except = slot)
+      fresh
+    }
+
+    def evictOverflow(except: Slot): Unit = {
+      import scala.jdk.CollectionConverters._
+      var resident = slots.values().asScala.filter(s => s.state.get() != null).toSeq
+      while (resident.size > maxLoaded) {
+        val victim = resident.filter(_ ne except).minByOption(_.lastAccess).getOrElse(return)
+        val old = victim.state.getAndSet(null)
+        if (old != null) old.release() // drains when in-flight requests finish
+        resident = resident.filterNot(_ eq victim)
+      }
+    }
+
+    def withTenant(ex: HttpExchange, params: Map[String, String])(
+        body: (String, Slot) => Unit): Unit =
+      params.get("tenant").filter(_.nonEmpty) match {
+        case None => respond(ex, 400, "text/plain", "missing tenant parameter")
+        case Some(t) =>
+          if (!Files.isDirectory(Paths.get(tenantDirOf(t))))
+            respond(ex, 404, "text/plain", s"unknown tenant: $t")
+          else body(t, slots.computeIfAbsent(t, _ => new Slot))
+      }
+
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.setExecutor(Executors.newFixedThreadPool(
+      math.max(8, Runtime.getRuntime.availableProcessors()),
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
+
+    server.createContext("/health", (ex: HttpExchange) => {
+      val (code, body) = if (ready.get) (200, "OK") else (503, "")
+      respond(ex, code, "text/plain", body)
+    })
+
+    server.createContext("/tenants", (ex: HttpExchange) => {
+      val sb = new java.lang.StringBuilder("{\"tenants\":[")
+      var first = true
+      TenantCatalog.tenants(rootDir).foreach { t =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"')
+        graft.core.JsonText.escInto(sb, t)
+        sb.append('"')
+      }
+      sb.append("]}")
+      respond(ex, 200, "application/json", sb.toString)
+    })
+
+    server.createContext("/search", (ex: HttpExchange) => {
+      try {
+        if (!ready.get) respond(ex, 503, "text/plain", "")
+        else {
+          val params = queryParams(ex)
+          withTenant(ex, params) { (t, slot) =>
+            var st = retained(slot)
+            if (st == null) st = loadRetained(t, slot)
+            try respond(ex, 200, "application/json", searchBody(st, params))
+            finally st.release()
+          }
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
+      }
+    })
+
+    server.createContext("/reload", (ex: HttpExchange) => {
+      try {
+        val params = queryParams(ex)
+        withTenant(ex, params) { (t, slot) =>
+          // double-buffer one tenant: build the next generation with delta
+          // carry from the resident one (unchanged segments/sidecars reuse),
+          // swap, release the old; other tenants are untouched.
+          loadLock.synchronized {
+            val prev = Option(slot.state.get())
+            val next = SearchServer.loadState(tenantDirOf(t), prev)
+            val old = slot.state.getAndSet(next)
+            if (old != null) old.release()
+            slot.lastAccess = clock.incrementAndGet()
+            evictOverflow(except = slot)
+            val sb = new java.lang.StringBuilder("{\"reloaded\":true,\"tenant\":\"")
+            graft.core.JsonText.escInto(sb, t)
+            sb.append("\",\"docs\":").append(next.nDocs)
+            sb.append(",\"segments\":").append(next.nSegments).append('}')
+            respond(ex, 200, "application/json", sb.toString)
+          }
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, "text/plain", s"reload failed: ${e.getMessage}")
+      }
+    })
+
+    server.start()
+    new Running(server, rootDir, slots, ready)
+  }
+
+  /** Usage: TenantServer <rootDir> [port] [maxLoadedTenants] */
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: TenantServer <rootDir> [port] [maxLoadedTenants]")
+      sys.exit(2)
+    }
+    val rootDir = args(0)
+    val port = args.lift(1).flatMap(_.toIntOption).getOrElse(8080)
+    val maxLoaded = args.lift(2).flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+    if (TenantCatalog.tenants(rootDir).isEmpty) {
+      System.err.println(s"no tenants under '$rootDir/tenants'")
+      sys.exit(3)
+    }
+    val running = start(rootDir, port, maxLoaded)
+    println(s"TenantServer started on port ${running.port} over catalog: $rootDir")
+    sys.addShutdownHook(running.beginShutdown())
+    Thread.currentThread.join()
+  }
+}

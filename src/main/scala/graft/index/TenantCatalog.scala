@@ -1,0 +1,121 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-tenant index catalog — the reference's Phase 5 commercial fork
+  * ("Multi-tenancy: isolate many customers' data — design tenant-aware",
+  * /root/reference/COMMERCIAL_ROADMAP.md:67,105; target architecture
+  * "Storage: per-tenant index + object store", :93).
+  *
+  * Tenant model: ONE SegmentIndex PER TENANT under `rootDir/tenants/<id>/`.
+  * This is stronger than a metadata filter over a shared index: every
+  * corpus statistic (N, avgdl, df, idf) is computed from the tenant's OWN
+  * corpus, so tenant A's ranking is provably independent of tenant B's data
+  * (a filter keeps global stats and leaks corpus-shape information across
+  * tenants through the scores). Isolation is also operational: per-tenant
+  * builds, incremental adds, compaction, and hot reloads never touch other
+  * tenants' files.
+  *
+  * Scale shape (100 TB, T tenants): `buildAll` makes exactly ONE pass over
+  * the full corpus (a `partitionBy(tenant)` staging write — tenant dirs are
+  * the unit of object-store layout), then each tenant's build reads ONLY its
+  * partition via partition pruning. Total corpus bytes read ~ 2x, never
+  * O(T) passes. The per-tenant builds are independent Spark jobs — a real
+  * deployment runs them concurrently or per-tenant-on-demand; each inherits
+  * SegmentIndex's own exchange-free build plan. A corpus already laid out
+  * tenant-partitioned (the steady state) passes `stage = false` and skips
+  * the staging copy entirely.
+  */
+object TenantCatalog {
+
+  /** Path-safe tenant id: [A-Za-z0-9._-] kept, everything else %XX-encoded
+    * (UTF-8). Deterministic and collision-free, so tenant ids are arbitrary
+    * strings while directory names stay portable.
+    */
+  def sanitize(tenant: String): String = {
+    val sb = new StringBuilder
+    tenant.getBytes("UTF-8").foreach { b =>
+      val c = b.toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+          c == '.' || c == '_' || c == '-') sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  def tenantDir(rootDir: String, tenant: String): String =
+    s"$rootDir/tenants/${sanitize(tenant)}"
+
+  /** Tenant ids present under `rootDir` (decoded from their directory
+    * names).
+    */
+  def tenants(rootDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(rootDir, "tenants")
+    if (!Files.isDirectory(base)) return Nil
+    val s = Files.list(base)
+    try s.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8"))
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** Build (or rebuild) one SegmentIndex per tenant.
+    *
+    * @param docs      corpus with a string tenant column (doc_id, text,
+    *                  source, lang, ...); doc_ids stay global — a tenant's
+    *                  index simply holds the subset
+    * @param tenantCol the tenant key column (this corpus uses `source` as
+    *                  the tenant twin)
+    * @param only      restrict to these tenants (None = every tenant in the
+    *                  corpus). The staging pass still covers the full corpus
+    *                  so later builds of other tenants reuse it.
+    * @param stage     when false, `docs` is trusted to already be
+    *                  tenant-partitioned at its source (predicate pushdown
+    *                  makes the per-tenant read O(tenant)); no staging copy
+    * @return tenant -> doc count, for every tenant built
+    */
+  def buildAll(
+      docs: DataFrame,
+      rootDir: String,
+      buckets: Int,
+      tenantCol: String = "source",
+      only: Option[Seq[String]] = None,
+      codeAware: Boolean = false,
+      stage: Boolean = true
+  ): Map[String, Long] = {
+    val spark = docs.sparkSession
+    Files.createDirectories(Paths.get(rootDir))
+    // Stage partitioned by the SANITIZED tenant id: partition directory
+    // names must be path-safe (arbitrary tenant strings — spaces, unicode —
+    // break filesystem/locale assumptions), and sanitize is exactly the
+    // path-safe bijection the tenant dirs already use.
+    val sanitizeUdf = udf((s: String) => sanitize(s))
+    val source: DataFrame =
+      if (!stage) docs
+      else {
+        val staging = s"$rootDir/_staging"
+        docs
+          .withColumn("__tenant_dir", sanitizeUdf(col(tenantCol).cast("string")))
+          .write.mode("overwrite").partitionBy("__tenant_dir").parquet(staging)
+        spark.read.parquet(staging)
+      }
+    val all: Seq[String] = only.getOrElse(
+      source.select(col(tenantCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted)
+    all.map { t =>
+      // staged reads prune on the partition column (O(tenant) bytes read);
+      // unstaged corpora fall back to a pushed-down value filter
+      val tdocs =
+        if (stage) source.filter(col("__tenant_dir") === sanitize(t)).drop("__tenant_dir")
+        else source.filter(col(tenantCol).cast("string") === t)
+      val dir = tenantDir(rootDir, t)
+      SegmentIndex.build(tdocs, dir, buckets, codeAware)
+      t -> SegmentIndex.readMeta(dir).n
+    }.toMap
+  }
+}

@@ -1,0 +1,130 @@
+package graft.app
+
+import java.net.{HttpURLConnection, URL, URLEncoder}
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.index.{SegmentIndex, TenantCatalog}
+import graft.search.SegmentSearch
+
+/** Multi-tenant catalog + gateway spec: per-tenant builds are PROVABLY
+  * isolated (scores equal a standalone index over only that tenant's docs —
+  * N/avgdl/df all tenant-local), tenant ids round-trip through directory
+  * sanitization, and the gateway routes /search by tenant with lazy loading
+  * and LRU eviction bounded by maxLoaded.
+  */
+class TenantSpec extends SparkTestBase {
+
+  private def get(url: String): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(2000)
+    conn.setReadTimeout(15000)
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  private def corpus = {
+    val sp = spark
+    import sp.implicits._
+    // "shared" appears in every tenant but with different corpus shapes, so
+    // isolated stats MUST produce different scores than pooled stats would
+    Seq(
+      (1L, "shared alpha bravo", "acme", "en"),
+      (2L, "shared shared charlie", "acme", "en"),
+      (3L, "delta echo foxtrot golf hotel india juliet", "acme", "en"),
+      (4L, "shared bravo", "Beta Corp!", "de"),
+      (5L, "charlie delta", "Beta Corp!", "de"),
+      (6L, "shared shared shared echo", "γ", "fr")
+    ).toDF("doc_id", "text", "source", "lang")
+  }
+
+  test("catalog: per-tenant builds isolate corpus statistics exactly") {
+    val root = Files.createTempDirectory("graft-tenants").toString
+    val counts = TenantCatalog.buildAll(corpus, root, buckets = 2)
+    assert(counts == Map("acme" -> 3L, "Beta Corp!" -> 2L, "γ" -> 1L))
+    assert(TenantCatalog.tenants(root) == Seq("Beta Corp!", "acme", "γ"))
+
+    // tenant dirs are sanitized but decodable
+    assert(TenantCatalog.sanitize("Beta Corp!") == "Beta%20Corp%21")
+    assert(TenantCatalog.sanitize("γ") == "%CE%B3")
+    assert(TenantCatalog.sanitize("a.b_c-D9") == "a.b_c-D9")
+
+    // isolation proof: tenant acme's index == a standalone index built over
+    // ONLY acme's docs — same meta (N, sumDl) and same ranked scores
+    val solo = Files.createTempDirectory("graft-solo").toString
+    SegmentIndex.build(corpus.filter("source = 'acme'"), solo, buckets = 2)
+    val tDir = TenantCatalog.tenantDir(root, "acme")
+    val mT = SegmentIndex.readMeta(tDir)
+    val mS = SegmentIndex.readMeta(solo)
+    assert((mT.n, mT.sumDl) == (mS.n, mS.sumDl))
+    val hitsT = SegmentSearch.searchBatch(spark, tDir, Seq("shared charlie"), 10)(0)
+    val hitsS = SegmentSearch.searchBatch(spark, solo, Seq("shared charlie"), 10)(0)
+    assert(hitsT == hitsS, s"tenant=$hitsT solo=$hitsS")
+    assert(hitsT.nonEmpty && hitsT.map(_._1).forall(Set(1L, 2L, 3L)))
+
+    // the same query against tenant γ sees γ's OWN stats: its single doc has
+    // df=1, N=1 — scores cannot match acme's
+    val hitsG = SegmentSearch.searchBatch(spark, TenantCatalog.tenantDir(root, "γ"), Seq("shared"), 10)(0)
+    assert(hitsG.map(_._1) == Seq(6L))
+  }
+
+  test("gateway: routes by tenant, 400/404 contract, LRU eviction, reload") {
+    val root = Files.createTempDirectory("graft-tenants-http").toString
+    TenantCatalog.buildAll(corpus, root, buckets = 2)
+
+    val server = TenantServer.start(root, port = 0, maxLoaded = 1)
+    val base = s"http://127.0.0.1:${server.port}"
+    try {
+      var healthy = false
+      var tries = 0
+      while (!healthy && tries < 50) {
+        try healthy = get(s"$base/health") == ((200, "OK"))
+        catch { case _: Exception => Thread.sleep(50) }
+        tries += 1
+      }
+      assert(healthy, "/health never returned 200 OK")
+
+      // catalog listing (decoded ids)
+      val (cT, tenants) = get(s"$base/tenants")
+      assert(cT == 200 && tenants.contains("\"acme\"") &&
+        tenants.contains("\"Beta Corp!\"") && tenants.contains("\"γ\""), tenants)
+
+      // param contract
+      assert(get(s"$base/search?q=shared")._1 == 400)
+      assert(get(s"$base/search?tenant=nosuch&q=shared")._1 == 404)
+
+      // tenant-routed search answers from the tenant's own index
+      def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+      val (c1, acme) = get(s"$base/search?tenant=acme&q=shared+charlie&k=5")
+      assert(c1 == 200, acme)
+      val acmeIds = """"docId":(\d+)""".r.findAllMatchIn(acme).map(_.group(1).toLong).toSeq
+      assert(acmeIds.nonEmpty && acmeIds.forall(Set(1L, 2L, 3L)), acme)
+
+      val (c2, beta) = get(s"$base/search?tenant=${enc("Beta Corp!")}&q=shared&k=5")
+      assert(c2 == 200, beta)
+      val betaIds = """"docId":(\d+)""".r.findAllMatchIn(beta).map(_.group(1).toLong).toSeq
+      assert(betaIds == Seq(4L), beta)
+
+      // maxLoaded=1: serving Beta evicted acme
+      assert(server.loadedTenants == Seq("Beta Corp!"), server.loadedTenants)
+
+      // evicted tenant transparently reloads on the next request
+      val (c3, acme2) = get(s"$base/search?tenant=acme&q=shared+charlie&k=5")
+      assert(c3 == 200 && acme2 == acme)
+      assert(server.loadedTenants == Seq("acme"))
+
+      // per-tenant hot reload
+      val (cR, rBody) = get(s"$base/reload?tenant=acme")
+      assert(cR == 200 && rBody.contains("\"reloaded\":true") && rBody.contains("\"docs\":3"), rBody)
+      assert(get(s"$base/search?tenant=acme&q=shared+charlie&k=5")._2 == acme)
+
+      // unicode tenant id round-trips through the URL and the directory
+      val (c4, g) = get(s"$base/search?tenant=${enc("γ")}&q=shared")
+      assert(c4 == 200, g)
+      assert(""""docId":(\d+)""".r.findAllMatchIn(g).map(_.group(1)).toSeq == Seq("6"), g)
+    } finally server.stop()
+  }
+}
