@@ -77,7 +77,12 @@ object TenantServer {
     }
   }
 
-  def start(rootDir: String, port: Int, maxLoaded: Int = Int.MaxValue): Running = {
+  def start(
+      rootDir: String,
+      port: Int,
+      maxLoaded: Int = Int.MaxValue,
+      auth: Option[ApiKeys.Registry] = None
+  ): Running = {
     require(maxLoaded >= 1, s"maxLoaded must be >= 1, got $maxLoaded")
     val ready = new AtomicBoolean(true)
     val slots = new ConcurrentHashMap[String, Slot]()
@@ -85,6 +90,27 @@ object TenantServer {
     val loadLock = new Object // cold-path transitions only
 
     def tenantDirOf(t: String): String = TenantCatalog.tenantDir(rootDir, t)
+
+    /** Phase-5 gate: authenticate (`X-Api-Key` header or `key=` param),
+      * authorize against the requested tenant + role, rate-limit, meter.
+      * Returns true when the request may proceed (always, when the gateway
+      * runs keyless — single-tenant on-prem mode).
+      */
+    def authorized(ex: HttpExchange, params: Map[String, String],
+                   tenant: String, needAdmin: Boolean): Boolean =
+      auth match {
+        case None => true
+        case Some(reg) =>
+          val presented = Option(ex.getRequestHeaders.getFirst("X-Api-Key"))
+            .orElse(params.get("key"))
+          reg.check(presented, tenant, needAdmin) match {
+            case ApiKeys.Allowed(_) => true
+            case ApiKeys.Missing => respond(ex, 401, "text/plain", "missing API key"); false
+            case ApiKeys.Invalid => respond(ex, 401, "text/plain", "invalid API key"); false
+            case ApiKeys.Forbidden => respond(ex, 403, "text/plain", "forbidden"); false
+            case ApiKeys.Throttled => respond(ex, 429, "text/plain", "rate limit exceeded"); false
+          }
+      }
 
     /** Resident-and-retained fast path; null when a (re)load is needed. */
     def retained(slot: Slot): IndexState = {
@@ -120,14 +146,19 @@ object TenantServer {
       }
     }
 
-    def withTenant(ex: HttpExchange, params: Map[String, String])(
+    // Auth runs BEFORE the existence probe: an unauthenticated caller never
+    // learns whether a tenant id exists (404 only after a key scoped to that
+    // very tenant — no catalog enumeration oracle).
+    def withTenant(ex: HttpExchange, params: Map[String, String], needAdmin: Boolean)(
         body: (String, Slot) => Unit): Unit =
       params.get("tenant").filter(_.nonEmpty) match {
         case None => respond(ex, 400, "text/plain", "missing tenant parameter")
         case Some(t) =>
-          if (!Files.isDirectory(Paths.get(tenantDirOf(t))))
-            respond(ex, 404, "text/plain", s"unknown tenant: $t")
-          else body(t, slots.computeIfAbsent(t, _ => new Slot))
+          if (authorized(ex, params, t, needAdmin)) {
+            if (!Files.isDirectory(Paths.get(tenantDirOf(t))))
+              respond(ex, 404, "text/plain", s"unknown tenant: $t")
+            else body(t, slots.computeIfAbsent(t, _ => new Slot))
+          }
       }
 
     val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -140,10 +171,13 @@ object TenantServer {
       respond(ex, code, "text/plain", body)
     })
 
-    server.createContext("/tenants", (ex: HttpExchange) => {
+    def presentedKey(ex: HttpExchange, params: Map[String, String]): Option[String] =
+      Option(ex.getRequestHeaders.getFirst("X-Api-Key")).orElse(params.get("key"))
+
+    def respondTenants(ex: HttpExchange, visible: Seq[String]): Unit = {
       val sb = new java.lang.StringBuilder("{\"tenants\":[")
       var first = true
-      TenantCatalog.tenants(rootDir).foreach { t =>
+      visible.foreach { t =>
         if (!first) sb.append(',')
         first = false
         sb.append('"')
@@ -152,6 +186,50 @@ object TenantServer {
       }
       sb.append("]}")
       respond(ex, 200, "application/json", sb.toString)
+    }
+
+    server.createContext("/tenants", (ex: HttpExchange) => {
+      // keyless mode lists the catalog; with auth, the listing is scoped to
+      // the caller's own tenant (no catalog-enumeration oracle)
+      auth match {
+        case None => respondTenants(ex, TenantCatalog.tenants(rootDir))
+        case Some(reg) =>
+          reg.authenticate(presentedKey(ex, queryParams(ex))) match {
+            case None => respond(ex, 401, "text/plain", "missing or invalid API key")
+            case Some(rec) =>
+              respondTenants(ex, TenantCatalog.tenants(rootDir).filter(_ == rec.tenant))
+          }
+      }
+    })
+
+    // Billing/metering surface (Phase 4/5 "billing hooks"): per-tenant
+    // allowed/throttled/denied counters; an ADMIN key sees its own tenant.
+    server.createContext("/usage", (ex: HttpExchange) => {
+      auth match {
+        case None => respond(ex, 200, "application/json", "{\"usage\":{}}")
+        case Some(reg) =>
+          reg.authenticate(presentedKey(ex, queryParams(ex))) match {
+            case None => respond(ex, 401, "text/plain", "missing or invalid API key")
+            case Some(rec) if rec.role != "admin" =>
+              respond(ex, 403, "text/plain", "admin key required")
+            case Some(rec) =>
+              val sb = new java.lang.StringBuilder("{\"usage\":{")
+              var first = true
+              reg.usageSnapshot
+                .filter { case (t, _) => t == rec.tenant }
+                .foreach { case (t, (ok, thr, den)) =>
+                  if (!first) sb.append(',')
+                  first = false
+                  sb.append('"')
+                  graft.core.JsonText.escInto(sb, t)
+                  sb.append("\":{\"allowed\":").append(ok)
+                  sb.append(",\"throttled\":").append(thr)
+                  sb.append(",\"denied\":").append(den).append('}')
+                }
+              sb.append("}}")
+              respond(ex, 200, "application/json", sb.toString)
+          }
+      }
     })
 
     server.createContext("/search", (ex: HttpExchange) => {
@@ -159,7 +237,7 @@ object TenantServer {
         if (!ready.get) respond(ex, 503, "text/plain", "")
         else {
           val params = queryParams(ex)
-          withTenant(ex, params) { (t, slot) =>
+          withTenant(ex, params, needAdmin = false) { (t, slot) =>
             var st = retained(slot)
             if (st == null) st = loadRetained(t, slot)
             try respond(ex, 200, "application/json", searchBody(st, params))
@@ -175,7 +253,7 @@ object TenantServer {
     server.createContext("/reload", (ex: HttpExchange) => {
       try {
         val params = queryParams(ex)
-        withTenant(ex, params) { (t, slot) =>
+        withTenant(ex, params, needAdmin = true) { (t, slot) =>
           // double-buffer one tenant: build the next generation with delta
           // carry from the resident one (unchanged segments/sidecars reuse),
           // swap, release the old; other tenants are untouched.
@@ -216,7 +294,8 @@ object TenantServer {
       System.err.println(s"no tenants under '$rootDir/tenants'")
       sys.exit(3)
     }
-    val running = start(rootDir, port, maxLoaded)
+    // a present apikeys.json activates auth; absent = keyless on-prem mode
+    val running = start(rootDir, port, maxLoaded, auth = ApiKeys.load(rootDir))
     println(s"TenantServer started on port ${running.port} over catalog: $rootDir")
     sys.addShutdownHook(running.beginShutdown())
     Thread.currentThread.join()

@@ -115,6 +115,10 @@ object TenantCatalog {
         else source.filter(col(tenantCol).cast("string") === t)
       val dir = tenantDir(rootDir, t)
       SegmentIndex.build(tdocs, dir, buckets, codeAware)
+      // write doc sidecars NOW, while a Spark session is up: the serving
+      // gateway then cold-loads any tenant without touching Spark (the
+      // backfill fallback would otherwise spin a session per cold tenant)
+      DocSidecar.ensure(spark, dir)
       t -> SegmentIndex.readMeta(dir).n
     }.toMap
   }

@@ -49,6 +49,17 @@ class CliSpec extends AnyFunSuite {
     assert(IndexJob.run(Array("/root/testdata/sf0.001/documents.parquet", tmp(), "4")) == 3)
   }
 
+  // ------------------------------------------------------------- TenantJob
+  test("TenantJob: usage errors exit 2, missing corpus exits 3") {
+    assert(TenantJob.run(Array.empty) == 2)
+    assert(TenantJob.run(Array("onlyOne")) == 2)
+    assert(TenantJob.run(Array("--bogus", "a", "b")) == 2)
+    assert(TenantJob.run(Array("--tenant-col=", "a", "b")) == 2)
+    assert(TenantJob.run(Array("a", "b", "0")) == 2)
+    assert(TenantJob.run(Array("a", "b", "4", "extra")) == 2)
+    assert(TenantJob.run(Array("/nonexistent/corpus.parquet", tmp())) == 3)
+  }
+
   // ------------------------------------------------------------ CompactJob
   test("CompactJob: usage errors exit 2, in validation order") {
     assert(CompactJob.run(Array.empty) == 2)

@@ -15,10 +15,11 @@ import graft.search.SegmentSearch
   */
 class TenantSpec extends SparkTestBase {
 
-  private def get(url: String): (Int, String) = {
+  private def get(url: String, apiKey: Option[String] = None): (Int, String) = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(2000)
     conn.setReadTimeout(15000)
+    apiKey.foreach(conn.setRequestProperty("X-Api-Key", _))
     val code = conn.getResponseCode
     val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val body = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
@@ -125,6 +126,70 @@ class TenantSpec extends SparkTestBase {
       val (c4, g) = get(s"$base/search?tenant=${enc("γ")}&q=shared")
       assert(c4 == 200, g)
       assert(""""docId":(\d+)""".r.findAllMatchIn(g).map(_.group(1)).toSeq == Seq("6"), g)
+    } finally server.stop()
+  }
+
+  test("auth: API keys bind tenants, roles gate reload, rate limits meter usage") {
+    val root = Files.createTempDirectory("graft-tenants-auth").toString
+    TenantCatalog.buildAll(corpus, root, buckets = 2)
+    val kRead = ApiKeys.issue(root, "acme", "read", ratePerSec = 1000, burst = 1000)
+    val kAdmin = ApiKeys.issue(root, "acme", "admin", ratePerSec = 1000, burst = 1000)
+    val kBeta = ApiKeys.issue(root, "Beta Corp!", "read", ratePerSec = 0.001, burst = 2)
+
+    // hashes at rest, never plaintext
+    val keyFile = Files.readString(java.nio.file.Paths.get(root, "apikeys.json"))
+    Seq(kRead, kAdmin, kBeta).foreach(k => assert(!keyFile.contains(k)))
+    assert(keyFile.contains(ApiKeys.sha256Hex(kRead)))
+
+    val server = TenantServer.start(root, port = 0, auth = ApiKeys.load(root))
+    val base = s"http://127.0.0.1:${server.port}"
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    try {
+      def healthy(): Boolean =
+        try get(s"$base/health")._1 == 200
+        catch { case _: Exception => false }
+      var tries = 0
+      while (tries < 50 && !healthy()) { Thread.sleep(50); tries += 1 }
+      assert(healthy(), "/health never returned 200 OK")
+
+      // authentication: no key / bad key -> 401 (tenant existence not probed)
+      assert(get(s"$base/search?tenant=acme&q=shared")._1 == 401)
+      assert(get(s"$base/search?tenant=acme&q=shared", Some("gk_bogus"))._1 == 401)
+      assert(get(s"$base/search?tenant=nosuch&q=shared")._1 == 401)
+
+      // authorization: a key serves ONLY its own tenant
+      val (cOk, body) = get(s"$base/search?tenant=acme&q=shared+charlie&k=5", Some(kRead))
+      assert(cOk == 200, body)
+      assert(""""docId":(\d+)""".r.findAllMatchIn(body).nonEmpty)
+      assert(get(s"$base/search?tenant=${enc("Beta Corp!")}&q=shared", Some(kRead))._1 == 403)
+
+      // RBAC: reload needs admin
+      assert(get(s"$base/reload?tenant=acme", Some(kRead))._1 == 403)
+      assert(get(s"$base/reload?tenant=acme", Some(kAdmin))._1 == 200)
+
+      // rate limit: burst 2 at ~zero refill -> two 200s then 429
+      val betaUrl = s"$base/search?tenant=${enc("Beta Corp!")}&q=shared"
+      assert(get(betaUrl, Some(kBeta))._1 == 200)
+      assert(get(betaUrl, Some(kBeta))._1 == 200)
+      assert(get(betaUrl, Some(kBeta))._1 == 429)
+
+      // key= param works as an alternative to the header
+      assert(get(s"$base/search?tenant=acme&q=shared&key=${enc(kRead)}")._1 == 200)
+
+      // /tenants is scoped to the caller's tenant under auth
+      assert(get(s"$base/tenants")._1 == 401)
+      val (_, tl) = get(s"$base/tenants", Some(kRead))
+      assert(tl.contains("\"acme\"") && !tl.contains("Beta Corp!"), tl)
+
+      // usage metering: admin sees its tenant's allowed/denied counters
+      assert(get(s"$base/usage", Some(kRead))._1 == 403)
+      val (cU, usage) = get(s"$base/usage", Some(kAdmin))
+      assert(cU == 200, usage)
+      val allowed = """"allowed":(\d+)""".r.findFirstMatchIn(usage).map(_.group(1).toInt)
+      val denied = """"denied":(\d+)""".r.findFirstMatchIn(usage).map(_.group(1).toInt)
+      assert(usage.contains("\"acme\""), usage)
+      assert(allowed.exists(_ >= 3), usage) // kRead search + key= search + kAdmin reload
+      assert(denied.exists(_ >= 2), usage)  // cross-tenant 403 + read-key reload 403
     } finally server.stop()
   }
 }
