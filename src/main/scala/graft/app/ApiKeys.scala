@@ -136,6 +136,13 @@ object ApiKeys {
       JsonMethods.parse(Files.readString(p)).extract[KeyFile].keys))
   }
 
+  // Serializes read-modify-write issuance within this JVM: two concurrent
+  // issue() calls would otherwise both read the same key list and the loser's
+  // record would be silently dropped (a customer holding a plaintext key
+  // whose hash is in no file). Cross-process issuance needs an external
+  // single-issuer discipline (the admin-console model).
+  private val issueLock = new Object
+
   /** Issue a new key for `tenant`: appends its HASH to `apikeys.json`
     * (atomic tmp+move, like every other graft metadata write) and returns
     * the plaintext key — the only time it ever exists outside the caller.
@@ -146,7 +153,7 @@ object ApiKeys {
       role: String = "read",
       ratePerSec: Double = 50.0,
       burst: Int = 100
-  ): String = {
+  ): String = issueLock.synchronized {
     require(role == "read" || role == "admin", s"unknown role: $role")
     require(ratePerSec > 0 && burst >= 1, s"invalid rate config: $ratePerSec/$burst")
     val rnd = new SecureRandom()
@@ -158,8 +165,8 @@ object ApiKeys {
       if (Files.exists(p)) JsonMethods.parse(Files.readString(p)).extract[KeyFile].keys
       else Nil
     val next = KeyFile(existing :+ KeyRecord(sha256Hex(key), tenant, role, ratePerSec, burst))
-    val tmp = p.resolveSibling("apikeys.json.tmp")
     Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, "apikeys", ".tmp")
     Files.writeString(tmp, Serialization.write(next))
     Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     key

@@ -37,9 +37,11 @@ import SearchServer.{respond, queryParams, searchBody, IndexState}
 object TenantServer {
 
   /** Per-tenant slot: the swappable generation + LRU clock. `state` holds
-    * null before first load and after eviction/stop (the SearchServer
-    * sentinel discipline: observers re-check and 503/reload instead of
-    * spinning).
+    * null before first load and after eviction/stop (observers re-check and
+    * reload/503 instead of spinning). The Slot object itself is the monitor
+    * for this tenant's load/reload transitions — one tenant's disk load
+    * never blocks another tenant's (only eviction bookkeeping takes a
+    * global lock, and that section is tiny).
     */
   private final class Slot {
     val state = new AtomicReference[IndexState](null)
@@ -50,7 +52,8 @@ object TenantServer {
       http: HttpServer,
       val rootDir: String,
       slots: ConcurrentHashMap[String, Slot],
-      ready: AtomicBoolean
+      ready: AtomicBoolean,
+      stopped: AtomicBoolean
   ) {
     def port: Int = http.getAddress.getPort
     private[TenantServer] def slotMap: ConcurrentHashMap[String, Slot] = slots
@@ -64,6 +67,12 @@ object TenantServer {
     def beginShutdown(): Unit = ready.set(false)
     def stop(delaySeconds: Int = 0): Unit = {
       ready.set(false)
+      // Flip the stop sentinel BEFORE draining slots: every load/reload
+      // transition holds its slot's monitor and re-checks `stopped` before
+      // installing, so a racing load either finishes installing (and this
+      // loop, queued on the same monitor, then releases it) or observes the
+      // sentinel and discards its build — no generation outlives stop().
+      stopped.set(true)
       http.stop(delaySeconds)
       http.getExecutor match {
         case e: ExecutorService => e.shutdownNow()
@@ -71,8 +80,10 @@ object TenantServer {
       }
       import scala.jdk.CollectionConverters._
       slots.values().asScala.foreach { s =>
-        val old = s.state.getAndSet(null)
-        if (old != null) old.release()
+        s.synchronized {
+          val old = s.state.getAndSet(null)
+          if (old != null) old.release()
+        }
       }
     }
   }
@@ -85,9 +96,10 @@ object TenantServer {
   ): Running = {
     require(maxLoaded >= 1, s"maxLoaded must be >= 1, got $maxLoaded")
     val ready = new AtomicBoolean(true)
+    val stopped = new AtomicBoolean(false)
     val slots = new ConcurrentHashMap[String, Slot]()
     val clock = new AtomicLong(0L)
-    val loadLock = new Object // cold-path transitions only
+    val evictLock = new Object // eviction bookkeeping only (tiny section)
 
     def tenantDirOf(t: String): String = TenantCatalog.tenantDir(rootDir, t)
 
@@ -121,13 +133,17 @@ object TenantServer {
     }
 
     /** Load (or re-load) tenant `t`'s generation, evicting LRU residents
-      * beyond `maxLoaded`. Returns the new state RETAINED for the caller.
+      * beyond `maxLoaded`. Returns the new state RETAINED for the caller,
+      * or null when the server stopped (caller 503s). Holds only THIS
+      * slot's monitor for the disk load — other tenants' loads proceed
+      * concurrently.
       */
-    def loadRetained(t: String, slot: Slot): IndexState = loadLock.synchronized {
-      // someone else may have loaded while we queued on the lock
+    def loadRetained(t: String, slot: Slot): IndexState = slot.synchronized {
+      // someone else may have loaded while we queued on the monitor
       val again = retained(slot)
       if (again != null) return again
-      val fresh = SearchServer.loadState(tenantDirOf(t), None)
+      if (stopped.get) return null
+      val fresh = SearchServer.loadState(tenantDirOf(t), None) // refs=1: the slot's
       if (!fresh.retain()) throw new IllegalStateException("fresh state unretainable")
       slot.state.set(fresh)
       slot.lastAccess = clock.incrementAndGet()
@@ -135,7 +151,12 @@ object TenantServer {
       fresh
     }
 
-    def evictOverflow(except: Slot): Unit = {
+    // maxLoaded is approximate under concurrent loads: eviction swaps a
+    // victim's state without its slot monitor (taking it would invert the
+    // slot->evictLock order), so a victim mid-install can briefly push the
+    // resident count over before the next eviction corrects it. Refcounts
+    // stay exact either way — whoever getAndSets a state out releases it.
+    def evictOverflow(except: Slot): Unit = evictLock.synchronized {
       import scala.jdk.CollectionConverters._
       var resident = slots.values().asScala.filter(s => s.state.get() != null).toSeq
       while (resident.size > maxLoaded) {
@@ -191,21 +212,25 @@ object TenantServer {
     server.createContext("/tenants", (ex: HttpExchange) => {
       // keyless mode lists the catalog; with auth, the listing is scoped to
       // the caller's own tenant (no catalog-enumeration oracle)
-      auth match {
-        case None => respondTenants(ex, TenantCatalog.tenants(rootDir))
-        case Some(reg) =>
-          reg.authenticate(presentedKey(ex, queryParams(ex))) match {
-            case None => respond(ex, 401, "text/plain", "missing or invalid API key")
-            case Some(rec) =>
-              respondTenants(ex, TenantCatalog.tenants(rootDir).filter(_ == rec.tenant))
-          }
+      try {
+        auth match {
+          case None => respondTenants(ex, TenantCatalog.tenants(rootDir))
+          case Some(reg) =>
+            reg.authenticate(presentedKey(ex, queryParams(ex))) match {
+              case None => respond(ex, 401, "text/plain", "missing or invalid API key")
+              case Some(rec) =>
+                respondTenants(ex, TenantCatalog.tenants(rootDir).filter(_ == rec.tenant))
+            }
+        }
+      } catch {
+        case e: Exception => respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
       }
     })
 
     // Billing/metering surface (Phase 4/5 "billing hooks"): per-tenant
     // allowed/throttled/denied counters; an ADMIN key sees its own tenant.
     server.createContext("/usage", (ex: HttpExchange) => {
-      auth match {
+      try auth match {
         case None => respond(ex, 200, "application/json", "{\"usage\":{}}")
         case Some(reg) =>
           reg.authenticate(presentedKey(ex, queryParams(ex))) match {
@@ -229,6 +254,8 @@ object TenantServer {
               sb.append("}}")
               respond(ex, 200, "application/json", sb.toString)
           }
+      } catch {
+        case e: Exception => respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
       }
     })
 
@@ -240,8 +267,10 @@ object TenantServer {
           withTenant(ex, params, needAdmin = false) { (t, slot) =>
             var st = retained(slot)
             if (st == null) st = loadRetained(t, slot)
-            try respond(ex, 200, "application/json", searchBody(st, params))
-            finally st.release()
+            if (st == null) respond(ex, 503, "text/plain", "") // stopped
+            else
+              try respond(ex, 200, "application/json", searchBody(st, params))
+              finally st.release()
           }
         }
       } catch {
@@ -256,19 +285,25 @@ object TenantServer {
         withTenant(ex, params, needAdmin = true) { (t, slot) =>
           // double-buffer one tenant: build the next generation with delta
           // carry from the resident one (unchanged segments/sidecars reuse),
-          // swap, release the old; other tenants are untouched.
-          loadLock.synchronized {
-            val prev = Option(slot.state.get())
-            val next = SearchServer.loadState(tenantDirOf(t), prev)
-            val old = slot.state.getAndSet(next)
-            if (old != null) old.release()
-            slot.lastAccess = clock.incrementAndGet()
-            evictOverflow(except = slot)
-            val sb = new java.lang.StringBuilder("{\"reloaded\":true,\"tenant\":\"")
-            graft.core.JsonText.escInto(sb, t)
-            sb.append("\",\"docs\":").append(next.nDocs)
-            sb.append(",\"segments\":").append(next.nSegments).append('}')
-            respond(ex, 200, "application/json", sb.toString)
+          // swap, release the old. Holds only this tenant's monitor —
+          // other tenants keep loading and reloading concurrently, and this
+          // tenant's in-flight /search requests keep serving the OLD
+          // generation (retained() is lock-free) until the swap.
+          slot.synchronized {
+            if (stopped.get) respond(ex, 503, "text/plain", "server stopped")
+            else {
+              val prev = Option(slot.state.get())
+              val next = SearchServer.loadState(tenantDirOf(t), prev)
+              val old = slot.state.getAndSet(next)
+              if (old != null) old.release()
+              slot.lastAccess = clock.incrementAndGet()
+              evictOverflow(except = slot)
+              val sb = new java.lang.StringBuilder("{\"reloaded\":true,\"tenant\":\"")
+              graft.core.JsonText.escInto(sb, t)
+              sb.append("\",\"docs\":").append(next.nDocs)
+              sb.append(",\"segments\":").append(next.nSegments).append('}')
+              respond(ex, 200, "application/json", sb.toString)
+            }
           }
         }
       } catch {
@@ -278,18 +313,44 @@ object TenantServer {
     })
 
     server.start()
-    new Running(server, rootDir, slots, ready)
+    new Running(server, rootDir, slots, ready, stopped)
+  }
+
+  /** Ordered exit-2 argument validation (the SearchServer.parseArgs
+    * discipline: unknown flag -> arity -> values) — a malformed port or
+    * maxLoaded must fail loudly, never silently fall back to a default.
+    * Right((rootDir, port, maxLoaded)).
+    */
+  def parseArgs(args: Array[String]): Either[String, (String, Int, Int)] = {
+    val flags = args.filter(_.startsWith("--")).toIndexedSeq
+    val pos = args.filterNot(_.startsWith("--")).toIndexedSeq
+    if (flags.nonEmpty) Left(s"unknown flag: ${flags.head}")
+    else if (pos.isEmpty) Left("missing required <rootDir>")
+    else if (pos.length > 3) Left(s"unexpected argument: ${pos(3)}")
+    else {
+      val port = pos.lift(1) match {
+        case None => Right(8080)
+        case Some(p) => p.toIntOption.filter(v => v >= 0 && v <= 65535)
+          .toRight(s"invalid port: $p")
+      }
+      val maxLoaded = pos.lift(2) match {
+        case None => Right(Int.MaxValue)
+        case Some(m) => m.toIntOption.filter(_ >= 1)
+          .toRight(s"maxLoadedTenants must be a positive integer, got '$m'")
+      }
+      for { pt <- port; ml <- maxLoaded } yield (pos(0), pt, ml)
+    }
   }
 
   /** Usage: TenantServer <rootDir> [port] [maxLoadedTenants] */
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) {
-      System.err.println("usage: TenantServer <rootDir> [port] [maxLoadedTenants]")
-      sys.exit(2)
+    val (rootDir, port, maxLoaded) = parseArgs(args) match {
+      case Left(msg) =>
+        System.err.println(s"TenantServer: $msg")
+        System.err.println("usage: TenantServer <rootDir> [port] [maxLoadedTenants]")
+        sys.exit(2)
+      case Right(v) => v
     }
-    val rootDir = args(0)
-    val port = args.lift(1).flatMap(_.toIntOption).getOrElse(8080)
-    val maxLoaded = args.lift(2).flatMap(_.toIntOption).getOrElse(Int.MaxValue)
     if (TenantCatalog.tenants(rootDir).isEmpty) {
       System.err.println(s"no tenants under '$rootDir/tenants'")
       sys.exit(3)

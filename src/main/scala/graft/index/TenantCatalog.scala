@@ -33,15 +33,22 @@ object TenantCatalog {
 
   /** Path-safe tenant id: [A-Za-z0-9._-] kept, everything else %XX-encoded
     * (UTF-8). Deterministic and collision-free, so tenant ids are arbitrary
-    * strings while directory names stay portable.
+    * strings while directory names stay portable. A LEADING '.' is always
+    * encoded: "." and ".." would otherwise pass through verbatim and
+    * `tenantDir` would escape the tenants/ directory (path traversal into
+    * the catalog root).
     */
   def sanitize(tenant: String): String = {
+    require(tenant != null, "tenant id must not be null")
     val sb = new StringBuilder
+    var first = true
     tenant.getBytes("UTF-8").foreach { b =>
       val c = b.toChar
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
-          c == '.' || c == '_' || c == '-') sb.append(c)
+      val keep = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        (c == '.' && !first) || c == '_' || c == '-'
+      if (keep) sb.append(c)
       else sb.append(f"%%${b & 0xff}%02X")
+      first = false
     }
     sb.toString
   }
@@ -93,20 +100,33 @@ object TenantCatalog {
     // Stage partitioned by the SANITIZED tenant id: partition directory
     // names must be path-safe (arbitrary tenant strings — spaces, unicode —
     // break filesystem/locale assumptions), and sanitize is exactly the
-    // path-safe bijection the tenant dirs already use.
-    val sanitizeUdf = udf((s: String) => sanitize(s))
+    // path-safe bijection the tenant dirs already use. A null tenant value
+    // fails the build LOUDLY (sanitize's require) — one bad row must never
+    // silently vanish from, or crash into, another tenant's corpus.
+    val sanitizeUdf = udf((s: String) =>
+      sanitize(if (s == null) throw new IllegalArgumentException(
+        s"null tenant value (column '$tenantCol')") else s))
     val source: DataFrame =
       if (!stage) docs
       else {
         val staging = s"$rootDir/_staging"
-        docs
+        val staged = docs
           .withColumn("__tenant_dir", sanitizeUdf(col(tenantCol).cast("string")))
-          .write.mode("overwrite").partitionBy("__tenant_dir").parquet(staging)
-        spark.read.parquet(staging)
+        staged.write.mode("overwrite").partitionBy("__tenant_dir").parquet(staging)
+        // read back with the WRITTEN schema: partition-column type inference
+        // would otherwise parse numeric-looking tenant dirs (e.g. "7" and
+        // "007") into the same integer value, silently MERGING distinct
+        // tenants — the exact isolation breach this class exists to prevent.
+        // An explicit schema pins __tenant_dir to string, no inference.
+        spark.read.schema(staged.schema).parquet(staging)
       }
     val all: Seq[String] = only.getOrElse(
       source.select(col(tenantCol).cast("string")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted)
+        .collect().map(_.getString(0)).toSeq
+        .map { t =>
+          require(t != null, s"null tenant value (column '$tenantCol')")
+          t
+        }.sorted)
     all.map { t =>
       // staged reads prune on the partition column (O(tenant) bytes read);
       // unstaged corpora fall back to a pushed-down value filter

@@ -60,6 +60,19 @@ class CliSpec extends AnyFunSuite {
     assert(TenantJob.run(Array("/nonexistent/corpus.parquet", tmp())) == 3)
   }
 
+  // ---------------------------------------------------------- TenantServer
+  test("TenantServer.parseArgs: ordered validation, no silent fallbacks") {
+    assert(TenantServer.parseArgs(Array("root")) == Right(("root", 8080, Int.MaxValue)))
+    assert(TenantServer.parseArgs(Array("root", "9090", "4")) == Right(("root", 9090, 4)))
+    assert(TenantServer.parseArgs(Array.empty).isLeft)
+    assert(TenantServer.parseArgs(Array("--flag", "root")).isLeft)
+    assert(TenantServer.parseArgs(Array("root", "abc")).isLeft)     // not silently 8080
+    assert(TenantServer.parseArgs(Array("root", "80800")).isLeft)   // out of range
+    assert(TenantServer.parseArgs(Array("root", "80", "0")).isLeft) // maxLoaded >= 1
+    assert(TenantServer.parseArgs(Array("root", "80", "zz")).isLeft)
+    assert(TenantServer.parseArgs(Array("root", "80", "1", "x")).isLeft)
+  }
+
   // ------------------------------------------------------------ CompactJob
   test("CompactJob: usage errors exit 2, in validation order") {
     assert(CompactJob.run(Array.empty) == 2)

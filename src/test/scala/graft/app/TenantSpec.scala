@@ -52,6 +52,14 @@ class TenantSpec extends SparkTestBase {
     assert(TenantCatalog.sanitize("Beta Corp!") == "Beta%20Corp%21")
     assert(TenantCatalog.sanitize("γ") == "%CE%B3")
     assert(TenantCatalog.sanitize("a.b_c-D9") == "a.b_c-D9")
+    // a leading '.' is always encoded: "." / ".." must never traverse out
+    // of the tenants/ directory
+    assert(TenantCatalog.sanitize(".") == "%2E")
+    assert(TenantCatalog.sanitize("..") == "%2E.")
+    assert(TenantCatalog.sanitize(".hidden") == "%2Ehidden")
+    assert(!java.nio.file.Paths.get(TenantCatalog.tenantDir(root, ".."))
+      .normalize().toString.stripSuffix("/").equals(root))
+    intercept[IllegalArgumentException](TenantCatalog.sanitize(null))
 
     // isolation proof: tenant acme's index == a standalone index built over
     // ONLY acme's docs — same meta (N, sumDl) and same ranked scores
@@ -70,6 +78,26 @@ class TenantSpec extends SparkTestBase {
     // df=1, N=1 — scores cannot match acme's
     val hitsG = SegmentSearch.searchBatch(spark, TenantCatalog.tenantDir(root, "γ"), Seq("shared"), 10)(0)
     assert(hitsG.map(_._1) == Seq(6L))
+  }
+
+  test("catalog: numeric-looking tenant ids never merge through the staged read") {
+    // partition-column TYPE INFERENCE would parse dirs "7" and "007" into
+    // the same integer value and silently merge the tenants — the staged
+    // read pins the partition column to string via an explicit schema
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo", "7", "en"),
+      (2L, "charlie delta", "007", "en"),
+      (3L, "echo foxtrot", "7", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val root = Files.createTempDirectory("graft-tenants-num").toString
+    val counts = TenantCatalog.buildAll(docs, root, buckets = 1)
+    assert(counts == Map("7" -> 2L, "007" -> 1L), counts)
+    val hits7 = SegmentSearch.searchBatch(spark, TenantCatalog.tenantDir(root, "7"), Seq("alpha OR charlie OR echo"), 10)(0)
+    val hits007 = SegmentSearch.searchBatch(spark, TenantCatalog.tenantDir(root, "007"), Seq("alpha OR charlie OR echo"), 10)(0)
+    assert(hits7.map(_._1).toSet == Set(1L, 3L), hits7)
+    assert(hits007.map(_._1) == Seq(2L), hits007)
   }
 
   test("gateway: routes by tenant, 400/404 contract, LRU eviction, reload") {
