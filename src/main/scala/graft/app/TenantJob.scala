@@ -12,17 +12,20 @@ import graft.index.TenantCatalog
   * lang) by its tenant column and builds one SegmentIndex per tenant under
   * `<rootDir>/tenants/`, servable by [[TenantServer]].
   *
-  * Usage: TenantJob <docsParquet> <rootDir> [buckets] [--tenant-col=NAME] [--code-aware] [--no-stage]
+  * Usage: TenantJob <docsParquet> <rootDir> [buckets] [--tenant-col=NAME] [--code-aware] [--no-stage] [--add]
   *
   * `--no-stage` trusts the corpus to already be tenant-partitioned at its
-  * source (steady state at 100 TB) and skips the staging copy.
+  * source (steady state at 100 TB) and skips the staging copy. `--add`
+  * treats the corpus as a DELTA: each tenant's rows append to its existing
+  * index as new segments (new tenants bootstrap as builds) — the
+  * daily-delta ingest shape, paired with the gateway's per-tenant /reload.
   *
   * Exit-code discipline matches the other job mains: 2 = argument error
   * (before any work), 3 = runtime precondition / failure.
   */
 object TenantJob {
   private val Usage =
-    "usage: TenantJob <docsParquet> <rootDir> [buckets] [--tenant-col=NAME] [--code-aware] [--no-stage]"
+    "usage: TenantJob <docsParquet> <rootDir> [buckets] [--tenant-col=NAME] [--code-aware] [--no-stage] [--add]"
 
   private def usageErr(msg: String): Int = {
     System.err.println(s"TenantJob: $msg")
@@ -40,7 +43,7 @@ object TenantJob {
       f.stripPrefix("--tenant-col=")
     }
     val unknown = flags.filterNot(f =>
-      f == "--code-aware" || f == "--no-stage" || f.startsWith("--tenant-col="))
+      f == "--code-aware" || f == "--no-stage" || f == "--add" || f.startsWith("--tenant-col="))
     if (unknown.nonEmpty) return usageErr(s"unknown flag: ${unknown.head}")
     if (tenantCol.exists(_.isEmpty)) return usageErr("--tenant-col= requires a column name")
     if (pos.length < 2) return usageErr("missing required <docsParquet> <rootDir>")
@@ -54,8 +57,11 @@ object TenantJob {
     }
     val docsPath = pos(0)
     val rootDir = pos(1)
+    val addMode = flags.contains("--add")
     if (!Files.exists(Paths.get(docsPath)))
       return runtimeErr(s"corpus path does not exist: $docsPath")
+    if (addMode && !Files.isDirectory(Paths.get(rootDir, "tenants")))
+      return runtimeErr(s"--add requires an existing tenant catalog at $rootDir (no tenants/ dir)")
 
     val spark =
       if (sys.props.contains("spark.master")) SparkSession.builder().getOrCreate()
@@ -68,12 +74,13 @@ object TenantJob {
       val missing = need.filterNot(c => docs.columns.map(_.toLowerCase).contains(c.toLowerCase))
       if (missing.nonEmpty)
         return runtimeErr(s"corpus is missing required column(s): ${missing.mkString(", ")}")
-      val counts = TenantCatalog.buildAll(
-        docs, rootDir, buckets,
-        tenantCol = tcol,
-        codeAware = flags.contains("--code-aware"),
-        stage = !flags.contains("--no-stage"))
-      println(s"Tenant catalog completed: tenants=${counts.size} docs=${counts.values.sum} out=$rootDir")
+      val run = if (addMode) TenantCatalog.addAll _ else TenantCatalog.buildAll _
+      val counts = run(
+        docs, rootDir, buckets, tcol, None,
+        flags.contains("--code-aware"),
+        !flags.contains("--no-stage"))
+      val verb = if (addMode) "delta" else "completed"
+      println(s"Tenant catalog $verb: tenants=${counts.size} docs=${counts.values.sum} out=$rootDir")
       0
     } catch {
       case e: Throwable => runtimeErr(s"tenant job failed: ${e.getMessage}")

@@ -94,7 +94,46 @@ object TenantCatalog {
       only: Option[Seq[String]] = None,
       codeAware: Boolean = false,
       stage: Boolean = true
-  ): Map[String, Long] = {
+  ): Map[String, Long] =
+    runPerTenant(docs, rootDir, tenantCol, only, stage) { (tdocs, dir) =>
+      SegmentIndex.build(tdocs, dir, buckets, codeAware)
+    }
+
+  /** Incrementally add a delta corpus across tenants: each tenant's rows
+    * are APPENDED to its existing index as new segments (the append-only
+    * model — bit-identical to a full rebuild by the SegmentSpec add-parity
+    * guarantee), and a tenant not yet in the catalog is bootstrapped as a
+    * fresh build. The daily-delta ingest shape: one staged pass over the
+    * delta, per-tenant pruned appends, then the gateway's per-tenant delta
+    * /reload picks up only the new segments.
+    *
+    * @param buckets segment-bucket count for each tenant's DELTA (sized to
+    *                the delta, not the corpus)
+    */
+  def addAll(
+      docs: DataFrame,
+      rootDir: String,
+      buckets: Int,
+      tenantCol: String = "source",
+      only: Option[Seq[String]] = None,
+      codeAware: Boolean = false,
+      stage: Boolean = true
+  ): Map[String, Long] =
+    runPerTenant(docs, rootDir, tenantCol, only, stage) { (tdocs, dir) =>
+      SegmentIndex.addDocuments(tdocs, dir, buckets, codeAware)
+    }
+
+  /** Shared staging + per-tenant dispatch for buildAll/addAll: one
+    * tenant-partitioned pass over the corpus, then `op` runs on each
+    * tenant's pruned slice. Returns tenant -> doc count AFTER the op.
+    */
+  private def runPerTenant(
+      docs: DataFrame,
+      rootDir: String,
+      tenantCol: String,
+      only: Option[Seq[String]],
+      stage: Boolean
+  )(op: (DataFrame, String) => Unit): Map[String, Long] = {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(rootDir))
     // Stage partitioned by the SANITIZED tenant id: partition directory
@@ -134,10 +173,13 @@ object TenantCatalog {
         if (stage) source.filter(col("__tenant_dir") === sanitize(t)).drop("__tenant_dir")
         else source.filter(col(tenantCol).cast("string") === t)
       val dir = tenantDir(rootDir, t)
-      SegmentIndex.build(tdocs, dir, buckets, codeAware)
+      op(tdocs, dir)
       // write doc sidecars NOW, while a Spark session is up: the serving
       // gateway then cold-loads any tenant without touching Spark (the
-      // backfill fallback would otherwise spin a session per cold tenant)
+      // backfill fallback would otherwise spin a session per cold tenant).
+      // addDocuments writes delta-bucket sidecars itself; ensure() fills
+      // whatever is missing (fresh builds, bootstrapped tenants) and is a
+      // no-op otherwise.
       DocSidecar.ensure(spark, dir)
       t -> SegmentIndex.readMeta(dir).n
     }.toMap

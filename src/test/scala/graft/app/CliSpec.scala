@@ -58,6 +58,8 @@ class CliSpec extends AnyFunSuite {
     assert(TenantJob.run(Array("a", "b", "0")) == 2)
     assert(TenantJob.run(Array("a", "b", "4", "extra")) == 2)
     assert(TenantJob.run(Array("/nonexistent/corpus.parquet", tmp())) == 3)
+    // --add needs an existing catalog (before any Spark work)
+    assert(TenantJob.run(Array("--add", "/root/testdata/sf0.001/documents.parquet", tmp())) == 3)
   }
 
   // ---------------------------------------------------------- TenantServer

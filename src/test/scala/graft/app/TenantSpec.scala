@@ -80,6 +80,35 @@ class TenantSpec extends SparkTestBase {
     assert(hitsG.map(_._1) == Seq(6L))
   }
 
+  test("catalog: addAll appends per-tenant deltas; results match a fresh full build") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("graft-tenants-add").toString
+    TenantCatalog.buildAll(corpus, root, buckets = 2)
+
+    val delta = Seq(
+      (10L, "shared golf hotel", "acme", "en"),
+      (11L, "shared newco charter", "newco", "en") // tenant not yet in the catalog
+    ).toDF("doc_id", "text", "source", "lang")
+    val counts = TenantCatalog.addAll(delta, root, buckets = 1)
+    assert(counts == Map("acme" -> 4L, "newco" -> 1L), counts)
+
+    // append ≡ rebuild: a fresh catalog over the FULL corpus must answer
+    // identically (N/sumDl/df are exact integers regardless of segmentation)
+    val root2 = Files.createTempDirectory("graft-tenants-full").toString
+    TenantCatalog.buildAll(corpus.union(delta), root2, buckets = 2)
+    Seq("shared", "shared charlie", "golf hotel").foreach { q =>
+      val a = SegmentSearch.searchBatch(spark, TenantCatalog.tenantDir(root, "acme"), Seq(q), 10)(0)
+      val b = SegmentSearch.searchBatch(spark, TenantCatalog.tenantDir(root2, "acme"), Seq(q), 10)(0)
+      assert(a == b, s"q=$q append=$a rebuild=$b")
+    }
+
+    // untouched tenants stay untouched; the bootstrapped tenant serves
+    assert(SegmentIndex.readMeta(TenantCatalog.tenantDir(root, "Beta Corp!")).n == 2L)
+    val hitsNew = SegmentSearch.searchBatch(spark, TenantCatalog.tenantDir(root, "newco"), Seq("shared"), 10)(0)
+    assert(hitsNew.map(_._1) == Seq(11L))
+  }
+
   test("catalog: numeric-looking tenant ids never merge through the staged read") {
     // partition-column TYPE INFERENCE would parse dirs "7" and "007" into
     // the same integer value and silently merge the tenants — the staged
