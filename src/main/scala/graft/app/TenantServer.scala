@@ -56,7 +56,6 @@ object TenantServer {
       stopped: AtomicBoolean
   ) {
     def port: Int = http.getAddress.getPort
-    private[TenantServer] def slotMap: ConcurrentHashMap[String, Slot] = slots
     /** Tenants currently resident (loaded generations), for specs/ops. */
     def loadedTenants: Seq[String] = {
       import scala.jdk.CollectionConverters._
