@@ -55,6 +55,71 @@ object SearchServer {
     def release(): Unit = if (refs.decrementAndGet() == 0) reader.close()
   }
 
+  /** Phase-7 query result cache (the roadmap's "Profiling, caching,
+    * concurrency" row, /root/reference/README.md:63): a byte-capped striped
+    * LRU of rendered `/search` response bodies, keyed by the request's full
+    * search identity (mode + pattern + k + filters).
+    *
+    * Invalidation is BY CONSTRUCTION: the cache lives on one immutable
+    * `IndexState` generation, so a /reload swap starts the new generation
+    * with an empty cache and the old one drains with its state — no
+    * invalidation code path exists to get wrong, and the multi-tenant
+    * gateway inherits per-tenant caches for free (one IndexState per
+    * tenant generation).
+    *
+    * Concurrency: 16 shards, each an access-ordered LinkedHashMap under its
+    * own monitor (the DocStore striping discipline) — no global lock on the
+    * hot path. A body larger than one shard's budget is served uncached
+    * rather than thrashing the shard. Sizing: `SPARK_GRAFT_RESP_CACHE_MB`
+    * (default 8 MB; 0 disables).
+    */
+  final class RespCache(maxBytes: Long, shards: Int = 16) {
+    val hits = new java.util.concurrent.atomic.LongAdder
+    val misses = new java.util.concurrent.atomic.LongAdder
+    private final class Shard {
+      var bytes = 0L
+      val map = new java.util.LinkedHashMap[String, String](64, 0.75f, true)
+    }
+    private val arr = Array.fill(shards)(new Shard)
+    private val perShard = maxBytes / shards
+    private def weight(k: String, v: String): Long = 2L * (k.length + v.length) + 64L
+    private def shardOf(k: String) = arr(math.floorMod(k.hashCode, shards))
+    def get(k: String): String =
+      if (perShard <= 0L) null
+      else { val s = shardOf(k); s.synchronized(s.map.get(k)) }
+    def put(k: String, v: String): Unit = {
+      if (perShard <= 0L || weight(k, v) > perShard) return
+      val s = shardOf(k)
+      s.synchronized {
+        val old = s.map.put(k, v)
+        if (old != null) s.bytes -= weight(k, old)
+        s.bytes += weight(k, v)
+        val it = s.map.entrySet().iterator()
+        while (s.bytes > perShard && it.hasNext) {
+          val e = it.next(); it.remove()
+          s.bytes -= weight(e.getKey, e.getValue)
+        }
+      }
+    }
+    def entryCount: Int = arr.map(s => s.synchronized(s.map.size)).sum
+  }
+
+  object RespCache {
+    /** Cache key = every parameter `searchBody` reads, in fixed order.
+      * Parameters it ignores are ignored here too (same body either way).
+      */
+    private[app] val KeyedParams: Seq[String] =
+      Seq("q", "phrase", "prefix", "fuzzy", "k", "lang", "source")
+    def key(params: Map[String, String]): String =
+      // length-prefixed fields: no value content can alias a field boundary
+      KeyedParams.map { p =>
+        val v = params.getOrElse(p, "")
+        s"${v.length}:$v"
+      }.mkString("|")
+    def create(): RespCache = new RespCache(
+      sys.env.get("SPARK_GRAFT_RESP_CACHE_MB").flatMap(_.toLongOption).getOrElse(8L) << 20)
+  }
+
   /** One immutable generation of serving state. Reference-counted: requests
     * retain it for their duration; the swap releases the server's own
     * reference and resources close when the last in-flight request drains —
@@ -85,6 +150,10 @@ object SearchServer {
     def release(): Unit = if (refs.decrementAndGet() == 0) onClose()
     def nDocs: Long = engine.meta.n
     def nSegments: Int = engine.segments.length
+    /** Phase-7 result cache, generation-scoped (see RespCache): correct to
+      * cache because this state is immutable for its whole lifetime.
+      */
+    val respCache: RespCache = RespCache.create()
   }
 
   /** Serving observability (the reference's Phase 6 "Metrics, logs, tracing
@@ -127,6 +196,9 @@ object SearchServer {
         s""""health":${healths.sum},"reload":${reloads.sum}},""" +
         s""""errors":${errors.sum},""" +
         s""""search_latency_us":{"p50":$p50,"p95":$p95,"p99":$p99,"window":$n},""" +
+        s""""result_cache":{"hits":${if (st == null) 0L else st.respCache.hits.sum},""" +
+        s""""misses":${if (st == null) 0L else st.respCache.misses.sum},""" +
+        s""""entries":${if (st == null) 0 else st.respCache.entryCount}},""" +
         s""""index":{"docs":${if (st == null) 0L else st.nDocs},""" +
         s""""segments":${if (st == null) 0 else st.nSegments},""" +
         s""""generation":${reloads.sum + 1}}}"""
@@ -205,7 +277,7 @@ object SearchServer {
         while (st != null && !st.retain()) st = stateRef.get
         if (st == null) respond(ex, 503, "text/plain", "") // stopped
         else try {
-          val body = searchBody(st, queryParams(ex))
+          val body = cachedSearchBody(st, queryParams(ex))
           metrics.recordSearchMicros((System.nanoTime() - t0) / 1000L)
           respond(ex, 200, "application/json", body)
         } finally st.release()
@@ -312,6 +384,24 @@ object SearchServer {
 
     server.start()
     new Running(server, ready, stateRef, metrics)
+  }
+
+  /** `searchBody` through the pinned generation's result cache: a repeat of
+    * an identical request (same mode, pattern, k, and filters) within one
+    * generation serves the already-rendered body — the search, snippet, and
+    * JSON work all skip. Used by both the single-index handler and the
+    * multi-tenant gateway (per-tenant generations => per-tenant caches).
+    */
+  private[app] def cachedSearchBody(st: IndexState, params: Map[String, String]): String = {
+    val key = RespCache.key(params)
+    val cached = st.respCache.get(key)
+    if (cached != null) { st.respCache.hits.increment(); cached }
+    else {
+      val body = searchBody(st, params)
+      st.respCache.misses.increment()
+      st.respCache.put(key, body)
+      body
+    }
   }
 
   /** Assemble the `/search` response body for one pinned generation.

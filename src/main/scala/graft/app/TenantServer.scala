@@ -268,7 +268,8 @@ object TenantServer {
             if (st == null) st = loadRetained(t, slot)
             if (st == null) respond(ex, 503, "text/plain", "") // stopped
             else
-              try respond(ex, 200, "application/json", searchBody(st, params))
+              try respond(ex, 200, "application/json",
+                SearchServer.cachedSearchBody(st, params))
               finally st.release()
           }
         }

@@ -353,4 +353,67 @@ class ServerSpec extends SparkTestBase {
       assert(codes.contains(200))
     } finally server.stop()
   }
+
+  test("result cache: repeats hit within a generation; the key discriminates; reload refreshes") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 30L).map(i => (i, s"alpha bravo tok${i % 3}", "r0", "en"))
+    val dir = Files.createTempDirectory("graft-cache").toString
+    SegmentIndex.build(docs.toDF("doc_id", "text", "source", "lang"), dir, buckets = 2)
+    val server = SearchServer.start(
+      SearchServer.loadState(dir), port = 0,
+      reloader = Some(prev => SearchServer.loadState(dir, Some(prev))))
+    val url = s"http://127.0.0.1:${server.port}"
+    try {
+      val cache = server.current.respCache
+      val (c1, b1) = get(s"$url/search?q=alpha+bravo&k=3")
+      val (c2, b2) = get(s"$url/search?q=alpha+bravo&k=3")
+      assert(c1 == 200 && c2 == 200 && b1 == b2)
+      assert(cache.hits.sum == 1L && cache.misses.sum == 1L,
+        s"hits=${cache.hits.sum} misses=${cache.misses.sum}")
+      // a different k (and any other keyed param) is a different entry
+      get(s"$url/search?q=alpha+bravo&k=4")
+      assert(cache.misses.sum == 2L)
+      get(s"$url/search?q=alpha+bravo&k=4&lang=en")
+      assert(cache.misses.sum == 3L)
+      assert(cache.entryCount == 3)
+      // /metrics surfaces the generation's cache stats
+      val (_, m) = get(s"$url/metrics")
+      assert(m.contains(""""result_cache":{"hits":1,"misses":3,"entries":3}"""), m)
+
+      // reload swaps in a fresh generation => fresh (empty) cache; the new
+      // state answers from the index, not the old generation's entries
+      val delta = Seq((31L, "alpha zebra", "r1", "fr")).toDF("doc_id", "text", "source", "lang")
+      SegmentIndex.addDocuments(delta, dir, newBuckets = 1)
+      assert(get(s"$url/reload")._1 == 200)
+      val fresh = server.current.respCache
+      assert((fresh ne cache) && fresh.entryCount == 0)
+      val (_, after) = get(s"$url/search?q=alpha+bravo&k=3")
+      assert(after.contains(""""docId":"""))
+    } finally server.stop()
+  }
+
+  test("result cache unit: byte cap evicts LRU per shard; oversized bodies stay uncached; key injective") {
+    // one shard so the LRU order is directly observable
+    val c = new SearchServer.RespCache(maxBytes = 400, shards = 1)
+    c.put("a", "x" * 50) // weight 2*(1+50)+64 = 166
+    c.put("b", "y" * 50)
+    assert(c.get("a") != null && c.get("b") != null && c.entryCount == 2)
+    // "a" was touched more recently than "b" after the gets above? (access
+    // order: get(a) then get(b) -> b most recent). Insert c: evicts a.
+    c.get("a"); c.get("b")
+    c.put("c", "z" * 50)
+    assert(c.get("a") == null && c.get("b") != null && c.get("c") != null)
+    // a body over the shard budget is served but never cached
+    c.put("big", "w" * 1000)
+    assert(c.get("big") == null)
+    // length-prefixed key: value content cannot alias a field boundary
+    val k1 = SearchServer.RespCache.key(Map("q" -> "a 0:"))
+    val k2 = SearchServer.RespCache.key(Map("q" -> "a", "phrase" -> "0:"))
+    assert(k1 != k2)
+    // disabled cache (0 bytes) never stores
+    val off = new SearchServer.RespCache(maxBytes = 0)
+    off.put("k", "v")
+    assert(off.get("k") == null && off.entryCount == 0)
+  }
 }
