@@ -121,6 +121,27 @@ object LatencyBench {
     }.maxBy(_._1)
     def pct(p: Double) = ms(math.min(ms.size - 1, (p * ms.size).toInt))
 
+    // Phase-7 result cache effect: the server's own /metrics counters,
+    // cumulative over all three rounds (identical query multiset each round,
+    // so round 2+ repeats every round-1 miss).
+    val cacheNote: String = httpBase match {
+      case Some(base) if !noop =>
+        val conn = new java.net.URL(s"$base/metrics")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val m = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        val re = """"result_cache":\{"hits":(\d+),"misses":(\d+)""".r
+        re.findFirstMatchIn(m) match {
+          case Some(g) =>
+            val h = g.group(1).toLong; val miss = g.group(2).toLong
+            val tot = h + miss
+            if (tot == 0) ""
+            else f"\nresult cache over all rounds: $h hits / $miss misses (${100.0 * h / tot}%.0f%% hit rate, SPARK_GRAFT_RESP_CACHE_MB=${sys.env.getOrElse("SPARK_GRAFT_RESP_CACHE_MB", "8 (default)")}).\n"
+          case None => ""
+        }
+      case _ => ""
+    }
+
     val via =
       if (noop) "HTTP /health (transport ceiling — no search work)"
       else if (overHttp) "HTTP /search endpoint"
@@ -135,7 +156,7 @@ object LatencyBench {
       f"""$sectionKey — $via (reference load-test shape)
          |
          |${meta.n}%,d docs, $requests requests, $concurrency concurrent clients, k=10, query mode: $mode, via: $via.
-         |$memLine
+         |$memLine$cacheNote
          || rps | p50 | p95 | p99 | reference targets |
          ||---|---|---|---|---|
          || $rps%.0f req/s | ${pct(0.50)}%.1f ms | ${pct(0.95)}%.1f ms | ${pct(0.99)}%.1f ms | 1000 req/s (README.md:197); p99 < 50 ms (README.md:200) |

@@ -15,9 +15,26 @@ object Workload {
     queries(spark, sfDir, count, "mixed")
 
   /** mode: "mixed" = dense+rare analytical batch; "selective" = every query
-    * anchored by a rare term (the interactive-serving shape).
+    * anchored by a rare term (the interactive-serving shape); "zipf" =
+    * `count` requests Zipf(s=1)-sampled from a 64-query mixed pool — the
+    * head-heavy repeated-traffic shape of real search logs (the workload a
+    * Phase-7 result cache exists for). Deterministic: seeded pool + seeded
+    * rank draws, no wall clock.
     */
   def queries(spark: SparkSession, sfDir: String, count: Int, mode: String): Seq[String] = {
+    if (mode == "zipf") {
+      val pool = queries(spark, sfDir, 64, "mixed").toIndexedSeq
+      val rnd = new scala.util.Random(4242)
+      // cumulative 1/r weights; binary search per draw
+      val cum = pool.indices.map(r => 1.0 / (r + 1)).scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      return (0 until count).map { _ =>
+        val x = rnd.nextDouble() * total
+        var lo = 0; var hi = cum.length - 1
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (cum(mid) < x) lo = mid + 1 else hi = mid }
+        pool(lo)
+      }
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val terms = graft.index.IndexBuilder
       .build(docs)
