@@ -122,6 +122,15 @@ object SparkEntry {
   private def micros(c: org.apache.spark.sql.Column) =
     round(c * lit(1e6)).cast("long")
 
+  /** Fixed integer LTR model for the `q_ltr_topk` gate: BM25 micros
+    * dominate, coverage adds ~2 score-units per extra matched term, long
+    * docs are penalized, raw tf mass adds small boosts — weights chosen so
+    * the re-rank visibly reorders the BM25 order (the gate would be
+    * vacuous if it reproduced `q_bm25_or_topk`).
+    */
+  private val ltrGateWeights = graft.search.Ltr.Weights(
+    wBm25 = 3L, wMatched = 2000000L, wDl = -500L, wTfSum = 40000L, wMaxTf = 70000L)
+
   /** Already-ranked (term, global df) suggestion rows -> the gate's
     * (rank, term, df) frame.
     */
@@ -385,6 +394,13 @@ object SparkEntry {
     "q_synonyms_topk" -> ((s, dir) =>
       rankTopK(engine(s, dir).synonymScoredDF("scan merge",
         Map("scan" -> Seq("filter"), "merge" -> Seq("join", "sort"))), 15)),
+    // --- learning-to-rank linear re-rank (optional Phase 10 "LTR"):
+    //     integer features over the OR candidates (BM25 micros, coverage,
+    //     dl, tf stats), exact-integer model score, re-ranked top-k ---
+    "q_ltr_topk" -> ((s, dir) =>
+      graft.search.Ltr.rerankDF(
+        graft.search.Ltr.featuresDF(engine(s, dir), "table scan merge"),
+        ltrGateWeights, 10)),
     // --- SEGMENT-tier BM25 top-k: v5 segment files + block-max WAND +
     //     distributed merge, against the same DuckDB oracle as the dataflow
     //     gate (k unbounded so the micro-space re-rank is exact) ---
@@ -710,6 +726,30 @@ object SparkEntry {
     "q_filter_topk" -> filterOracleSql,
     "q_filter_seg_topk" -> filterOracleSql,
     "q_filter_serving_topk" -> filterOracleSql,
+    // LTR twin: the OR scoring chain's micro scores joined with the integer
+    // coverage/length/tf features, combined with the same integer weights
+    "q_ltr_topk" ->
+      s"""$tokCte,
+         |${scoresCte(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = true)},
+         |feats AS (
+         |  SELECT p.doc_id,
+         |         CAST(count(*) AS BIGINT) AS f_matched,
+         |         CAST(max(d.dl) AS BIGINT) AS f_dl,
+         |         CAST(sum(p.tf) AS BIGINT) AS f_tfsum,
+         |         CAST(max(p.tf) AS BIGINT) AS f_maxtf
+         |  FROM posts p JOIN dls d ON p.doc_id = d.doc_id GROUP BY p.doc_id),
+         |lscored AS (
+         |  SELECT r.doc_id,
+         |         CAST(${ltrGateWeights.wBm25} * r.score_r
+         |           + ${ltrGateWeights.wMatched} * f.f_matched
+         |           + ${ltrGateWeights.wDl} * f.f_dl
+         |           + ${ltrGateWeights.wTfSum} * f.f_tfsum
+         |           + ${ltrGateWeights.wMaxTf} * f.f_maxtf AS BIGINT) AS ltr_r
+         |  FROM ranked r JOIN feats f ON r.doc_id = f.doc_id),
+         |lranked AS (
+         |  SELECT row_number() OVER (ORDER BY ltr_r DESC, doc_id ASC) AS rank,
+         |         doc_id, ltr_r FROM lscored)
+         |SELECT rank, doc_id, ltr_r FROM lranked WHERE rank <= 10""".stripMargin,
     // synonym twin: OR within each group, AND across groups (INTERSECT of
     // the groups' candidate sets), uniform weight 1 per matched term
     "q_synonyms_topk" ->
