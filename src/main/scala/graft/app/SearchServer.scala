@@ -111,13 +111,18 @@ object SearchServer {
     private[app] val KeyedParams: Seq[String] =
       Seq("q", "phrase", "prefix", "fuzzy", "k", "lang", "source")
     def key(params: Map[String, String]): String =
-      // length-prefixed fields: no value content can alias a field boundary
+      // length-prefixed fields: no value content can alias a field boundary.
+      // Absent ("-") is distinct from present-but-empty ("0:"): searchBody
+      // dispatches its mode on params.get(...) PRESENCE (an empty phrase=
+      // runs an empty phrase search, not the q= search), so the key must
+      // discriminate presence too.
       KeyedParams.map { p =>
-        val v = params.getOrElse(p, "")
-        s"${v.length}:$v"
+        params.get(p).fold("-")(v => s"${v.length}:$v")
       }.mkString("|")
     def create(): RespCache = new RespCache(
-      sys.env.get("SPARK_GRAFT_RESP_CACHE_MB").flatMap(_.toLongOption).getOrElse(8L) << 20)
+      sys.props.get("graft.respCacheMb")
+        .orElse(sys.env.get("SPARK_GRAFT_RESP_CACHE_MB"))
+        .flatMap(_.toLongOption).getOrElse(8L) << 20)
   }
 
   /** One immutable generation of serving state. Reference-counted: requests

@@ -43,6 +43,14 @@ object LatencyBench {
     val meta = SegmentIndex.readMeta(out)
     val segs = SegmentIndex.segmentFiles(out).map(SegmentIndex.loadSegment(_))
     val mode = sys.env.getOrElse("SPARK_GRAFT_QUERY_MODE", "mixed")
+    // The 3-round best-of protocol replays the SAME query list against one
+    // server generation, so with the default-on result cache every non-first
+    // round is ~100% cached — the mixed/selective rows would silently become
+    // cache-hit benchmarks. Force the cache off for the service-cost modes;
+    // zipf is the repeated-traffic shape that MEASURES the cache (explicit
+    // SPARK_GRAFT_RESP_CACHE_MB still wins for A/B runs).
+    if (mode != "zipf" && sys.env.get("SPARK_GRAFT_RESP_CACHE_MB").isEmpty)
+      System.setProperty("graft.respCacheMb", "0")
     val queries = Workload.queries(spark, sfDir, requests, mode)
     val textBytes: Long =
       if (!overHttp) 0L
@@ -126,10 +134,15 @@ object LatencyBench {
     // so round 2+ repeats every round-1 miss).
     val cacheNote: String = httpBase match {
       case Some(base) if !noop =>
-        val conn = new java.net.URL(s"$base/metrics")
-          .openConnection().asInstanceOf[java.net.HttpURLConnection]
-        val m = new String(conn.getInputStream.readAllBytes(), "UTF-8")
-        conn.disconnect()
+        // best-effort: a failed /metrics fetch must not discard the measured
+        // rounds above
+        val m = try {
+          val conn = new java.net.URL(s"$base/metrics")
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
+          val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+          conn.disconnect(); body
+        } catch { case _: java.io.IOException => "" }
         val re = """"result_cache":\{"hits":(\d+),"misses":(\d+)""".r
         re.findFirstMatchIn(m) match {
           case Some(g) =>

@@ -411,6 +411,11 @@ class ServerSpec extends SparkTestBase {
     val k1 = SearchServer.RespCache.key(Map("q" -> "a 0:"))
     val k2 = SearchServer.RespCache.key(Map("q" -> "a", "phrase" -> "0:"))
     assert(k1 != k2)
+    // absent vs present-but-empty is a MODE difference in searchBody
+    // (phrase= runs an empty phrase search; no phrase runs the q= search)
+    val k3 = SearchServer.RespCache.key(Map("q" -> "a"))
+    val k4 = SearchServer.RespCache.key(Map("q" -> "a", "phrase" -> ""))
+    assert(k3 != k4)
     // disabled cache (0 bytes) never stores
     val off = new SearchServer.RespCache(maxBytes = 0)
     off.put("k", "v")
