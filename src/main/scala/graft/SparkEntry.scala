@@ -122,6 +122,33 @@ object SparkEntry {
   private def micros(c: org.apache.spark.sql.Column) =
     round(c * lit(1e6)).cast("long")
 
+  /** LTR oracle (both tiers answer it): the OR scoring chain's micro scores
+    * joined with the integer coverage/length/tf features, combined with the
+    * gate's integer weights, ranked (ltr_r desc, doc_id asc).
+    */
+  private lazy val ltrOracleSql: String =
+    s"""$tokCte,
+       |${scoresCte(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = true)},
+       |feats AS (
+       |  SELECT p.doc_id,
+       |         CAST(count(*) AS BIGINT) AS f_matched,
+       |         CAST(max(d.dl) AS BIGINT) AS f_dl,
+       |         CAST(sum(p.tf) AS BIGINT) AS f_tfsum,
+       |         CAST(max(p.tf) AS BIGINT) AS f_maxtf
+       |  FROM posts p JOIN dls d ON p.doc_id = d.doc_id GROUP BY p.doc_id),
+       |lscored AS (
+       |  SELECT r.doc_id,
+       |         CAST(${ltrGateWeights.wBm25} * r.score_r
+       |           + ${ltrGateWeights.wMatched} * f.f_matched
+       |           + ${ltrGateWeights.wDl} * f.f_dl
+       |           + ${ltrGateWeights.wTfSum} * f.f_tfsum
+       |           + ${ltrGateWeights.wMaxTf} * f.f_maxtf AS BIGINT) AS ltr_r
+       |  FROM ranked r JOIN feats f ON r.doc_id = f.doc_id),
+       |lranked AS (
+       |  SELECT row_number() OVER (ORDER BY ltr_r DESC, doc_id ASC) AS rank,
+       |         doc_id, ltr_r FROM lscored)
+       |SELECT rank, doc_id, ltr_r FROM lranked WHERE rank <= 10""".stripMargin
+
   /** Fixed integer LTR model for the `q_ltr_topk` gate: BM25 micros
     * dominate, coverage adds ~2 score-units per extra matched term, long
     * docs are penalized, raw tf mass adds small boosts — weights chosen so
@@ -401,6 +428,15 @@ object SparkEntry {
       graft.search.Ltr.rerankDF(
         graft.search.Ltr.featuresDF(engine(s, dir), "table scan merge"),
         ltrGateWeights, 10)),
+    // --- LTR at the serving tier: exact full OR enumeration + one decoded-
+    //     posting walk per term for the integer features, same model ---
+    "q_ltr_serving" -> ((s, dir) => {
+      import s.implicits._
+      serving(s, dir)._1.searchLtr("table scan merge", ltrGateWeights, 10)
+        .zipWithIndex
+        .map { case ((d, r), i) => (i + 1L, d, r) }
+        .toDF("rank", "doc_id", "ltr_r")
+    }),
     // --- SEGMENT-tier BM25 top-k: v5 segment files + block-max WAND +
     //     distributed merge, against the same DuckDB oracle as the dataflow
     //     gate (k unbounded so the micro-space re-rank is exact) ---
@@ -726,30 +762,11 @@ object SparkEntry {
     "q_filter_topk" -> filterOracleSql,
     "q_filter_seg_topk" -> filterOracleSql,
     "q_filter_serving_topk" -> filterOracleSql,
-    // LTR twin: the OR scoring chain's micro scores joined with the integer
-    // coverage/length/tf features, combined with the same integer weights
-    "q_ltr_topk" ->
-      s"""$tokCte,
-         |${scoresCte(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = true)},
-         |feats AS (
-         |  SELECT p.doc_id,
-         |         CAST(count(*) AS BIGINT) AS f_matched,
-         |         CAST(max(d.dl) AS BIGINT) AS f_dl,
-         |         CAST(sum(p.tf) AS BIGINT) AS f_tfsum,
-         |         CAST(max(p.tf) AS BIGINT) AS f_maxtf
-         |  FROM posts p JOIN dls d ON p.doc_id = d.doc_id GROUP BY p.doc_id),
-         |lscored AS (
-         |  SELECT r.doc_id,
-         |         CAST(${ltrGateWeights.wBm25} * r.score_r
-         |           + ${ltrGateWeights.wMatched} * f.f_matched
-         |           + ${ltrGateWeights.wDl} * f.f_dl
-         |           + ${ltrGateWeights.wTfSum} * f.f_tfsum
-         |           + ${ltrGateWeights.wMaxTf} * f.f_maxtf AS BIGINT) AS ltr_r
-         |  FROM ranked r JOIN feats f ON r.doc_id = f.doc_id),
-         |lranked AS (
-         |  SELECT row_number() OVER (ORDER BY ltr_r DESC, doc_id ASC) AS rank,
-         |         doc_id, ltr_r FROM lscored)
-         |SELECT rank, doc_id, ltr_r FROM lranked WHERE rank <= 10""".stripMargin,
+    // LTR twin (dataflow + serving tiers answer the same SQL): the OR
+    // scoring chain's micro scores joined with the integer coverage/length/
+    // tf features, combined with the same integer weights
+    "q_ltr_topk" -> ltrOracleSql,
+    "q_ltr_serving" -> ltrOracleSql,
     // synonym twin: OR within each group, AND across groups (INTERSECT of
     // the groups' candidate sets), uniform weight 1 per matched term
     "q_synonyms_topk" ->

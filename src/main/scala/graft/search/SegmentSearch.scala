@@ -623,6 +623,51 @@ object SegmentSearch {
       * the result is best-effort-truncated instead of an accidental-DoS
       * full-corpus text scan from one cheap HTTP request.
       */
+    /** Learning-to-rank re-rank — EXTENSION (the roadmap's optional Phase 10
+      * "LTR" row; see [[graft.search.Ltr]] for the model and the distributed
+      * trainer). Serving twin of `Ltr.featuresDF` + `Ltr.rerankDF`: the
+      * exact full OR enumeration (k unbounded → the WAND threshold never
+      * engages, scores are the same global-idf BM25 the micro re-rank gates
+      * use) supplies `f_bm25_r`; one decoded-posting walk per distinct query
+      * term supplies the integer coverage features (matched count, dl, Σtf,
+      * max tf — a doc lives in exactly one segment, so per-segment feature
+      * maps never collide); the integer model combines them and ranks
+      * (ltr_r desc, docId asc). Returns (docId, ltr_r).
+      *
+      * Cost: O(Σ posting lengths of the query terms) per request — the same
+      * bound as the enumeration itself; no text or sidecar reads.
+      */
+    def searchLtr(query: String, w: Ltr.Weights, k: Int): Seq[(Long, Long)] = {
+      val pq = QueryParser.parse(query)
+      if (pq.terms.isEmpty) return Nil
+      val orPq = pq.copy(isOr = true)
+      val hits = search(orPq, Int.MaxValue)
+      if (hits.isEmpty) return Nil
+      val distinct = pq.terms.distinct
+      val feats = new java.util.HashMap[Long, Array[Long]]() // matched, dl, tfsum, maxtf
+      segments.foreach { seg =>
+        distinct.foreach { t =>
+          seg.postings(t).foreach { p =>
+            var f = feats.get(p.docId)
+            if (f == null) { f = new Array[Long](4); feats.put(p.docId, f) }
+            f(0) += 1L
+            f(1) = p.dl.toLong
+            f(2) += p.tf.toLong
+            if (p.tf.toLong > f(3)) f(3) = p.tf.toLong
+          }
+        }
+      }
+      hits
+        .map { case (id, s) =>
+          val f = feats.get(id)
+          val ltr = w.wBm25 * math.round(s * 1e6) + w.wMatched * f(0) +
+            w.wDl * f(1) + w.wTfSum * f(2) + w.wMaxTf * f(3)
+          (id, ltr)
+        }
+        .sortBy { case (id, r) => (-r, id) }
+        .take(k)
+    }
+
     def searchPhrase(
         phrase: String,
         k: Int,

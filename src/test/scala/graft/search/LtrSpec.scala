@@ -98,6 +98,32 @@ class LtrSpec extends SparkTestBase {
     assert(math.abs((w(0) + 2.0 * w(1)) - 1.0) < 1e-3, w.toSeq.toString)
   }
 
+  test("serving searchLtr: bit-identical to the dataflow featuresDF + rerankDF chain") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", "r", "en"),
+      (2L, "alpha alpha alpha", "r", "en"),
+      (3L, "beta beta delta epsilon zeta eta", "r", "en"),
+      (4L, "gamma delta", "r", "en"),
+      (5L, "alpha beta", "r", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ltr").toString
+    graft.index.SegmentIndex.build(docs, dir, buckets = 2)
+    val meta = graft.index.SegmentIndex.readMeta(dir)
+    val segs = graft.index.SegmentIndex.segmentFiles(dir)
+      .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
+    val servingEng = new SegmentSearch.ServingEngine(segs, meta)
+    val w = Ltr.Weights(3, 2000000, -500, 40000, 70000)
+    val served = servingEng.searchLtr("alpha beta", w, 3)
+    val dataflow = Ltr.rerankDF(Ltr.featuresDF(eng, "alpha beta"), w, 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(served == dataflow, s"served=$served dataflow=$dataflow")
+    // empty / absent-term queries degrade like search()
+    assert(servingEng.searchLtr("", w, 3).isEmpty)
+    assert(servingEng.searchLtr("zzznotaword", w, 3).isEmpty)
+  }
+
   test("fit on real features: trained integer model ranks a relevance label better than raw BM25") {
     // labels: coverage-dominated relevance (a doc matching both terms is
     // better regardless of tf) — BM25 alone mis-ranks doc 2 above doc 5
