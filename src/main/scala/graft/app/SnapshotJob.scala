@@ -14,12 +14,23 @@ import graft.index.SegmentIndex
   *   SnapshotJob verify   <snapDir>              re-hash every file
   *   SnapshotJob restore  <snapDir> <indexDir>   verified copy to a FRESH dir
   *
-  * Why this is safe without locking the index: segments are append-only and
-  * every mutation (build / addDocuments / compact) commits by atomic rename
-  * with the META REWRITE as the commit point — so a snapshot taken by
-  * reading meta FIRST and then copying the files meta references sees a
-  * consistent committed generation (a concurrent add only creates NEW
-  * bucket files this snapshot never references).
+  * Why this is safe without locking the index: append-path mutations
+  * (addDocuments / streaming ingest; compact writes to a NEW dir) never
+  * touch committed files — they create bucket files AT OR ABOVE the
+  * committed `Meta.buckets` and commit by rewriting index_meta.json (the
+  * commit point). So `snapshot` (a) reads the meta BYTES first, pinning a
+  * generation, (b) copies only the files that generation references
+  * (segment/manifest/sidecar files with bucket >= Meta.buckets are an
+  * uncommitted in-flight add and are excluded; the snapshot's meta is the
+  * HELD bytes, not a re-read), and (c) re-reads meta after the copy — if a
+  * mutation committed mid-copy the bytes differ and the attempt is voided
+  * and retried (bounded), so a torn copy can never verify clean. Orphan
+  * docstore part-files from an in-flight add may ride along by name, but
+  * are inert: their doc_ids lie beyond the held meta's `n` (no committed
+  * segment can hit them) and the next addDocuments' orphan sweep deletes
+  * them. NOT covered: a concurrent full `build` into the same live dir,
+  * which rewrites committed files in place — don't do that to a dir being
+  * snapshotted (rebuild to a fresh dir and /reload, the serving model).
   *
   * Integrity is end-to-end: each segment file is stream-hashed DURING the
   * copy and checked against its manifest's recorded sha256 (catching bit
@@ -79,62 +90,119 @@ object SnapshotJob {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Every file a snapshot must carry, RELATIVE to the index dir: meta,
-    * manifests, segments, doc sidecars, the docstore parquet tree, and (if
-    * present) the API key file. `_staging` and tmp droppings are excluded.
+  /** Files named with a per-bucket number — committed iff bucket < the held
+    * meta's bucket count (an in-flight add creates only higher buckets).
     */
-  private def indexFiles(indexDir: Path): Seq[Path] = {
+  private val BucketFile = "(?:segment-(\\d+)\\.bin|manifest-(\\d+)\\.json|docs-(\\d+)\\.bin)".r
+
+  /** Every file a snapshot must carry, RELATIVE to the index dir: manifests,
+    * segments, doc sidecars (bucket < `buckets` only — higher buckets are an
+    * uncommitted in-flight add), the docstore parquet tree, and (if present)
+    * the API key file. index_meta.json is EXCLUDED — the snapshot writes the
+    * bytes held from the generation pin, never a re-read. `_staging` and tmp
+    * droppings are excluded.
+    */
+  private def indexFiles(indexDir: Path, buckets: Int): Seq[Path] = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(indexDir)
     try s.iterator().asScala
       .filter(Files.isRegularFile(_))
       .filterNot { p =>
         val rel = indexDir.relativize(p).toString
-        rel.startsWith("_staging/") || rel.endsWith(".tmp") || rel == ManifestName
+        val uncommitted = rel match {
+          case BucketFile(b1, b2, b3) =>
+            Seq(b1, b2, b3).find(_ != null).exists(_.toInt >= buckets)
+          case _ => false
+        }
+        rel.startsWith("_staging/") || rel.endsWith(".tmp") || rel == ManifestName ||
+          rel == "index_meta.json" || uncommitted
       }
       .toSeq.sortBy(indexDir.relativize(_).toString)
     finally s.close()
   }
 
+  /** Listing used by `verify`/`restore` over a SNAPSHOT dir (already a
+    * single committed generation — no bucket filtering, meta included).
+    */
+  private def snapFiles(snapDir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(snapDir)
+    try s.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(p => snapDir.relativize(p).toString == ManifestName)
+      .toSeq.sortBy(snapDir.relativize(_).toString)
+    finally s.close()
+  }
+
+  private val SnapshotAttempts = 3
+
   def snapshot(indexDirS: String, snapDirS: String): Int = {
     val indexDir = Paths.get(indexDirS)
-    if (!Files.exists(indexDir.resolve("index_meta.json")))
+    val metaPath = indexDir.resolve("index_meta.json")
+    if (!Files.exists(metaPath))
       return runtimeErr(s"not an index (no index_meta.json): $indexDirS")
     val snapDir = Paths.get(snapDirS)
     if (Files.exists(snapDir)) return runtimeErr(s"snapshot target already exists: $snapDirS")
-    // read the committed generation FIRST (meta is the commit point), then
-    // collect the manifest shas the copy will be checked against
-    val manifests = SegmentIndex.segmentFiles(indexDirS).flatMap { f =>
-      val b = f.replaceAll(".*segment-(\\d+)\\.bin$", "$1").toInt
-      SegmentIndex.readManifest(indexDirS, b).map(m => f -> m)
-    }.toMap
-    val tmp = snapDir.resolveSibling(snapDir.getFileName.toString + ".tmp")
-    try {
-      Files.createDirectories(tmp)
-      val hashes = indexFiles(indexDir).map { src =>
-        val rel = indexDir.relativize(src).toString
-        val dst = tmp.resolve(rel)
-        Files.createDirectories(dst.getParent)
-        val sha = copySha(src, dst)
-        // segments are verified against their manifest's recorded sha AS
-        // they stream through — bit rot is caught at snapshot time
-        manifests.get(src.toString).foreach { m =>
-          if (m.fileSha256 != sha)
-            throw new IllegalStateException(
-              s"segment $rel sha mismatch vs manifest (on-disk corruption): $sha != ${m.fileSha256}")
-        }
-        rel -> sha
+    var attempt = 1
+    while (true) {
+      // pin the committed generation FIRST (meta is the commit point): hold
+      // its exact bytes, and derive the committed bucket count from them
+      val metaBytes = Files.readAllBytes(metaPath)
+      val buckets = SegmentIndex.readMeta(indexDirS).buckets
+      // collect the manifest shas the copy will be checked against
+      val manifests = SegmentIndex.segmentFiles(indexDirS).flatMap { f =>
+        val b = f.replaceAll(".*segment-(\\d+)\\.bin$", "$1").toInt
+        if (b >= buckets) None
+        else SegmentIndex.readManifest(indexDirS, b).map(m => f -> m)
       }.toMap
-      Files.writeString(tmp.resolve(ManifestName), Serialization.write(SnapManifest(hashes)))
-      Files.move(tmp, snapDir, StandardCopyOption.ATOMIC_MOVE)
-      println(s"Snapshot completed: files=${hashes.size} out=$snapDirS")
-      0
-    } catch {
-      case e: Exception =>
-        // a failed snapshot never leaves a directory that looks complete
-        deleteRecursively(tmp)
-        runtimeErr(s"snapshot failed: ${e.getMessage}")
+      val tmp = snapDir.resolveSibling(snapDir.getFileName.toString + ".tmp")
+      try {
+        Files.createDirectories(tmp)
+        val hashes = indexFiles(indexDir, buckets).map { src =>
+          val rel = indexDir.relativize(src).toString
+          val dst = tmp.resolve(rel)
+          Files.createDirectories(dst.getParent)
+          val sha = copySha(src, dst)
+          // segments are verified against their manifest's recorded sha AS
+          // they stream through — bit rot is caught at snapshot time
+          manifests.get(src.toString).foreach { m =>
+            if (m.fileSha256 != sha)
+              throw new IllegalStateException(
+                s"segment $rel sha mismatch vs manifest (on-disk corruption): $sha != ${m.fileSha256}")
+          }
+          rel -> sha
+        }.toMap
+        // the snapshot's meta is the HELD generation pin, not a re-read
+        Files.write(tmp.resolve("index_meta.json"), metaBytes)
+        val metaSha = {
+          val md = MessageDigest.getInstance("SHA-256")
+          md.update(metaBytes)
+          md.digest().map("%02x".format(_)).mkString
+        }
+        // stability check: if a mutation COMMITTED during the copy window,
+        // meta changed and this attempt's listing may be torn — void it
+        if (!java.util.Arrays.equals(Files.readAllBytes(metaPath), metaBytes)) {
+          deleteRecursively(tmp)
+          if (attempt >= SnapshotAttempts)
+            return runtimeErr(
+              s"index mutated during every snapshot attempt ($SnapshotAttempts tries) — quiesce ingest or retry")
+          System.err.println(s"SnapshotJob: index mutated during copy (attempt $attempt) — retrying")
+          attempt += 1
+        } else {
+          val all = hashes + ("index_meta.json" -> metaSha)
+          Files.writeString(tmp.resolve(ManifestName), Serialization.write(SnapManifest(all)))
+          Files.move(tmp, snapDir, StandardCopyOption.ATOMIC_MOVE)
+          println(s"Snapshot completed: files=${all.size} out=$snapDirS")
+          return 0
+        }
+      } catch {
+        case e: Exception =>
+          // a failed snapshot never leaves a directory that looks complete
+          deleteRecursively(tmp)
+          return runtimeErr(s"snapshot failed: ${e.getMessage}")
+      }
     }
+    0 // unreachable
   }
 
   /** Re-hash every file against the snapshot manifest. Also fails on files
@@ -145,7 +213,7 @@ object SnapshotJob {
     val mPath = snapDir.resolve(ManifestName)
     if (!Files.exists(mPath)) return runtimeErr(s"not a snapshot (no $ManifestName): $snapDirS")
     val manifest = JsonMethods.parse(Files.readString(mPath)).extract[SnapManifest]
-    val onDisk = indexFiles(snapDir).map(p => snapDir.relativize(p).toString).toSet
+    val onDisk = snapFiles(snapDir).map(p => snapDir.relativize(p).toString).toSet
     val missing = manifest.files.keySet -- onDisk
     if (missing.nonEmpty) return runtimeErr(s"snapshot missing file(s): ${missing.toSeq.sorted.mkString(", ")}")
     val extra = onDisk -- manifest.files.keySet

@@ -30,9 +30,17 @@ object DataScaleBench {
 
     def freshDir(tag: String): String =
       Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-ds-$tag").toString
+    // /dev/shm is RAM — a leaked index dir (two of the five are 256-replica
+    // builds) stays resident after the JVM exits; delete as soon as the
+    // round's queries are done
+    def withDir[T](tag: String)(f: String => T): T = {
+      val out = freshDir(tag)
+      try f(out)
+      finally scala.util.Try(scala.sys.process.Process(Seq("rm", "-rf", out)).!)
+    }
 
     // warm JIT/codegen on a small build + query before any measured round
-    Workload.run(spark, sfDir, freshDir("warm"), replicas = 8, nQueries = 50, buckets = 16)
+    withDir("warm")(out => Workload.run(spark, sfDir, out, replicas = 8, nQueries = 50, buckets = 16))
 
     final case class Sample(nDocs: Long, buildSec: Double, nq: Int, querySec: Double) {
       def buildRate: Double = nDocs / buildSec
@@ -40,8 +48,8 @@ object DataScaleBench {
     }
     def one(replicas: Int, buckets: Int, tag: String): Sample = {
       Workload.awaitQuietHost(s"datascale $tag", capMs = 300000)
-      val out = freshDir(tag)
-      val (n, b, nq, q) = Workload.run(spark, sfDir, out, replicas, nQueries = 200, buckets = buckets)
+      val (n, b, nq, q) =
+        withDir(tag)(out => Workload.run(spark, sfDir, out, replicas, nQueries = 200, buckets = buckets))
       println(f"[datascale] $tag%s: docs=$n%,d build=$b%.2f s (${n / b}%,.0f docs/s) query=$q%.2f s (${nq / q}%.1f qps)")
       Sample(n, b, nq, q)
     }
@@ -49,12 +57,19 @@ object DataScaleBench {
     val pairs = (1 to rounds).map { r =>
       (one(64, 64, s"round $r 1x"), one(256, 256, s"round $r 4x"))
     }
+    // best per METRIC independently — the round with the best build is not
+    // necessarily the round with the best query wall
     val best1 = pairs.map(_._1).maxBy(_.buildRate)
     val best4 = pairs.map(_._2).maxBy(_.buildRate)
+    val bestQ1 = pairs.map(_._1).maxBy(_.qps)
+    val bestQ4 = pairs.map(_._2).maxBy(_.qps)
     // paired per-round throughput ratios (4x rate / 1x rate); 1.0 = perfectly flat
     val buildRatios = pairs.map { case (a, b) => b.buildRate / a.buildRate }.sorted
     val queryRatios = pairs.map { case (a, b) => b.qps / a.qps }.sorted
-    def median(xs: Seq[Double]) = xs(xs.size / 2)
+    // true median: mean of the middle two on even-length lists (with the
+    // default rounds=2, taking xs(size/2) would report the BETTER sample)
+    def median(xs: Seq[Double]) =
+      if (xs.size % 2 == 1) xs(xs.size / 2) else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
 
     // NOTE: replaceSection CLOBBERS the whole section — BENCH/BASELINE.md's
     // current body carries hand-written turbulence-aware interpretation over
@@ -68,8 +83,8 @@ object DataScaleBench {
          |
          || corpus | docs | best build | docs/s | best query (200 q) | qps |
          ||---|---|---|---|---|---|
-         || 1x | ${best1.nDocs}%,d | ${best1.buildSec}%.2f s | ${best1.buildRate}%,.0f | ${best1.querySec}%.2f s | ${best1.qps}%.1f |
-         || 4x | ${best4.nDocs}%,d | ${best4.buildSec}%.2f s | ${best4.buildRate}%,.0f | ${best4.querySec}%.2f s | ${best4.qps}%.1f |
+         || 1x | ${best1.nDocs}%,d | ${best1.buildSec}%.2f s | ${best1.buildRate}%,.0f | ${bestQ1.querySec}%.2f s | ${bestQ1.qps}%.1f |
+         || 4x | ${best4.nDocs}%,d | ${best4.buildSec}%.2f s | ${best4.buildRate}%,.0f | ${bestQ4.querySec}%.2f s | ${bestQ4.qps}%.1f |
          |
          |Paired per-round BUILD throughput ratios (4x/1x, 1.0 = perfectly
          |data-linear): ${buildRatios.map(r => f"$r%.2f").mkString(", ")} — median ${median(buildRatios)}%.2f.

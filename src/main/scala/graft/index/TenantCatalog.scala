@@ -119,20 +119,24 @@ object TenantCatalog {
       codeAware: Boolean = false,
       stage: Boolean = true
   ): Map[String, Long] =
-    runPerTenant(docs, rootDir, tenantCol, only, stage) { (tdocs, dir) =>
+    runPerTenant(docs, rootDir, tenantCol, only, stage, delta = true) { (tdocs, dir) =>
       SegmentIndex.addDocuments(tdocs, dir, buckets, codeAware)
     }
 
   /** Shared staging + per-tenant dispatch for buildAll/addAll: one
     * tenant-partitioned pass over the corpus, then `op` runs on each
-    * tenant's pruned slice. Returns tenant -> doc count AFTER the op.
+    * tenant's pruned slice. Returns tenant -> docs INGESTED BY THIS RUN:
+    * the post-op total for builds, the post-minus-pre delta for `delta`
+    * mode (reporting the post-add total as the delta's ingest count would
+    * silently inflate ingest-size monitoring built on the job output).
     */
   private def runPerTenant(
       docs: DataFrame,
       rootDir: String,
       tenantCol: String,
       only: Option[Seq[String]],
-      stage: Boolean
+      stage: Boolean,
+      delta: Boolean = false
   )(op: (DataFrame, String) => Unit): Map[String, Long] = {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(rootDir))
@@ -173,6 +177,10 @@ object TenantCatalog {
         if (stage) source.filter(col("__tenant_dir") === sanitize(t)).drop("__tenant_dir")
         else source.filter(col(tenantCol).cast("string") === t)
       val dir = tenantDir(rootDir, t)
+      val before =
+        if (delta && Files.exists(Paths.get(dir, "index_meta.json")))
+          SegmentIndex.readMeta(dir).n
+        else 0L
       op(tdocs, dir)
       // write doc sidecars NOW, while a Spark session is up: the serving
       // gateway then cold-loads any tenant without touching Spark (the
@@ -181,7 +189,7 @@ object TenantCatalog {
       // whatever is missing (fresh builds, bootstrapped tenants) and is a
       // no-op otherwise.
       DocSidecar.ensure(spark, dir)
-      t -> SegmentIndex.readMeta(dir).n
+      t -> (SegmentIndex.readMeta(dir).n - before)
     }.toMap
   }
 }

@@ -607,22 +607,6 @@ object SegmentSearch {
         .take(maxTerms)
     }
 
-    /** Phrase-adjacent top-k over segments — EXTENSION (the reference's
-      * deferred phrase phase; see `graft.core.Phrase` and SURVEY §2.12).
-      *
-      * Stage 1 enumerates the FULL AND intersection (k unbounded, no theta —
-      * posting-level work only, the same cost as a plain AND query; score
-      * pruning cannot apply before the adjacency filter without losing
-      * exactness). Stage 2 ranks the candidates with the reference epsilon
-      * comparator FIRST, then verifies adjacency IN RANK ORDER with early
-      * exit: because the phrase only FILTERS (scores are the BM25 AND
-      * scores), the first k candidates that pass verification ARE the exact
-      * phrase top-k — expected sidecar text reads ≈ k / selectivity instead
-      * of O(all candidates). `maxVerify` hard-bounds the pathological case
-      * (a frequent-term phrase that never occurs adjacently): past the cap
-      * the result is best-effort-truncated instead of an accidental-DoS
-      * full-corpus text scan from one cheap HTTP request.
-      */
     /** Learning-to-rank re-rank — EXTENSION (the roadmap's optional Phase 10
       * "LTR" row; see [[graft.search.Ltr]] for the model and the distributed
       * trainer). Serving twin of `Ltr.featuresDF` + `Ltr.rerankDF`: the
@@ -668,6 +652,22 @@ object SegmentSearch {
         .take(k)
     }
 
+    /** Phrase-adjacent top-k over segments — EXTENSION (the reference's
+      * deferred phrase phase; see `graft.core.Phrase` and SURVEY §2.12).
+      *
+      * Stage 1 enumerates the FULL AND intersection (k unbounded, no theta —
+      * posting-level work only, the same cost as a plain AND query; score
+      * pruning cannot apply before the adjacency filter without losing
+      * exactness). Stage 2 ranks the candidates with the reference epsilon
+      * comparator FIRST, then verifies adjacency IN RANK ORDER with early
+      * exit: because the phrase only FILTERS (scores are the BM25 AND
+      * scores), the first k candidates that pass verification ARE the exact
+      * phrase top-k — expected sidecar text reads ≈ k / selectivity instead
+      * of O(all candidates). `maxVerify` hard-bounds the pathological case
+      * (a frequent-term phrase that never occurs adjacently): past the cap
+      * the result is best-effort-truncated instead of an accidental-DoS
+      * full-corpus text scan from one cheap HTTP request.
+      */
     def searchPhrase(
         phrase: String,
         k: Int,

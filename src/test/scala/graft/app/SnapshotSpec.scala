@@ -89,6 +89,31 @@ class SnapshotSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(snapBad)), "failed snapshot must not leave a target dir")
   }
 
+  test("snapshot pins the committed generation: in-flight add files (bucket >= meta.buckets) are excluded") {
+    val idx = buildIndex() // buckets = 2 -> committed files are 00000/00001
+    val baseline = SegmentSearch.searchBatch(spark, idx, Seq("charlie delta"), 10)(0)
+    // simulate an in-flight addDocuments that has renamed its new bucket
+    // files in but NOT yet committed meta: bucket 2 exists on disk only
+    Files.write(Paths.get(idx, "segment-00002.bin"), Array[Byte](1, 2, 3))
+    Files.writeString(Paths.get(idx, "manifest-00002.json"), "{}")
+    Files.write(Paths.get(idx, "docs-00002.bin"), Array[Byte](9))
+    val snap = tmpName()
+    assert(SnapshotJob.run(Array("snapshot", idx, snap)) == 0)
+    assert(!Files.exists(Paths.get(snap, "segment-00002.bin")), "uncommitted segment must not be snapshotted")
+    assert(!Files.exists(Paths.get(snap, "manifest-00002.json")), "uncommitted manifest must not be snapshotted")
+    assert(!Files.exists(Paths.get(snap, "docs-00002.bin")), "uncommitted sidecar must not be snapshotted")
+    // the snapshot's meta is byte-identical to the pinned generation
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(snap, "index_meta.json")),
+      Files.readAllBytes(Paths.get(idx, "index_meta.json"))))
+    assert(SnapshotJob.run(Array("verify", snap)) == 0)
+    // and the restored index ignores nothing it needs: identical results
+    val restored = tmpName()
+    assert(SnapshotJob.run(Array("restore", snap, restored)) == 0)
+    val b = SegmentSearch.searchBatch(spark, restored, Seq("charlie delta"), 10)(0)
+    assert(b == baseline)
+  }
+
   test("SnapshotJob: argument matrix (exit 2 before any work)") {
     assert(SnapshotJob.run(Array.empty) == 2)
     assert(SnapshotJob.run(Array("frobnicate", "a")) == 2)

@@ -91,7 +91,10 @@ class TenantSpec extends SparkTestBase {
       (11L, "shared newco charter", "newco", "en") // tenant not yet in the catalog
     ).toDF("doc_id", "text", "source", "lang")
     val counts = TenantCatalog.addAll(delta, root, buckets = 1)
-    assert(counts == Map("acme" -> 4L, "newco" -> 1L), counts)
+    // addAll reports the docs INGESTED BY THE DELTA (acme already held 3;
+    // this run added 1), not post-add totals — ingest monitoring reads this
+    assert(counts == Map("acme" -> 1L, "newco" -> 1L), counts)
+    assert(SegmentIndex.readMeta(TenantCatalog.tenantDir(root, "acme")).n == 4L)
 
     // append ≡ rebuild: a fresh catalog over the FULL corpus must answer
     // identically (N/sumDl/df are exact integers regardless of segmentation)
