@@ -46,6 +46,20 @@ object SparkEntry {
       }
     )
 
+  // PFOR-coded twin of segmentDir — the north_rule's alternative posting
+  // codec ("varint/PForDelta") under the same oracle.
+  private val pforSegDirCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def pforSegmentDir(spark: SparkSession, dir: String): String =
+    pforSegDirCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + dir, {
+        val out = java.nio.file.Files.createTempDirectory("graft-entry-pfor").toString
+        graft.index.SegmentIndex.build(documents(spark, dir), out, buckets = 8,
+          codec = graft.index.BlockCodec.CodecPfor)
+        out
+      }
+    )
+
   // Multi-tenant catalog per (app, corpus): per-tenant SegmentIndexes for
   // the two gate tenants, built through the REAL staging path (one
   // tenant-partitioned pass over the corpus, then partition-pruned reads).
@@ -444,6 +458,13 @@ object SparkEntry {
       rankTopKLocal(s,
         graft.search.SegmentSearch.searchBatch(s, segmentDir(s, dir), Seq("table scan merge"), Int.MaxValue)(0),
         20)),
+    // --- SEGMENT-tier BM25 over PFOR-coded segments (GRFTSEG6, patched
+    //     frame-of-reference blocks): the SAME oracle SQL as the varint
+    //     gate — codec changes bytes, never answers ---
+    "q_bm25_pfor_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        graft.search.SegmentSearch.searchBatch(s, pforSegmentDir(s, dir), Seq("table scan merge"), Int.MaxValue)(0),
+        20)),
     // --- SEGMENT-tier phrase: full AND enumeration + sidecar adjacency
     //     verification, distributed (phraseBatch) ---
     "q_phrase_seg_topk" -> ((s, dir) =>
@@ -708,6 +729,8 @@ object SparkEntry {
     "q_bm25_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
     // segment + serving tiers answer the SAME oracle as the dataflow tier
     "q_bm25_seg_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
+    // PFOR-coded segments: identical answers, different bytes
+    "q_bm25_pfor_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
     // tenant-scoped BM25: the WHOLE stat chain (dl, N, avgdl, df, idf) runs
     // over only src3's documents — agreement proves per-tenant isolation
     "q_tenant_topk" ->

@@ -21,7 +21,12 @@ import graft.sources.SourceTable
   * index (the reference's add_document flow): delta docIds continue the
   * dense 1..N sequence from the existing meta, so they never collide.
   *
-  * Usage: IndexJob <sourceParquetOrTable> <outDir> [buckets] [--code-aware] [--add]
+  * Usage: IndexJob <sourceParquetOrTable> <outDir> [buckets] [--code-aware] [--add] [--codec=varint|pfor]
+  *
+  * `--codec=pfor` writes PFOR-coded posting blocks (patched
+  * frame-of-reference — the north_rule's "varint/PForDelta" alternative;
+  * denser bytes, identical answers). `--add` always inherits the existing
+  * index's codec from its meta, so the flag applies to fresh builds only.
   *
   * CLI discipline mirrors the reference's ordered validation matrix
   * (/root/reference/tests/test_cli_exit_codes.cpp:133-327): argument errors
@@ -32,7 +37,7 @@ import graft.sources.SourceTable
   */
 object IndexJob {
   private val KnownFlags = Set("--code-aware", "--add")
-  private val Usage = "usage: IndexJob <source> <outDir> [buckets] [--code-aware] [--add]"
+  private val Usage = "usage: IndexJob <source> <outDir> [buckets] [--code-aware] [--add] [--codec=varint|pfor]"
 
   private def usageErr(msg: String): Int = {
     System.err.println(s"IndexJob: $msg")
@@ -49,8 +54,13 @@ object IndexJob {
     val pos = args.filterNot(_.startsWith("--")).toIndexedSeq
 
     // --- exit-2 layer (argument matrix, ordered: flags -> arity -> values)
-    val unknown = flags.filterNot(KnownFlags)
+    val unknown = flags.filterNot(f => KnownFlags(f) || f.startsWith("--codec="))
     if (unknown.nonEmpty) return usageErr(s"unknown flag: ${unknown.head}")
+    val codec = flags.collectFirst { case f if f.startsWith("--codec=") => f.stripPrefix("--codec=") } match {
+      case None | Some("varint") => graft.index.BlockCodec.CodecVarint
+      case Some("pfor") => graft.index.BlockCodec.CodecPfor
+      case Some(other) => return usageErr(s"unknown codec '$other' (varint|pfor)")
+    }
     if (pos.length < 2) return usageErr("missing required <source> <outDir>")
     if (pos.length > 3) return usageErr(s"unexpected argument: ${pos(3)}")
     val buckets = pos.lift(2) match {
@@ -94,7 +104,8 @@ object IndexJob {
           SegmentIndex.addDocuments(
             docs.select("doc_id", "text", "source", "lang"), outDir, buckets, codeAware)
         else
-          SegmentIndex.build(docs.select("doc_id", "text", "source", "lang"), outDir, buckets, codeAware)
+          SegmentIndex.build(docs.select("doc_id", "text", "source", "lang"), outDir, buckets, codeAware,
+            codec = codec)
 
       // invariant: the docstore materialization must re-hash to the source
       val store = spark.read.parquet(s"$outDir/docstore")

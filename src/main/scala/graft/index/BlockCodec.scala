@@ -29,8 +29,19 @@ object BlockCodec {
 
   val BlockSize = 128
 
+  /** Codec ids as recorded in `Meta.codec`. Varint is the default;
+    * `pfor-delta` is the patched frame-of-reference alternative (the
+    * north_rule's "varint/PForDelta" pair) — same block metadata, denser
+    * bytes (see [[encodeColumnarPfor]]).
+    */
+  val CodecVarint = "delta-varint"
+  val CodecPfor = "pfor-delta"
+
   /** One encoded block of a posting list. `(maxTf, minDlOverTf)` feed
     * Bm25.partBound — a safe score upper bound under any (idf, avgdl).
+    * `pfor` tags which codec produced `bytes` (set by the writer or from
+    * the segment file's magic at load — blocks are self-dispatching so
+    * call sites never thread codec state).
     */
   final case class Block(
       minDoc: Long,
@@ -38,7 +49,8 @@ object BlockCodec {
       count: Int,
       maxTf: Int,
       minDlOverTf: Double,
-      bytes: Array[Byte]
+      bytes: Array[Byte],
+      pfor: Boolean = false
   )
 
   /** One decoded posting. */
@@ -58,6 +70,9 @@ object BlockCodec {
   final class ByteReader(val bytes: Array[Byte]) {
     private var pos = 0
     def hasNext: Boolean = pos < bytes.length
+    def position: Int = pos
+    def advance(n: Int): Unit = pos += n
+    def readByte(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
     def readVarLong(): Long = {
       var shift = 0
       var result = 0L
@@ -148,7 +163,10 @@ object BlockCodec {
     def length: Int = docIds.length
   }
 
-  def decodePrimitive(block: Block): DecodedBlock = {
+  def decodePrimitive(block: Block): DecodedBlock =
+    if (block.pfor) decodePrimitivePfor(block) else decodePrimitiveVarint(block)
+
+  private def decodePrimitiveVarint(block: Block): DecodedBlock = {
     val r = new ByteReader(block.bytes)
     val docIds = new Array[Long](block.count)
     val tfs = new Array[Int](block.count)
@@ -167,18 +185,199 @@ object BlockCodec {
   }
 
   def decode(block: Block): Array[Posting] = {
-    val r = new ByteReader(block.bytes)
-    val out = new Array[Posting](block.count)
-    var prev = 0L
+    val d = decodePrimitive(block)
+    Array.tabulate(block.count)(i => Posting(d.docIds(i), d.tfs(i), d.dls(i)))
+  }
+
+  // --------------------------------------------------------------- PFOR-delta
+  // Patched frame-of-reference (the north_rule's "PForDelta" option): each
+  // block stores the first docId as an absolute varint, then THREE bit-packed
+  // columns — docId deltas (count-1), tfs, dls — each as
+  //   [width byte w][varint nExceptions][ceil(m*w/8) packed bytes][exceptions]
+  // where the per-column width w is chosen to MINIMIZE total bytes: values
+  // wider than w bits become (varint position, varint value) exception pairs
+  // and their packed slot holds 0 (unambiguous — deltas, tfs and dls are all
+  // strictly positive, and the first docId is not packed). This keeps one
+  // huge outlier (a sparse term crossing a large docId gap) from inflating
+  // the whole block's width — the PFOR idea — while staying byte-for-byte
+  // deterministic (the width choice is a pure function of the values).
+  // Block METADATA is identical to the varint codec's, so block-max WAND
+  // skipping and every statistics-free-bound property hold unchanged.
+
+  private def bitLen(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  private def varintLen(v: Long): Int = {
+    var n = 1
+    var x = v >>> 7
+    while (x != 0) { n += 1; x >>>= 7 }
+    n
+  }
+
+  /** Write `v`'s low `w` bits at absolute bit offset `bitPos` of `arr`
+    * (little-endian bit order within and across bytes).
+    */
+  private def writeBits(arr: Array[Byte], bitPos: Long, v: Long, w: Int): Unit = {
+    var got = 0
+    var bp = bitPos
+    while (got < w) {
+      val byteIdx = (bp >> 3).toInt
+      val bitOff = (bp & 7).toInt
+      val take = math.min(8 - bitOff, w - got)
+      val bits = ((v >>> got) & ((1L << take) - 1)).toInt
+      arr(byteIdx) = (arr(byteIdx) | (bits << bitOff)).toByte
+      got += take
+      bp += take
+    }
+  }
+
+  private def readBits(arr: Array[Byte], base: Int, bitPos: Long, w: Int): Long = {
+    var v = 0L
+    var got = 0
+    var bp = bitPos
+    while (got < w) {
+      val byteIdx = base + (bp >> 3).toInt
+      val bitOff = (bp & 7).toInt
+      val take = math.min(8 - bitOff, w - got)
+      val bits = ((arr(byteIdx) & 0xff) >>> bitOff) & ((1 << take) - 1)
+      v |= bits.toLong << got
+      got += take
+      bp += take
+    }
+    v
+  }
+
+  /** One packed column: choose the cost-minimal width (ties -> narrower),
+    * pack, patch. All values must be > 0 (slot 0 marks an exception).
+    */
+  private def writePacked(out: ByteArrayOutputStream, values: Array[Long], m: Int): Unit = {
+    var maxBits = 0
     var i = 0
-    while (i < block.count) {
-      val doc = if (i == 0) r.readVarLong() else prev + r.readVarLong()
-      val tf = r.readVarLong().toInt
-      val dl = r.readVarLong().toInt
-      out(i) = Posting(doc, tf, dl)
-      prev = doc
+    while (i < m) {
+      require(values(i) > 0, s"pfor packed values must be positive, got ${values(i)}")
+      val bl = bitLen(values(i))
+      if (bl > maxBits) maxBits = bl
       i += 1
     }
+    var bestW = 0
+    var bestCost = Int.MaxValue
+    var w = 0
+    while (w <= maxBits) {
+      var excBytes = 0
+      var nExc = 0
+      i = 0
+      while (i < m) {
+        if (w == 0 || bitLen(values(i)) > w) {
+          nExc += 1; excBytes += varintLen(i.toLong) + varintLen(values(i))
+        }
+        i += 1
+      }
+      val cost = 1 + varintLen(nExc.toLong) + ((m.toLong * w + 7) >> 3).toInt + excBytes
+      if (cost < bestCost) { bestCost = cost; bestW = w }
+      w += 1
+    }
+    out.write(bestW)
+    var nExc = 0
+    i = 0
+    while (i < m) { if (bestW == 0 || bitLen(values(i)) > bestW) nExc += 1; i += 1 }
+    writeVarLong(out, nExc.toLong)
+    val packed = new Array[Byte](((m.toLong * bestW + 7) >> 3).toInt)
+    i = 0
+    while (i < m) {
+      if (bestW > 0 && bitLen(values(i)) <= bestW)
+        writeBits(packed, i.toLong * bestW, values(i), bestW)
+      i += 1
+    }
+    out.write(packed, 0, packed.length)
+    i = 0
+    while (i < m) {
+      if (bestW == 0 || bitLen(values(i)) > bestW) {
+        writeVarLong(out, i.toLong)
+        writeVarLong(out, values(i))
+      }
+      i += 1
+    }
+  }
+
+  private def readPacked(r: ByteReader, m: Int): Array[Long] = {
+    val w = r.readByte()
+    val nExc = r.readVarLong().toInt
+    val out = new Array[Long](m)
+    val base = r.position
+    if (w > 0) {
+      var i = 0
+      while (i < m) { out(i) = readBits(r.bytes, base, i.toLong * w, w); i += 1 }
+    }
+    r.advance(((m.toLong * w + 7) >> 3).toInt)
+    var e = 0
+    while (e < nExc) {
+      val pos = r.readVarLong().toInt
+      out(pos) = r.readVarLong()
+      e += 1
+    }
     out
+  }
+
+  /** PFOR twin of [[encodeColumnar]]: identical grouping and block metadata,
+    * patched-FOR bytes. Deterministic (rebuild-byte-identical) like the
+    * varint path.
+    */
+  def encodeColumnarPfor(
+      docIds: Array[Long],
+      tfs: Array[Int],
+      dls: Array[Int],
+      n: Int
+  ): IndexedSeq[Block] = {
+    val out = ArrayBuffer[Block]()
+    var off = 0
+    while (off < n) {
+      val cnt = math.min(BlockSize, n - off)
+      var maxTf = 0
+      var minDlOverTf = Double.MaxValue
+      val deltas = new Array[Long](cnt - 1)
+      val tfl = new Array[Long](cnt)
+      val dll = new Array[Long](cnt)
+      var i = 0
+      while (i < cnt) {
+        val d = docIds(off + i)
+        if (i > 0) {
+          val delta = d - docIds(off + i - 1)
+          require(delta > 0, "postings must be strictly docId-ascending")
+          deltas(i - 1) = delta
+        }
+        val tf = tfs(off + i)
+        val dl = dls(off + i)
+        tfl(i) = tf.toLong
+        dll(i) = dl.toLong
+        if (tf > maxTf) maxTf = tf
+        val r = dl.toDouble / tf
+        if (r < minDlOverTf) minDlOverTf = r
+        i += 1
+      }
+      val buf = new ByteArrayOutputStream(cnt * 3)
+      writeVarLong(buf, docIds(off))
+      writePacked(buf, deltas, cnt - 1)
+      writePacked(buf, tfl, cnt)
+      writePacked(buf, dll, cnt)
+      out += Block(docIds(off), docIds(off + cnt - 1), cnt, maxTf, minDlOverTf, buf.toByteArray, pfor = true)
+      off += cnt
+    }
+    out.toIndexedSeq
+  }
+
+  private def decodePrimitivePfor(block: Block): DecodedBlock = {
+    val n = block.count
+    val r = new ByteReader(block.bytes)
+    val docIds = new Array[Long](n)
+    docIds(0) = r.readVarLong()
+    val deltas = readPacked(r, n - 1)
+    var i = 1
+    while (i < n) { docIds(i) = docIds(i - 1) + deltas(i - 1); i += 1 }
+    val tfl = readPacked(r, n)
+    val dll = readPacked(r, n)
+    val tfs = new Array[Int](n)
+    val dls = new Array[Int](n)
+    i = 0
+    while (i < n) { tfs(i) = tfl(i).toInt; dls(i) = dll(i).toInt; i += 1 }
+    DecodedBlock(docIds, tfs, dls)
   }
 }

@@ -60,9 +60,14 @@ object SegmentIndex {
   )
 
   /** Bumped when the segment byte layout changes; manifests from another
-    * format never satisfy the resume check.
+    * format never satisfy the resume check. PFOR-coded segments are format
+    * 6 (magic GRFTSEG6) — a resume under a different codec rebuilds rather
+    * than reusing the other codec's segments.
     */
   val FormatVersion = 5
+  val FormatVersionPfor = 6
+  private def formatOf(codec: String): Int =
+    if (codec == BlockCodec.CodecPfor) FormatVersionPfor else FormatVersion
 
   /** Corpus-level stats. `sumDl` is the EXACT integer token total so that
     * incremental adds recompute avgdl = (sumDl + delta) / (n + delta) with
@@ -151,6 +156,7 @@ object SegmentIndex {
   }
 
   private val Magic = "GRFTSEG5".getBytes(StandardCharsets.US_ASCII)
+  private val MagicPfor = "GRFTSEG6".getBytes(StandardCharsets.US_ASCII)
 
   // ------------------------------------------------------------------- build
 
@@ -163,7 +169,8 @@ object SegmentIndex {
       outDir: String,
       buckets: Int,
       codeAware: Boolean = false,
-      batchId: Option[Long] = None
+      batchId: Option[Long] = None,
+      codec: String = BlockCodec.CodecVarint
   ): Seq[Manifest] = {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(outDir))
@@ -199,7 +206,8 @@ object SegmentIndex {
       // reference-mode build (tfmap differs) and vice versa — meta records it
       val metaOk = Files.exists(Paths.get(outDir, "index_meta.json")) && {
         try {
-          val m = readMeta(outDir); m.buckets == buckets && m.codeAware == codeAware
+          val m = readMeta(outDir)
+          m.buckets == buckets && m.codeAware == codeAware && m.codec == codec
         } catch { case _: Exception => false }
       }
       val storeOk = metaOk && {
@@ -280,7 +288,7 @@ object SegmentIndex {
     // >= the largest file so nothing splits; openCostInBytes equally large so
     // nothing packs) hands each write task its whole bucket in order — the
     // round-3 bucket re-shuffle of the entire tfmap corpus is gone.
-    val manifests = writeSegmentsFileAligned(spark, storePath, outDir, lineage)
+    val manifests = writeSegmentsFileAligned(spark, storePath, outDir, lineage, codec)
 
     // corpus scalars: from the resume aggregation when it ran, else from the
     // write tasks' own counts (fresh manifests always carry sumDl)
@@ -288,7 +296,7 @@ object SegmentIndex {
       if (resume) (bucketAgg.map(_.getLong(2)).sum, bucketAgg.map(_.getLong(3)).sum)
       else (manifests.map(_.nDocs).sum, manifests.map(_.sumDl).sum)
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
-    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, buckets, BlockCodec.BlockSize, "delta-varint", codeAware, batchId))
+    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, buckets, BlockCodec.BlockSize, codec, codeAware, batchId))
     manifests
   }
 
@@ -395,8 +403,9 @@ object SegmentIndex {
     // compact-row exchange, in-task inversion (see build job 3)
     val rows = segmentRows(newStore, newBuckets)
     val out = outDir
+    val codec = old.codec
     val manifests = rows.queryExecution.toRdd
-      .mapPartitions(it => writePartition(it, out, Some(lineage)))
+      .mapPartitions(it => writePartition(it, out, Some(lineage), codec))
       .collect()
       .toSeq
       .sortBy(_.bucket)
@@ -405,7 +414,7 @@ object SegmentIndex {
     val sumDl = old.sumDl + sumDlDelta
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
     writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, offset + newBuckets, BlockCodec.BlockSize,
-      "delta-varint", codeAware, batchId.orElse(old.lastBatchId)))
+      old.codec, codeAware, batchId.orElse(old.lastBatchId)))
 
     // A SERVING index (one that has doc sidecars) keeps them current: write
     // sidecars for the delta buckets so a /reload needs no Spark backfill.
@@ -456,12 +465,12 @@ object SegmentIndex {
 
     // exchange-free segment pass: the compacted docstore just written above
     // is one doc_id-sorted file per bucket, same as a fresh build's
-    val manifests = writeSegmentsFileAligned(spark, dstStore, dstDir, Some(lineage))
+    val manifests = writeSegmentsFileAligned(spark, dstStore, dstDir, Some(lineage), meta.codec)
 
     // lastBatchId travels with the data: if the caller swaps the compacted
     // dir in under a live streaming checkpoint, replayed batches stay no-ops
     writeMeta(dstDir, Meta(SchemaVersion, meta.n, meta.sumDl, meta.avgdl, buckets, BlockCodec.BlockSize,
-      "delta-varint", meta.codeAware, meta.lastBatchId))
+      meta.codec, meta.codeAware, meta.lastBatchId))
     manifests
   }
 
@@ -520,7 +529,8 @@ object SegmentIndex {
       spark: SparkSession,
       storePath: String,
       outDir: String,
-      lineage: Option[Map[Int, (Long, Long)]]
+      lineage: Option[Map[Int, (Long, Long)]],
+      codec: String = BlockCodec.CodecVarint
   ): Seq[Manifest] = {
     val prevMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
     val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
@@ -539,7 +549,7 @@ object SegmentIndex {
         .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"), col("sha"))
       val out = outDir
       val ms = rows.queryExecution.toRdd
-        .mapPartitions(it => writePartition(it, out, lineage))
+        .mapPartitions(it => writePartition(it, out, lineage, codec))
         .collect()
         .toSeq
         .sortBy(_.bucket)
@@ -666,8 +676,10 @@ object SegmentIndex {
   private def writePartition(
       it: Iterator[InternalRow],
       outDir: String,
-      lineage: Option[Map[Int, (Long, Long)]]
+      lineage: Option[Map[Int, (Long, Long)]],
+      codec: String = BlockCodec.CodecVarint
   ): Iterator[Manifest] = {
+    val pfor = codec == BlockCodec.CodecPfor
     val results = scala.collection.mutable.ArrayBuffer[Manifest]()
     val diag = sys.env.get("SPARK_GRAFT_WRITE_DIAG").contains("1")
     val md = MessageDigest.getInstance("SHA-256")
@@ -682,7 +694,7 @@ object SegmentIndex {
     var t0 = 0L
 
     def flush(): Unit = if (cur != Int.MinValue && !skipping) {
-      val m = writeBucket(inv, cur, nDocs, sumDl, lineageXor, outDir)
+      val m = writeBucket(inv, cur, nDocs, sumDl, lineageXor, outDir, pfor)
       if (diag)
         System.err.println(f"[wdiag] bucket=$cur%5d docs=$nDocs%7d terms=${m.nTerms}%7d postings=${m.nPostings}%9d ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
       results += m
@@ -704,7 +716,8 @@ object SegmentIndex {
         // A stale segment (source data changed under the same outDir) fails
         // this check and is rebuilt in place.
         val existing = readManifest(outDir, b).filter { m =>
-          lineage.exists(_.get(b).exists { case (xor, nd) => m.lineageXor == xor && m.nDocs == nd })
+          m.formatVersion == formatOf(codec) &&
+            lineage.exists(_.get(b).exists { case (xor, nd) => m.lineageXor == xor && m.nDocs == nd })
         }
         skipping = existing.isDefined
         if (skipping) results += existing.get.copy(skipped = true)
@@ -772,7 +785,8 @@ object SegmentIndex {
       nDocs: Long,
       sumDl: Long,
       lineageXor: Long,
-      outDir: String
+      outDir: String,
+      pfor: Boolean = false
   ): Manifest = {
     // Terms stream to the .tmp file through a DigestOutputStream — the
     // sha256 comes free. Terms emit in byte-lex order, postings in docId
@@ -793,12 +807,12 @@ object SegmentIndex {
     val dict = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long, Long, Int)]()
 
     try {
-      out.write(Magic)
+      out.write(if (pfor) MagicPfor else Magic)
       out.writeInt(bucket)
       inv.sortedSlots.foreach { slot =>
         val (pDoc, pTf, pDl, pn) = inv.postings(slot)
         val offset = counting.count
-        writeTerm(out, pDoc, pTf, pDl, pn)
+        writeTerm(out, pDoc, pTf, pDl, pn, pfor)
         dict += ((inv.key(slot).getBytes, pn.toLong, offset,
           (counting.count - offset).toInt))
       }
@@ -827,7 +841,8 @@ object SegmentIndex {
     val sha = digest.digest().map("%02x".format(_)).mkString
     // stats/lineage are the write task's own in-stream computation (covers
     // token-less docs too — a doc row with an empty tfmap still counts)
-    val m = Manifest(FormatVersion, bucket, inv.nTerms.toLong, inv.nPostings, nDocs, bytes, sha,
+    val m = Manifest(if (pfor) FormatVersionPfor else FormatVersion, bucket,
+      inv.nTerms.toLong, inv.nPostings, nDocs, bytes, sha,
       lineageXor, skipped = false, sumDl = sumDl)
     writeManifest(outDir, m)
     m
@@ -841,9 +856,12 @@ object SegmentIndex {
       docIds: Array[Long],
       tfs: Array[Int],
       dls: Array[Int],
-      n: Int
+      n: Int,
+      pfor: Boolean = false
   ): Unit = {
-    val blocks = BlockCodec.encodeColumnar(docIds, tfs, dls, n)
+    val blocks =
+      if (pfor) BlockCodec.encodeColumnarPfor(docIds, tfs, dls, n)
+      else BlockCodec.encodeColumnar(docIds, tfs, dls, n)
     out.writeInt(blocks.length)
     blocks.foreach { b =>
       out.writeLong(b.minDoc)
@@ -894,7 +912,8 @@ object SegmentIndex {
         catch { case _: Exception => None }
       parsed.filter { m =>
         val seg = Paths.get(outDir, f"segment-$bucket%05d.bin")
-        m.formatVersion == FormatVersion && Files.exists(seg) && Files.size(seg) == m.bytes
+        (m.formatVersion == FormatVersion || m.formatVersion == FormatVersionPfor) &&
+          Files.exists(seg) && Files.size(seg) == m.bytes
       }
     }
   }
@@ -967,7 +986,8 @@ object SegmentIndex {
     val head = readAt(0, Magic.length + 4)
     val magic = new Array[Byte](Magic.length)
     head.get(magic)
-    require(java.util.Arrays.equals(magic, Magic), s"bad magic in $path")
+    val pfor = java.util.Arrays.equals(magic, MagicPfor)
+    require(pfor || java.util.Arrays.equals(magic, Magic), s"bad magic in $path")
     val bucket = head.getInt
 
     val dictOffset = readAt(size - 8, 8).getLong
@@ -983,7 +1003,7 @@ object SegmentIndex {
       val df = dict.getLong
       val offset = dict.getLong
       val len = dict.getInt
-      terms += term -> new TermData(df, () => parseTermRecord(readAt(offset, len)))
+      terms += term -> new TermData(df, () => parseTermRecord(readAt(offset, len), pfor))
       i += 1
     }
     if (eager) {
@@ -1001,7 +1021,7 @@ object SegmentIndex {
     }
   }
 
-  private def parseTermRecord(buf: java.nio.ByteBuffer): IndexedSeq[BlockCodec.Block] = {
+  private def parseTermRecord(buf: java.nio.ByteBuffer, pfor: Boolean = false): IndexedSeq[BlockCodec.Block] = {
     val blockCount = buf.getInt
     (0 until blockCount).map { _ =>
       val minDoc = buf.getLong
@@ -1012,7 +1032,7 @@ object SegmentIndex {
       val blen = buf.getInt
       val bb = new Array[Byte](blen)
       buf.get(bb)
-      BlockCodec.Block(minDoc, maxDoc, count, maxTf, minDlOverTf, bb)
+      BlockCodec.Block(minDoc, maxDoc, count, maxTf, minDlOverTf, bb, pfor)
     }
   }
 }

@@ -26,6 +26,7 @@ class CliSpec extends AnyFunSuite {
     assert(IndexJob.run(Array("a/b", "out", "zero")) == 2) // bad buckets
     assert(IndexJob.run(Array("a/b", "out", "0")) == 2) // non-positive buckets
     assert(IndexJob.run(Array("a/b", "out", "-3")) == 2)
+    assert(IndexJob.run(Array("a/b", "out", "--codec=lz4")) == 2) // unknown codec
   }
 
   test("IndexJob: unknown flag is reported before missing positionals") {

@@ -55,6 +55,58 @@ class BlockCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       }
     }
   }
+
+  test("pfor-delta round-trip: random lists, outliers patched, metadata identical, deterministic, denser") {
+    val rnd = new Random(23)
+    // typical lists (small gaps) + adversarial ones (huge docId jumps and
+    // rare huge tf/dl outliers that must become patch exceptions)
+    val corpora: Seq[IndexedSeq[Posting]] = (0 until 20).map { c =>
+      var doc = rnd.nextInt(1000).toLong
+      val n = 1 + rnd.nextInt(400)
+      (0 until n).map { _ =>
+        doc += (if (rnd.nextInt(50) == 0) 1L + rnd.nextInt(1 << 28) else 1L + rnd.nextInt(40))
+        val tf = if (rnd.nextInt(60) == 0) 1 + rnd.nextInt(100000) else 1 + rnd.nextInt(9)
+        val dl = if (rnd.nextInt(60) == 0) 1 + rnd.nextInt(5000000) else tf + rnd.nextInt(300)
+        Posting(doc, tf, math.max(tf, dl))
+      }.toIndexedSeq
+    } :+ IndexedSeq(Posting(0L, 1, 1)) :+ IndexedSeq(Posting(Long.MaxValue / 4, 3, 7))
+    corpora.foreach { postings =>
+      val ids = postings.map(_.docId).toArray
+      val tfs = postings.map(_.tf).toArray
+      val dls = postings.map(_.dl).toArray
+      val varint = encodeColumnar(ids, tfs, dls, postings.size)
+      val pfor = encodeColumnarPfor(ids, tfs, dls, postings.size)
+      // identical grouping + block metadata (block-max WAND sees no difference)
+      assert(pfor.size == varint.size)
+      pfor.zip(varint).foreach { case (p, v) =>
+        assert((p.minDoc, p.maxDoc, p.count, p.maxTf, p.minDlOverTf) ==
+          ((v.minDoc, v.maxDoc, v.count, v.maxTf, v.minDlOverTf)))
+        assert(p.pfor && !v.pfor)
+      }
+      // exact round-trip through the dispatching decoder
+      assert(pfor.flatMap(decode(_)) == postings)
+      val d = pfor.map(decodePrimitive(_))
+      assert(d.flatMap(_.docIds) == postings.map(_.docId))
+      assert(d.flatMap(_.tfs) == postings.map(_.tf))
+      assert(d.flatMap(_.dls) == postings.map(_.dl))
+      // deterministic bytes
+      val again = encodeColumnarPfor(ids, tfs, dls, postings.size)
+      pfor.zip(again).foreach { case (a, b) => assert(java.util.Arrays.equals(a.bytes, b.bytes)) }
+    }
+    // on the TYPICAL shape (small deltas/tf/dl — real posting lists), the
+    // bit-packed bytes must beat varint's 1-byte-per-field floor
+    val rnd2 = new Random(7)
+    var doc = 0L
+    val typical = (1 to 2000).map { _ =>
+      doc += 1 + rnd2.nextInt(50)
+      Posting(doc, 1 + rnd2.nextInt(9), 1 + rnd2.nextInt(200))
+    }
+    val vB = encodeColumnar(typical.map(_.docId).toArray, typical.map(_.tf).toArray,
+      typical.map(_.dl).toArray, typical.size).map(_.bytes.length.toLong).sum
+    val pB = encodeColumnarPfor(typical.map(_.docId).toArray, typical.map(_.tf).toArray,
+      typical.map(_.dl).toArray, typical.size).map(_.bytes.length.toLong).sum
+    assert(pB < vB, s"pfor $pB bytes should beat varint $vB bytes on small-value lists")
+  }
 }
 
 class SegmentSpec extends SparkTestBase {
@@ -119,6 +171,50 @@ class SegmentSpec extends SparkTestBase {
     val (dirB, mB) = buildTiny(docs, buckets = 3)
     assert(mA.map(m => m.bucket -> m.fileSha256).toMap == mB.map(m => m.bucket -> m.fileSha256).toMap)
     assert(mA.map(m => m.bucket -> m.lineageXor).toMap == mB.map(m => m.bucket -> m.lineageXor).toMap)
+  }
+
+  test("pfor codec end-to-end: search parity, deterministic rebuilds, adds inherit codec, codec switch rebuilds") {
+    val docs = (1L to 80L).map(i => i -> s"alpha bravo${i % 7} charlie delta${i % 3} echo foxtrot golf${i % 11}")
+    val queries = Seq("alpha charlie", "bravo1 OR delta2", "echo -golf3", "alpha bravo2 delta1")
+
+    val (dirV, _) = buildTiny(docs, buckets = 3)
+    val dirP = tmpDir()
+    val mP = SegmentIndex.build(docsDF(docs), dirP, 3, codec = BlockCodec.CodecPfor)
+    assert(SegmentIndex.readMeta(dirP).codec == BlockCodec.CodecPfor)
+    assert(mP.forall(_.formatVersion == SegmentIndex.FormatVersionPfor))
+
+    // identical answers from both codecs (same scores, same ranks)
+    val a = SegmentSearch.searchBatch(spark, dirV, queries, 10)
+    val b = SegmentSearch.searchBatch(spark, dirP, queries, 10)
+    assert(a == b, s"varint=$a pfor=$b")
+
+    // pfor builds are byte-identically deterministic too
+    val dirP2 = tmpDir()
+    val mP2 = SegmentIndex.build(docsDF(docs), dirP2, 3, codec = BlockCodec.CodecPfor)
+    assert(mP.map(m => m.bucket -> m.fileSha256).toMap == mP2.map(m => m.bucket -> m.fileSha256).toMap)
+
+    // and denser on disk than varint for the same corpus
+    val bytesV = SegmentIndex.segmentFiles(dirV).map(f => Files.size(Paths.get(f))).sum
+    val bytesP = SegmentIndex.segmentFiles(dirP).map(f => Files.size(Paths.get(f))).sum
+    assert(bytesP < bytesV, s"pfor $bytesP >= varint $bytesV")
+
+    // addDocuments INHERITS the index codec (meta.codec), keeping add-parity
+    val delta = (81L to 100L).map(i => i -> s"alpha hotel india${i % 4} charlie")
+    val mAdd = SegmentIndex.addDocuments(docsDF(delta), dirP, 1)
+    assert(mAdd.forall(_.formatVersion == SegmentIndex.FormatVersionPfor))
+    assert(SegmentIndex.readMeta(dirP).codec == BlockCodec.CodecPfor)
+    val full = tmpDir()
+    SegmentIndex.build(docsDF(docs ++ delta), full, 4, codec = BlockCodec.CodecPfor)
+    val qa = SegmentSearch.searchBatch(spark, dirP, queries :+ "alpha india2", 10)
+    val qb = SegmentSearch.searchBatch(spark, full, queries :+ "alpha india2", 10)
+    assert(qa == qb)
+
+    // building the SAME dir under the other codec must invalidate and
+    // rebuild, never reuse the other codec's segments
+    SegmentIndex.build(docsDF(docs), dirP2, 3) // varint over a pfor dir
+    assert(SegmentIndex.readMeta(dirP2).codec == BlockCodec.CodecVarint)
+    val c = SegmentSearch.searchBatch(spark, dirP2, queries, 10)
+    assert(c == a)
   }
 
   test("property: WAND over segments rank/score-identical to RefEngine (random corpora+queries)") {
