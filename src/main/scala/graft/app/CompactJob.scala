@@ -30,6 +30,7 @@ object CompactJob {
 
   /** Validation + work; returns the process exit code (CliSpec-testable). */
   def run(args: Array[String]): Int = {
+    if (args.contains("--help")) { println(Usage); return 0 } // reference: usage on stdout, exit 0
     val flags = args.filter(_.startsWith("--")).toIndexedSeq
     val pos = args.filterNot(_.startsWith("--")).toIndexedSeq
 

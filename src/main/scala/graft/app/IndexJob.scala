@@ -50,6 +50,9 @@ object IndexJob {
     * forking — CliSpec asserts the full matrix in-process).
     */
   def run(args: Array[String]): Int = {
+    // reference contract: --help prints usage on STDOUT and exits 0, and
+    // wins over any other argument (tests/test_cli_lifecycle.cpp)
+    if (args.contains("--help")) { println(Usage); return 0 }
     val flags = args.filter(_.startsWith("--")).toIndexedSeq
     val pos = args.filterNot(_.startsWith("--")).toIndexedSeq
 

@@ -17,6 +17,7 @@ import graft.search.SegmentSearch
   */
 object QueryJob {
   def main(args: Array[String]): Unit = {
+    if (args.contains("--help")) { println("usage: QueryJob <indexDir> <k> <query>..."); return }
     if (args.length < 3) { System.err.println("usage: QueryJob <indexDir> <k> <query>..."); sys.exit(2) }
     val indexDir = args(0)
     val k = math.max(1, args(1).toInt)

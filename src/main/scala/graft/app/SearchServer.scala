@@ -628,6 +628,7 @@ object SearchServer {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--help")) { println("usage: SearchServer <indexDir> [port]"); return }
     val (indexDir, port) = parseArgs(args) match {
       case Left(msg) =>
         System.err.println(s"SearchServer: $msg")

@@ -269,6 +269,7 @@ object SnapshotJob {
 
   /** Exit-2 argument layer (CliSpec-testable), then dispatch. */
   def run(args: Array[String]): Int = {
+    if (args.contains("--help")) { println(Usage); return 0 } // reference: usage on stdout, exit 0
     val flags = args.filter(_.startsWith("--"))
     if (flags.nonEmpty) return usageErr(s"unknown flag: ${flags.head}")
     args.toSeq match {

@@ -344,6 +344,7 @@ object TenantServer {
 
   /** Usage: TenantServer <rootDir> [port] [maxLoadedTenants] */
   def main(args: Array[String]): Unit = {
+    if (args.contains("--help")) { println("usage: TenantServer <rootDir> [port] [maxLoadedTenants]"); return }
     val (rootDir, port, maxLoaded) = parseArgs(args) match {
       case Left(msg) =>
         System.err.println(s"TenantServer: $msg")

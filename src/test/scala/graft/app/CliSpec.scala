@@ -27,6 +27,13 @@ class CliSpec extends AnyFunSuite {
     assert(IndexJob.run(Array("a/b", "out", "0")) == 2) // non-positive buckets
     assert(IndexJob.run(Array("a/b", "out", "-3")) == 2)
     assert(IndexJob.run(Array("a/b", "out", "--codec=lz4")) == 2) // unknown codec
+    // reference contract: --help prints usage on stdout and exits 0, even
+    // mixed with other (invalid) arguments
+    assert(IndexJob.run(Array("--help")) == 0)
+    assert(IndexJob.run(Array("--bogus", "--help")) == 0)
+    assert(TenantJob.run(Array("--help")) == 0)
+    assert(SnapshotJob.run(Array("--help")) == 0)
+    assert(CompactJob.run(Array("--help")) == 0)
   }
 
   test("IndexJob: unknown flag is reported before missing positionals") {
