@@ -652,6 +652,18 @@ object SparkEntry {
     // --- Gopher-style repetition signals (top-bigram share, distinct ratio) ---
     "q_repetition" -> ((s, dir) =>
       graft.pipeline.TextStats.repetition(documents(s, dir))),
+    // --- PII scrub (typed redaction + per-class counts): deterministic PII
+    //     is synthesized INTO the corpus text on both sides (doc_id-derived
+    //     email / ipv4 / 11-digit account) so the gate actually bites ---
+    "q_pii" -> ((s, dir) => {
+      val aug = documents(s, dir).withColumn(
+        "text",
+        concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10.0."), pmod(col("doc_id"), lit(200L)).cast("string"),
+          lit(".7 acct "), lpad((col("doc_id") * 97 + 11).cast("string"), 11, "0")))
+      graft.pipeline.Pii.scrub(aug)
+    }),
     // --- hourly tumbling-window rollup (streaming twin in graft.streaming) ---
     "q_events_hourly" -> ((s, dir) =>
       graft.pipeline.Events.hourlyRollup(s.read.parquet(s"$dir/events.parquet"))),
@@ -1046,6 +1058,29 @@ object SparkEntry {
       s"""${shingleCte(5)}
          |SELECT doc_id, array_to_string(list_sort(list(DISTINCT md5(sh)))[1:4], ',') AS fp
          |FROM sh GROUP BY doc_id""".stripMargin,
+    "q_pii" -> {
+      // same three RE2/Java-compatible patterns, same sequential redaction
+      // order (email -> ipv4 -> idnum) as graft.pipeline.Pii
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val idnum = "\\d{9,}"
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@example.com via 10.0.' ||
+         |         (doc_id % 200) || '.7 acct ' || lpad(CAST(doc_id * 97 + 11 AS VARCHAR), 11, '0') AS t
+         |  FROM documents
+         |), red AS (
+         |  SELECT doc_id, t,
+         |         regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g') AS after_ip
+         |  FROM aug
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$ipv4')) AS INTEGER) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(after_ip, '$idnum')) AS INTEGER) AS n_idnum,
+         |  regexp_replace(after_ip, '$idnum', '<IDNUM>', 'g') AS clean_text
+         |FROM red""".stripMargin
+    },
     "q_repetition" ->
       """WITH ta AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
