@@ -55,6 +55,62 @@ object EventStream {
     q
   }
 
+  /** Streaming SESSIONIZATION — twin of graft.pipeline.Events.sessions,
+    * built on Spark's native gap-based `session_window` aggregation (the
+    * Spark-first choice: Catalyst owns the session-merge state machine; no
+    * custom state code). Emits one row per CLOSED session:
+    * (user_id, session_start epoch-secs, ev = events in session).
+    *
+    * Boundary alignment with the batch rule: the batch operator breaks a
+    * session when the gap is STRICTLY GREATER than `gapMinutes` (a gap of
+    * exactly 30:00 stays in-session). Spark's session window is half-open
+    * [start, lastEvent + gap), so an event at exactly lastEvent + gap would
+    * SPLIT — one second of slack (gapMinutes*60 + 1) makes the stream merge
+    * exactly when the batch rule merges (timestamps are whole seconds in
+    * this schema's domain).
+    *
+    * Append mode + watermark: a session is emitted once the watermark
+    * passes its close — so the LAST session of each user only flushes when
+    * later input advances event time past it (StreamingSpec drives this
+    * with a sentinel file; a production stream always has a next event).
+    * Scale shape: state is one open session per active (user, gap-run) —
+    * bounded by active users, partitioned by the groupBy exchange; the
+    * RocksDB provider option applies as with dedupStream.
+    */
+  def sessionsStream(
+      spark: SparkSession,
+      inputDir: String,
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "0 seconds"
+  ): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch: the watermark from batch N closes sessions in batch N+1
+      .parquet(inputDir)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(
+        session_window(col("ts"), s"${gapMinutes * 60 + 1} seconds").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("ev"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        col("ev"))
+
+  /** Drain all available input through the sessionization stream into an
+    * in-memory sink (append mode — only watermark-closed sessions emit).
+    */
+  def runSessionsAvailableNow(spark: SparkSession, inputDir: String, sinkTable: String): StreamingQuery = {
+    val q = sessionsStream(spark, inputDir).writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   val docsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),

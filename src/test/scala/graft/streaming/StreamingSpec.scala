@@ -33,6 +33,51 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("streaming sessionization (native session_window) == batch gap rule, incl. the exact-30:00 boundary") {
+    val sp = spark
+    import sp.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    // hand-built boundary cases + random bulk:
+    //   user 1: gaps 10, EXACTLY 30 (merge: batch rule is strictly-greater),
+    //           31 (split) -> 2 sessions, max 3 events
+    //   user 2: single event -> 1 session of 1
+    val hand = Seq(
+      (1L, ts(0), 1L), (2L, ts(10), 1L), (3L, ts(40), 1L), (4L, ts(71), 1L),
+      (5L, ts(5), 2L)
+    )
+    val rnd = new scala.util.Random(17)
+    val bulk = (100L to 400L).map(i => (i, ts(rnd.nextInt(600).toLong), 3L + i % 7))
+    val rows = (hand ++ bulk).map { case (id, t, u) => (id, t, u, "click", 1.0, "{}") }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val dir = Files.createTempDirectory("graft-stream-sess").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    // sentinel SECOND FILE far past every real event: its micro-batch
+    // advances the watermark so every real session closes and emits
+    // (append-mode sessions flush only when event time passes them)
+    Seq((9999L, ts(100000), 999999L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    EventStream.runSessionsAvailableNow(spark, dir, "sessions_sink")
+    // per-session rows -> the batch operator's per-user rollup shape
+    val streaming = spark.table("sessions_sink")
+      .filter($"user_id" =!= 999999L)
+      .groupBy($"user_id")
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.max($"ev").as("max_session_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val batch = Events.sessions(df.toDF()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    assert(streaming == batch, s"streaming=$streaming batch=$batch")
+    assert(batch(1L) == ((2L, 3L)), "exact-30:00 gap must merge; 31-min gap must split")
+    assert(batch(2L) == ((1L, 1L)))
+  }
+
   /** The dedup scenario, parameterized by state-store provider: three
     * micro-batches with in-batch and cross-batch dups, then a restart from
     * the checkpoint that must keep rejecting previously-seen content.
