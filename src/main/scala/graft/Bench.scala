@@ -54,7 +54,7 @@ object Bench {
 
     // --- in-memory serving QPS (searchd model: index pinned, many queries) ---
     val meta = SegmentIndex.readMeta(out)
-    val segs = SegmentIndex.segmentFiles(out).map(SegmentIndex.loadSegment(_))
+    val segs = SegmentIndex.liveSegmentFiles(out).map(SegmentIndex.loadSegment(_))
     SegmentSearch.searchBatchInMemory(segs, meta, qs, 10) // warmup/JIT
     val qMemSec = Workload.bestOf(3) {
       SegmentSearch.searchBatchInMemory(segs, meta, qs, k = 10)

@@ -60,6 +60,21 @@ object SparkEntry {
       }
     )
 
+  // Partially-compacted twin of segmentDir: three base buckets folded into
+  // one merged bucket via compactBuckets (meta.live engaged) — the LSM
+  // maintenance path under the same oracle.
+  private val foldedSegDirCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def foldedSegmentDir(spark: SparkSession, dir: String): String =
+    foldedSegDirCache.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + dir, {
+        val out = java.nio.file.Files.createTempDirectory("graft-entry-fold").toString
+        graft.index.SegmentIndex.build(documents(spark, dir), out, buckets = 8)
+        graft.index.SegmentIndex.compactBuckets(spark, out, Seq(5, 6, 7))
+        out
+      }
+    )
+
   // Multi-tenant catalog per (app, corpus): per-tenant SegmentIndexes for
   // the two gate tenants, built through the REAL staging path (one
   // tenant-partitioned pass over the corpus, then partition-pruned reads).
@@ -89,7 +104,7 @@ object SparkEntry {
         val sd = segmentDir(spark, dir)
         graft.index.DocSidecar.ensure(spark, sd)
         val meta = graft.index.SegmentIndex.readMeta(sd)
-        val segs = graft.index.SegmentIndex.segmentFiles(sd)
+        val segs = graft.index.SegmentIndex.liveSegmentFiles(sd)
           .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
         (new graft.search.SegmentSearch.ServingEngine(segs, meta),
          graft.index.DocSidecar.openStore(sd).get)
@@ -465,6 +480,13 @@ object SparkEntry {
       rankTopKLocal(s,
         graft.search.SegmentSearch.searchBatch(s, pforSegmentDir(s, dir), Seq("table scan merge"), Int.MaxValue)(0),
         20)),
+    // --- SEGMENT-tier BM25 over a PARTIALLY-COMPACTED index (compactBuckets
+    //     folded buckets 5-7 into one; meta.live engaged): merging segments
+    //     must not move a single score — df is the sum of local dfs ---
+    "q_bm25_folded_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        graft.search.SegmentSearch.searchBatch(s, foldedSegmentDir(s, dir), Seq("table scan merge"), Int.MaxValue)(0),
+        20)),
     // --- SEGMENT-tier phrase: full AND enumeration + sidecar adjacency
     //     verification, distributed (phraseBatch) ---
     "q_phrase_seg_topk" -> ((s, dir) =>
@@ -743,6 +765,8 @@ object SparkEntry {
     "q_bm25_seg_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
     // PFOR-coded segments: identical answers, different bytes
     "q_bm25_pfor_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
+    // partially-compacted segments (compactBuckets): identical answers
+    "q_bm25_folded_topk" -> bm25Sql(Seq("table" -> 1, "scan" -> 1, "merge" -> 1), isOr = false, k = 20),
     // tenant-scoped BM25: the WHOLE stat chain (dl, N, avgdl, df, idf) runs
     // over only src3's documents — agreement proves per-tenant isolation
     "q_tenant_topk" ->

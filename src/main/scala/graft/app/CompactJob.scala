@@ -6,11 +6,22 @@ import org.apache.spark.sql.SparkSession
 
 import graft.index.SegmentIndex
 
-/** Maintenance job: fold an index's accumulated delta segments into
-  * `buckets` balanced segments in a fresh directory (no re-tokenization —
-  * SegmentIndex.compact re-buckets the docstore's materialized tfmap).
+/** Maintenance job, two modes (no re-tokenization in either — compaction
+  * re-buckets the docstore's materialized tfmaps):
   *
-  * Usage: CompactJob <srcIndexDir> <dstIndexDir> [buckets]
+  *   CompactJob <srcIndexDir> <dstIndexDir> [buckets]
+  *     FULL rewrite into `buckets` balanced segments in a fresh directory
+  *     (cost linear in the index; callers swap directories / hot-reload).
+  *
+  *   CompactJob --fold=b1,b2,... <indexDir>
+  *   CompactJob --auto[=maxBytes] <indexDir>
+  *     PARTIAL, IN PLACE: fold the listed (or size-tiered-picked) live
+  *     buckets into one new bucket via SegmentIndex.compactBuckets — cost
+  *     linear in the picked buckets only, the right maintenance op after
+  *     many small incremental adds. --auto picks live buckets smaller than
+  *     maxBytes (default 8 MiB), smallest first; exits 0 with "nothing to
+  *     fold" when fewer than two qualify. Pair with the server's delta
+  *     /reload.
   *
   * CLI discipline mirrors the reference's ordered validation matrix
   * (/root/reference/tests/test_cli_exit_codes.cpp:133-327): argument errors
@@ -19,7 +30,8 @@ import graft.index.SegmentIndex
   * exit 3 before Spark starts.
   */
 object CompactJob {
-  private val Usage = "usage: CompactJob <srcIndexDir> <dstIndexDir> [buckets]"
+  private val Usage =
+    "usage: CompactJob <srcIndexDir> <dstIndexDir> [buckets] | CompactJob --fold=b1,b2,... <indexDir> | CompactJob --auto[=maxBytes] <indexDir>"
 
   private def usageErr(msg: String): Int = {
     System.err.println(s"CompactJob: $msg")
@@ -35,7 +47,42 @@ object CompactJob {
     val pos = args.filterNot(_.startsWith("--")).toIndexedSeq
 
     // --- exit-2 layer (flags -> arity -> values -> conflicts)
-    if (flags.nonEmpty) return usageErr(s"unknown flag: ${flags.head}")
+    val unknown = flags.filterNot(f => f == "--auto" || f.startsWith("--auto=") || f.startsWith("--fold="))
+    if (unknown.nonEmpty) return usageErr(s"unknown flag: ${unknown.head}")
+    val fold = flags.collectFirst { case f if f.startsWith("--fold=") => f.stripPrefix("--fold=") }
+    val auto = flags.collectFirst { case f if f == "--auto" => 8L << 20
+                                    case f if f.startsWith("--auto=") => f.stripPrefix("--auto=").toLongOption.getOrElse(-1L) }
+    if (fold.isDefined && auto.isDefined) return usageErr("--fold and --auto conflict")
+    if (auto.exists(_ <= 0)) return usageErr("--auto=maxBytes must be a positive integer")
+    if (fold.isDefined || auto.isDefined) {
+      if (pos.length < 1) return usageErr("missing required <indexDir>")
+      if (pos.length > 1) return usageErr(s"unexpected argument: ${pos(1)} (partial mode takes one dir)")
+      val picks = fold.map(_.split(',').toSeq.map(_.trim)) match {
+        case Some(parts) =>
+          val ints = parts.map(_.toIntOption)
+          if (parts.isEmpty || ints.exists(_.isEmpty))
+            return usageErr(s"--fold= needs a comma-separated bucket list, got '${fold.get}'")
+          Some(ints.flatten)
+        case None => None
+      }
+      val dir = pos(0)
+      if (!Files.exists(Paths.get(dir, "index_meta.json")))
+        return runtimeErr(s"not an index (no index_meta.json): $dir")
+      val spark =
+        if (sys.props.contains("spark.master")) SparkSession.builder().getOrCreate()
+        else graft.spark.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, 16, "graft-job")
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val chosen = picks.getOrElse(SegmentIndex.pickFoldable(dir, auto.get))
+        if (chosen.size < 2) { println(s"Compaction skipped: nothing to fold out=$dir"); return 0 }
+        val m = SegmentIndex.compactBuckets(spark, dir, chosen)
+        println(s"Partial compaction completed: folded=${chosen.sorted.mkString(",")} " +
+          s"into=${m.bucket} docs=${m.nDocs} bytes=${m.bytes} out=$dir")
+        return 0
+      } catch {
+        case e: Throwable => return runtimeErr(s"compact job failed: ${e.getMessage}")
+      }
+    }
     if (pos.length < 2) return usageErr("missing required <srcIndexDir> <dstIndexDir>")
     if (pos.length > 3) return usageErr(s"unexpected argument: ${pos(3)}")
     val buckets = pos.lift(2) match {

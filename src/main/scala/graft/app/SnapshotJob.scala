@@ -96,13 +96,14 @@ object SnapshotJob {
   private val BucketFile = "(?:segment-(\\d+)\\.bin|manifest-(\\d+)\\.json|docs-(\\d+)\\.bin)".r
 
   /** Every file a snapshot must carry, RELATIVE to the index dir: manifests,
-    * segments, doc sidecars (bucket < `buckets` only — higher buckets are an
-    * uncommitted in-flight add), the docstore parquet tree, and (if present)
-    * the API key file. index_meta.json is EXCLUDED — the snapshot writes the
-    * bytes held from the generation pin, never a re-read. `_staging` and tmp
-    * droppings are excluded.
+    * segments, doc sidecars (LIVE buckets only — bucket >= meta.buckets is
+    * an uncommitted in-flight add, and a bucket dropped by a partial
+    * compaction is dead awaiting sweep), the docstore parquet tree, and (if
+    * present) the API key file. index_meta.json is EXCLUDED — the snapshot
+    * writes the bytes held from the generation pin, never a re-read.
+    * `_staging` and tmp droppings are excluded.
     */
-  private def indexFiles(indexDir: Path, buckets: Int): Seq[Path] = {
+  private def indexFiles(indexDir: Path, live: Int => Boolean): Seq[Path] = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(indexDir)
     try s.iterator().asScala
@@ -111,7 +112,7 @@ object SnapshotJob {
         val rel = indexDir.relativize(p).toString
         val uncommitted = rel match {
           case BucketFile(b1, b2, b3) =>
-            Seq(b1, b2, b3).find(_ != null).exists(_.toInt >= buckets)
+            Seq(b1, b2, b3).find(_ != null).exists(b => !live(b.toInt))
           case _ => false
         }
         rel.startsWith("_staging/") || rel.endsWith(".tmp") || rel == ManifestName ||
@@ -148,17 +149,17 @@ object SnapshotJob {
       // pin the committed generation FIRST (meta is the commit point): hold
       // its exact bytes, and derive the committed bucket count from them
       val metaBytes = Files.readAllBytes(metaPath)
-      val buckets = SegmentIndex.readMeta(indexDirS).buckets
+      val live = SegmentIndex.liveBucketSet(SegmentIndex.readMeta(indexDirS))
       // collect the manifest shas the copy will be checked against
       val manifests = SegmentIndex.segmentFiles(indexDirS).flatMap { f =>
         val b = f.replaceAll(".*segment-(\\d+)\\.bin$", "$1").toInt
-        if (b >= buckets) None
+        if (!live(b)) None
         else SegmentIndex.readManifest(indexDirS, b).map(m => f -> m)
       }.toMap
       val tmp = snapDir.resolveSibling(snapDir.getFileName.toString + ".tmp")
       try {
         Files.createDirectories(tmp)
-        val hashes = indexFiles(indexDir, buckets).map { src =>
+        val hashes = indexFiles(indexDir, live).map { src =>
           val rel = indexDir.relativize(src).toString
           val dst = tmp.resolve(rel)
           Files.createDirectories(dst.getParent)

@@ -41,7 +41,7 @@ object LatencyBench {
     val docs = Workload.replicatedDocs(spark, sfDir, replicas)
     SegmentIndex.build(docs, out, buckets = 32)
     val meta = SegmentIndex.readMeta(out)
-    val segs = SegmentIndex.segmentFiles(out).map(SegmentIndex.loadSegment(_))
+    val segs = SegmentIndex.liveSegmentFiles(out).map(SegmentIndex.loadSegment(_))
     val mode = sys.env.getOrElse("SPARK_GRAFT_QUERY_MODE", "mixed")
     // The 3-round best-of protocol replays the SAME query list against one
     // server generation, so with the default-on result cache every non-first

@@ -47,8 +47,13 @@ object DocSidecar {
     * to call at every server load). Returns the buckets written.
     */
   def ensure(spark: SparkSession, indexDir: String): Seq[Int] = {
+    // LIVE buckets only: docstore part-files of a crashed add (bucket >=
+    // meta.buckets) or of dead pre-compaction buckets may still be on disk;
+    // they are not part of the committed index and get no sidecar
+    val live = SegmentIndex.liveBucketSet(SegmentIndex.readMeta(indexDir))
     val buckets = spark.read.parquet(s"$indexDir/docstore")
       .select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .filter(live)
     val missing = buckets.filterNot(b => Files.exists(sidecarPath(indexDir, b)))
     if (missing.isEmpty) Nil else writeBuckets(spark, indexDir, missing)
   }

@@ -91,7 +91,11 @@ object SegmentIndex {
       blockSize: Int,
       codec: String,
       codeAware: Boolean,
-      lastBatchId: Option[Long] = None
+      lastBatchId: Option[Long] = None,
+      // live bucket ids after a PARTIAL compaction (compactBuckets); None =
+      // every bucket in [0, buckets) is live (the append-only common case).
+      // `buckets` stays the NEXT-id counter — dead ids are never reused.
+      live: Option[Seq[Int]] = None
   )
 
   /** One term's postings inside ONE segment. `df` is the LOCAL document
@@ -337,38 +341,7 @@ object SegmentIndex {
     // those rows into their OWN part files, so deleting exactly those files
     // (plus any orphan segments/manifests at bucket >= offset) fully undoes
     // the half-finished add before this one re-appends.
-    {
-      val orphanFiles = spark.read.parquet(storePath)
-        .filter(col("bucket") >= offset)
-        .select(input_file_name().as("f"))
-        .distinct()
-        .collect()
-        .map(_.getString(0))
-      // Delete through the Hadoop FileSystem of each URI — input_file_name()
-      // yields fully-qualified URIs whose scheme need not be file: (hdfs/s3a
-      // at the 100 TB deployment shape); a java.nio delete would silently
-      // no-op there and leave duplicate orphan rows behind the append.
-      val hconf = spark.sparkContext.hadoopConfiguration
-      orphanFiles.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(java.net.URI.create(f))
-        val fs = p.getFileSystem(hconf)
-        if (!fs.delete(p, false) && fs.exists(p))
-          throw new java.io.IOException(s"failed to delete orphan docstore file $f")
-      }
-      import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(outDir)).iterator().asScala.toSeq.foreach { p =>
-        val name = p.getFileName.toString
-        val seg = "segment-(\\d+)\\.bin(\\.tmp)?".r
-        val man = "manifest-(\\d+)\\.json(\\.tmp)?".r
-        val doc = "docs-(\\d+)\\.bin(\\.tmp)?".r
-        name match {
-          case seg(b, _) if b.toInt >= offset => Files.deleteIfExists(p)
-          case man(b, _) if b.toInt >= offset => Files.deleteIfExists(p)
-          case doc(b, _) if b.toInt >= offset => Files.deleteIfExists(p)
-          case _ =>
-        }
-      }
-    }
+    sweepBuckets(spark, outDir, b => b >= offset)
 
     withDlTfmap(
       delta
@@ -414,12 +387,17 @@ object SegmentIndex {
     val sumDl = old.sumDl + sumDlDelta
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
     writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, offset + newBuckets, BlockCodec.BlockSize,
-      old.codec, codeAware, batchId.orElse(old.lastBatchId)))
+      old.codec, codeAware, batchId.orElse(old.lastBatchId),
+      // a partially-compacted index tracks its live set explicitly; the
+      // delta buckets join it (None = all of [0, buckets) — stays None)
+      old.live.map(_ ++ (offset until (offset + newBuckets)))))
 
     // A SERVING index (one that has doc sidecars) keeps them current: write
     // sidecars for the delta buckets so a /reload needs no Spark backfill.
     // Non-serving indexes skip this (derived data, generated at server load).
-    if (Files.exists(DocSidecar.sidecarPath(outDir, 0)))
+    // "is this a serving index" = ANY sidecar exists (bucket 0 may have
+    // been folded away by a partial compaction)
+    if (DocSidecar.sidecarFiles(outDir).nonEmpty)
       DocSidecar.writeBuckets(spark, outDir, offset until (offset + newBuckets))
     manifests
   }
@@ -439,6 +417,9 @@ object SegmentIndex {
     val dstStore = s"$dstDir/docstore"
 
     spark.read.parquet(s"$srcDir/docstore")
+      // LIVE rows only: dead parts awaiting sweep (crashed partial
+      // compaction) or orphan parts (crashed add) are not in the index
+      .filter(col("bucket").isInCollection(liveBucketSet(meta)))
       .drop("bucket")
       .repartitionByRange(buckets, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
@@ -472,6 +453,183 @@ object SegmentIndex {
     writeMeta(dstDir, Meta(SchemaVersion, meta.n, meta.sumDl, meta.avgdl, buckets, BlockCodec.BlockSize,
       meta.codec, meta.codeAware, meta.lastBatchId))
     manifests
+  }
+
+  /** Delete every index artifact of buckets matching `dead` — docstore
+    * part-files (through the Hadoop FileSystem of each URI: at the 100 TB
+    * deployment shape the store need not be file:) plus segments, manifests
+    * and doc sidecars. Used by addDocuments (undo a half-finished add:
+    * bucket >= offset), by compactBuckets (entry recovery + post-commit
+    * cleanup), and by sweepDead (crash recovery).
+    */
+  private def sweepBuckets(spark: SparkSession, outDir: String, dead: Int => Boolean): Unit = {
+    val storePath = s"$outDir/docstore"
+    val deadUdf = udf((b: Int) => dead(b))
+    val orphanFiles = spark.read.parquet(storePath)
+      .filter(deadUdf(col("bucket")))
+      .select(input_file_name().as("f"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    orphanFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(java.net.URI.create(f))
+      val fs = p.getFileSystem(hconf)
+      if (!fs.delete(p, false) && fs.exists(p))
+        throw new java.io.IOException(s"failed to delete dead docstore file $f")
+    }
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(outDir)).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      val seg = "segment-(\\d+)\\.bin(\\.tmp)?".r
+      val man = "manifest-(\\d+)\\.json(\\.tmp)?".r
+      val doc = "docs-(\\d+)\\.bin(\\.tmp)?".r
+      name match {
+        case seg(b, _) if dead(b.toInt) => Files.deleteIfExists(p)
+        case man(b, _) if dead(b.toInt) => Files.deleteIfExists(p)
+        case doc(b, _) if dead(b.toInt) => Files.deleteIfExists(p)
+        case _ =>
+      }
+    }
+  }
+
+  /** Crash-recovery sweep: delete files of buckets that are BELOW the
+    * meta bucket counter but not in the live set — the droppings of a
+    * partial compaction that committed (meta rewritten) and crashed before
+    * its cleanup. Readers already ignore them (liveSegmentFiles / the live
+    * filters on docstore reads); this reclaims the space. Safe to call on
+    * any index; a no-op when live is unset (no partial compaction ever).
+    */
+  def sweepDead(spark: SparkSession, outDir: String): Unit = {
+    val meta = readMeta(outDir)
+    if (meta.live.isEmpty) return
+    val live = liveBucketSet(meta)
+    val dead = (0 until meta.buckets).filterNot(live).toSet
+    if (dead.nonEmpty) sweepBuckets(spark, outDir, dead)
+  }
+
+  /** PARTIAL compaction — fold `picks` (>= 2) live buckets into ONE new
+    * bucket IN PLACE, leaving every other bucket untouched: the tiered /
+    * LSM maintenance op. Where `compact` rewrites the whole index (cost
+    * linear in the INDEX), this is linear in the PICKED buckets — at
+    * 100 TB, folding a month of small daily-delta segments never touches
+    * the base corpus. No re-tokenize (the docstore already holds tfmaps),
+    * search results unchanged (stats are corpus-level; doc->bucket
+    * placement is not semantic; add-parity logic applies unchanged).
+    *
+    * Protocol (single writer, like every mutation; META REWRITE IS THE
+    * COMMIT POINT):
+    *   0. entry recovery: sweep dead buckets of a prior crashed compaction
+    *      and orphan buckets (>= meta.buckets) of a prior crashed attempt.
+    *   1. stage the merged rows under `<dir>/_staging/` (doc_id-sorted,
+    *      bucket = B = meta.buckets — an id readers treat as uncommitted),
+    *      write segment-B exchange-free from the staged file, verify the
+    *      merged manifest re-hashes to the XOR of the picked manifests'
+    *      lineage (order-independent row XOR => exact integrity check),
+    *      move the staged part-file into the docstore, write sidecar-B if
+    *      this is a serving index. Everything so far is invisible: readers
+    *      filter to the committed live set.
+    *   2. COMMIT: rewrite meta with buckets = B+1 and
+    *      live = live - picks + {B}. n/sumDl/avgdl are untouched.
+    *   3. cleanup: sweep the picked (now dead) buckets' files. A crash
+    *      between 2 and 3 leaves dead files every reader ignores;
+    *      sweepDead (or the next compactBuckets) reclaims them.
+    *
+    * Between 1 and 3 a doc's docstore rows exist twice (old part + merged
+    * part) — the doc_id-keyed readers are window-safe: snippet decoration
+    * keys a map by doc_id (identical content), sidecar ensure() and full
+    * compact() filter to live buckets.
+    */
+  def compactBuckets(spark: SparkSession, outDir: String, picks: Seq[Int]): Manifest = {
+    val meta = readMeta(outDir)
+    val live = liveBucketSet(meta)
+    require(picks.size >= 2, s"compactBuckets: need >= 2 buckets, got ${picks.size}")
+    require(picks.distinct.size == picks.size, "compactBuckets: duplicate picks")
+    val bad = picks.filterNot(live)
+    require(bad.isEmpty, s"compactBuckets: not live: ${bad.sorted.mkString(",")}")
+    val storePath = s"$outDir/docstore"
+    val newBucket = meta.buckets
+    // 0. entry recovery: prior crashed compaction (dead-but-listed) and
+    // prior crashed ATTEMPT (bucket >= counter) both fully undone
+    sweepDead(spark, outDir)
+    sweepBuckets(spark, outDir, b => b >= newBucket)
+
+    // integrity expectation: lineage is an order-independent XOR over rows,
+    // so the merged bucket must re-hash to the XOR of the picked manifests
+    val pickedMs = picks.sorted.map { b =>
+      readManifest(outDir, b).getOrElse(
+        throw new IllegalStateException(s"compactBuckets: missing manifest for live bucket $b"))
+    }
+    val expXor = pickedMs.map(_.lineageXor).reduce(_ ^ _)
+    val expN = pickedMs.map(_.nDocs).sum
+    val expSumDl = pickedMs.map(_.sumDl).sum
+
+    // 1a. stage merged rows as ONE doc_id-sorted file at the new bucket id
+    val staging = s"$outDir/_staging/compact-$newBucket"
+    val pickSet = picks.toSet
+    val store = spark.read.parquet(storePath)
+    val cols = store.columns.map(col)
+    store
+      .filter(col("bucket").isInCollection(pickSet))
+      .withColumn("bucket", lit(newBucket))
+      .select(cols: _*)
+      .repartition(1)
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(staging)
+
+    // 1b. segment-B from the staged file (exchange-free single-task read)
+    val ms = writeSegmentsFileAligned(spark, staging, outDir, None, meta.codec)
+    require(ms.size == 1 && ms.head.bucket == newBucket,
+      s"compactBuckets: expected one bucket $newBucket, got ${ms.map(_.bucket)}")
+    val m = ms.head
+    require(m.lineageXor == expXor && m.nDocs == expN && m.sumDl == expSumDl,
+      s"compactBuckets: merged bucket disagrees with picked manifests " +
+        s"(xor ${m.lineageXor} vs $expXor, n ${m.nDocs} vs $expN, sumDl ${m.sumDl} vs $expSumDl)")
+
+    // 1c. adopt the staged part-file into the docstore (atomic rename), then
+    // drop the staging dir; sidecar for serving indexes
+    val part = {
+      import scala.jdk.CollectionConverters._
+      val l = Files.list(Paths.get(staging))
+      val fs = try l.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq finally l.close()
+      require(fs.size == 1, s"compactBuckets: expected one staged parquet file, got ${fs.size}")
+      fs.head
+    }
+    Files.move(part, Paths.get(storePath, f"part-compact-$newBucket%05d.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val l = Files.walk(Paths.get(staging))
+      val all = try l.iterator().asScala.toSeq finally l.close()
+      all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+    }
+    if (DocSidecar.sidecarFiles(outDir).nonEmpty)
+      DocSidecar.writeBuckets(spark, outDir, Seq(newBucket))
+
+    // 2. COMMIT: the merged bucket replaces the picks in the live set
+    val newLive = ((live -- pickSet) + newBucket).toSeq.sorted
+    writeMeta(outDir, meta.copy(buckets = newBucket + 1, live = Some(newLive)))
+
+    // 3. cleanup (crash-safe to skip: readers ignore dead buckets)
+    sweepBuckets(spark, outDir, pickSet)
+    m
+  }
+
+  /** Size-tiered fold policy for [[compactBuckets]]: the live buckets whose
+    * segment is smaller than `maxBytes`, smallest first, capped at `maxFold`
+    * (the merged bucket must still fit one write task's memory bound — the
+    * same dial that sizes segments for serving). Returns Nil when fewer
+    * than 2 qualify — nothing worth folding. Deterministic: a pure
+    * function of the manifests.
+    */
+  def pickFoldable(outDir: String, maxBytes: Long, maxFold: Int = 16): Seq[Int] = {
+    val meta = readMeta(outDir)
+    val live = liveBucketSet(meta).toSeq.sorted
+    val sized = live.flatMap(b => readManifest(outDir, b).map(m => b -> m.bytes))
+      .filter(_._2 < maxBytes)
+      .sortBy { case (b, bytes) => (bytes, b) }
+      .take(maxFold)
+    if (sized.size < 2) Nil else sized.map(_._1)
   }
 
   /** Attach (dl, tfmap) — computed row-locally (a doc's terms never span
@@ -929,6 +1087,27 @@ object SegmentIndex {
     val meta = JsonMethods.parse(Files.readString(Paths.get(outDir, "index_meta.json"))).extract[Meta]
     require(meta.schemaVersion == SchemaVersion, s"unsupported schema version ${meta.schemaVersion}")
     meta
+  }
+
+  /** Bucket ids of the COMMITTED generation: meta.live when present (a
+    * partially-compacted index), else all of [0, meta.buckets).
+    */
+  def liveBucketSet(meta: Meta): Set[Int] =
+    meta.live.map(_.toSet).getOrElse((0 until meta.buckets).toSet)
+
+  private def bucketOf(segFile: String): Int =
+    segFile.replaceAll(".*segment-(\\d+)\\.bin$", "$1").toInt
+
+  /** Committed-generation segment files: the directory listing filtered to
+    * the live bucket set. Readers MUST use this, not `segmentFiles`:
+    * orphan bucket files from a crashed addDocuments (bucket >= buckets,
+    * swept by the next add) and dead pre-compaction buckets (awaiting
+    * sweep) are on disk but NOT part of the committed index — loading them
+    * would serve phantom docs under stats that exclude them.
+    */
+  def liveSegmentFiles(outDir: String): Seq[String] = {
+    val live = liveBucketSet(readMeta(outDir))
+    segmentFiles(outDir).filter(f => live(bucketOf(f)))
   }
 
   def segmentFiles(outDir: String): Seq[String] = {

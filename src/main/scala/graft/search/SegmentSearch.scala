@@ -116,7 +116,7 @@ object SegmentSearch {
       k: Int
   ): Map[Int, Seq[(Long, Double)]] = {
     val meta = SegmentIndex.readMeta(indexDir)
-    val files = SegmentIndex.segmentFiles(indexDir)
+    val files = SegmentIndex.liveSegmentFiles(indexDir)
     val parsed: Seq[(Int, ParsedQuery)] = queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
     val avgdl = meta.avgdl
 
@@ -245,7 +245,7 @@ object SegmentSearch {
   ): Map[Int, Seq[(Long, Double)]] = {
     val meta = SegmentIndex.readMeta(indexDir)
     DocSidecar.ensure(spark, indexDir) // idempotent; sidecars are derived data
-    val files = SegmentIndex.segmentFiles(indexDir)
+    val files = SegmentIndex.liveSegmentFiles(indexDir)
     val parsed: Seq[(Int, IndexedSeq[String])] =
       phrases.zipWithIndex.map { case (p, i) => (i, Tokenizer.tokenize(p).toIndexedSeq) }
     val avgdl = meta.avgdl
@@ -309,7 +309,7 @@ object SegmentSearch {
     val norm = Tokenizer.tokenize(prefix)
     if (norm.size != 1) return Nil
     val p = norm.head
-    val files = SegmentIndex.segmentFiles(indexDir)
+    val files = SegmentIndex.liveSegmentFiles(indexDir)
     import spark.implicits._
     spark
       .createDataset(files)(Encoders.STRING)
@@ -352,7 +352,7 @@ object SegmentSearch {
   ): Map[Int, Seq[(Long, Double)]] = {
     val meta = SegmentIndex.readMeta(indexDir)
     DocSidecar.ensure(spark, indexDir)
-    val files = SegmentIndex.segmentFiles(indexDir)
+    val files = SegmentIndex.liveSegmentFiles(indexDir)
     val parsed: Seq[(Int, ParsedQuery)] =
       queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
     val avgdl = meta.avgdl

@@ -93,6 +93,46 @@ class CliSpec extends AnyFunSuite {
     assert(CompactJob.run(Array("a", "b", "0")) == 2)
   }
 
+  test("CompactJob: partial-mode argument matrix (exit 2/3 before work)") {
+    assert(CompactJob.run(Array("--fold=2,3", "--auto", "dir")) == 2) // conflict
+    assert(CompactJob.run(Array("--fold=", "dir")) == 2) // empty list
+    assert(CompactJob.run(Array("--fold=2,x", "dir")) == 2) // non-integer
+    assert(CompactJob.run(Array("--auto=0", "dir")) == 2) // non-positive bytes
+    assert(CompactJob.run(Array("--auto=zz", "dir")) == 2)
+    assert(CompactJob.run(Array("--fold=2,3")) == 2) // missing dir
+    assert(CompactJob.run(Array("--fold=2,3", "a", "b")) == 2) // partial takes ONE dir
+    assert(CompactJob.run(Array("--auto", "/not/an/index")) == 3)
+  }
+
+  test("CompactJob: --fold and --auto fold delta buckets in place end-to-end") {
+    val sp = graft.spark.Sessions.local(8, 4, "graft-cli-fold")
+    val spark = sp
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft-cli-fold").toString
+    val docs = (1L to 30L).map(i => (i, s"alpha bravo${i % 5} charlie", "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    graft.index.SegmentIndex.build(docs, dir, 2)
+    val d1 = Seq((31L, "alpha delta charlie", "s", "en")).toDF("doc_id", "text", "source", "lang")
+    val d2 = Seq((32L, "alpha echo charlie", "s", "en")).toDF("doc_id", "text", "source", "lang")
+    graft.index.SegmentIndex.addDocuments(d1, dir, 1)
+    graft.index.SegmentIndex.addDocuments(d2, dir, 1)
+    val before = graft.search.SegmentSearch.searchBatch(spark, dir, Seq("alpha charlie"), 10)(0)
+
+    assert(CompactJob.run(Array("--fold=2,3", dir)) == 0)
+    val meta = graft.index.SegmentIndex.readMeta(dir)
+    assert(meta.live.contains(Seq(0, 1, 4)), meta)
+    assert(graft.search.SegmentSearch.searchBatch(spark, dir, Seq("alpha charlie"), 10)(0) == before)
+
+    // --auto with a tiny threshold finds nothing to fold (exit 0, no-op)
+    assert(CompactJob.run(Array("--auto=1", dir)) == 0)
+    assert(graft.index.SegmentIndex.readMeta(dir).buckets == 5)
+    // --auto default folds the two small base buckets with the merged one
+    assert(CompactJob.run(Array("--auto", dir)) == 0)
+    val meta2 = graft.index.SegmentIndex.readMeta(dir)
+    assert(meta2.live.exists(_.size < 3), meta2)
+    assert(graft.search.SegmentSearch.searchBatch(spark, dir, Seq("alpha charlie"), 10)(0) == before)
+  }
+
   test("CompactJob: src == dst is an argument conflict (exit 2)") {
     val d = tmp()
     assert(CompactJob.run(Array(d, d, "4")) == 2)

@@ -217,6 +217,91 @@ class SegmentSpec extends SparkTestBase {
     assert(c == a)
   }
 
+  test("committed-generation reads: orphan bucket files from a crashed add are never loaded") {
+    val docs = (1L to 30L).map(i => i -> s"alpha bravo${i % 5} charlie")
+    val (dir, _) = buildTiny(docs, buckets = 2)
+    val baseline = SegmentSearch.searchBatch(spark, dir, Seq("alpha charlie", "bravo1"), 10)
+    // a crashed addDocuments leaves bucket files >= meta.buckets; they are
+    // NOT part of the committed index — loading this garbage would throw
+    Files.write(Paths.get(dir, "segment-00099.bin"), Array[Byte](1, 2, 3, 4))
+    Files.writeString(Paths.get(dir, "manifest-00099.json"), "{}")
+    assert(SegmentIndex.liveSegmentFiles(dir).size == 2)
+    val after = SegmentSearch.searchBatch(spark, dir, Seq("alpha charlie", "bravo1"), 10)
+    assert(after == baseline)
+  }
+
+  test("compactBuckets: folds delta buckets in place — results, stats, adds, snapshot all survive") {
+    val base = (1L to 40L).map(i => i -> s"alpha bravo${i % 7} charlie delta${i % 3}")
+    val d1 = (41L to 50L).map(i => i -> s"alpha echo${i % 4} charlie")
+    val d2 = (51L to 60L).map(i => i -> s"bravo1 echo${i % 4} foxtrot")
+    val queries = Seq("alpha charlie", "bravo1 OR echo2", "charlie -delta1", "foxtrot")
+
+    val dir = tmpDir()
+    SegmentIndex.build(docsDF(base), dir, 2)
+    graft.index.DocSidecar.ensure(spark, dir) // serving index: sidecars must follow compaction
+    SegmentIndex.addDocuments(docsDF(d1), dir, 1)
+    SegmentIndex.addDocuments(docsDF(d2), dir, 1)
+    val before = SegmentSearch.searchBatch(spark, dir, queries, 10)
+    val metaBefore = SegmentIndex.readMeta(dir)
+    assert(metaBefore.buckets == 4)
+
+    // fold the two delta buckets into one; base buckets untouched
+    val m = SegmentIndex.compactBuckets(spark, dir, Seq(2, 3))
+    assert(m.bucket == 4 && m.nDocs == 20)
+    val meta = SegmentIndex.readMeta(dir)
+    assert(meta.buckets == 5 && meta.live.contains(Seq(0, 1, 4)), meta)
+    assert((meta.n, meta.sumDl) == ((metaBefore.n, metaBefore.sumDl)))
+    assert(SegmentIndex.segmentFiles(dir).size == 3, "dead bucket files must be swept")
+    assert(Files.exists(Paths.get(graft.index.DocSidecar.sidecarPath(dir, 4).toString)))
+    assert(!Files.exists(Paths.get(graft.index.DocSidecar.sidecarPath(dir, 2).toString)))
+
+    // identical answers (df = sum of local dfs is merge-invariant)
+    val after = SegmentSearch.searchBatch(spark, dir, queries, 10)
+    assert(after == before)
+    // snippet decoration still exact over the rewritten docstore
+    val hits = SegmentSearch.searchWithSnippets(spark, dir, "alpha charlie", 5)
+    assert(hits.nonEmpty && hits.forall(_.snippet.nonEmpty))
+
+    // adds keep working at the moved offset and parity with a full rebuild holds
+    val d3 = (61L to 70L).map(i => i -> s"alpha golf${i % 3} charlie")
+    SegmentIndex.addDocuments(docsDF(d3), dir, 1)
+    val meta2 = SegmentIndex.readMeta(dir)
+    assert(meta2.buckets == 6 && meta2.live.contains(Seq(0, 1, 4, 5)), meta2)
+    val full = tmpDir()
+    SegmentIndex.build(docsDF(base ++ d1 ++ d2 ++ d3), full, 3)
+    val qs2 = queries :+ "golf1 alpha"
+    assert(SegmentSearch.searchBatch(spark, dir, qs2, 10) ==
+      SegmentSearch.searchBatch(spark, full, qs2, 10))
+
+    // crash window: a dead file resurrected after commit is ignored, then swept
+    Files.write(Paths.get(dir, "segment-00002.bin"), Array[Byte](9, 9))
+    assert(SegmentSearch.searchBatch(spark, dir, queries, 10) == SegmentSearch.searchBatch(spark, full, queries, 10))
+    SegmentIndex.sweepDead(spark, dir)
+    assert(!Files.exists(Paths.get(dir, "segment-00002.bin")))
+
+    // the live set flows through snapshot/restore and full compaction
+    val snap = tmpName()
+    assert(graft.app.SnapshotJob.run(Array("snapshot", dir, snap)) == 0)
+    val restored = tmpName()
+    assert(graft.app.SnapshotJob.run(Array("restore", snap, restored)) == 0)
+    assert(SegmentSearch.searchBatch(spark, restored, qs2, 10) ==
+      SegmentSearch.searchBatch(spark, dir, qs2, 10))
+    val recompacted = tmpDir()
+    SegmentIndex.compact(spark, dir, recompacted, 2)
+    assert(SegmentSearch.searchBatch(spark, recompacted, qs2, 10) ==
+      SegmentSearch.searchBatch(spark, dir, qs2, 10))
+
+    // guards: non-live picks and trivial picks fail loudly
+    intercept[IllegalArgumentException](SegmentIndex.compactBuckets(spark, dir, Seq(2, 3)))
+    intercept[IllegalArgumentException](SegmentIndex.compactBuckets(spark, dir, Seq(0)))
+  }
+
+  private def tmpName(): String = {
+    val p = Files.createTempDirectory("graft-seg-snap")
+    Files.delete(p)
+    p.toString
+  }
+
   test("property: WAND over segments rank/score-identical to RefEngine (random corpora+queries)") {
     val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel", "india", "x9")
     val rnd = new Random(1234)
