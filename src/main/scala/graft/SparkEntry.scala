@@ -32,48 +32,43 @@ object SparkEntry {
   private def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  // On-disk segment index per (app, corpus) — lets the oracle gates cover
-  // the SEGMENT tier (v5 files + block-max WAND + sidecar) end-to-end, not
-  // just the dataflow engine.
-  private val segDirCache = scala.collection.concurrent.TrieMap[String, String]()
+  // On-disk index variants per (tag, app, corpus) — one cache for every
+  // gate that needs a real segment index on disk (the gates cover index
+  // STORAGE variants against the same oracle SQL, so each tag is one
+  // build recipe).
+  private val indexDirCache = scala.collection.concurrent.TrieMap[String, String]()
 
+  private def cachedIndexDir(spark: SparkSession, dir: String, tag: String)(
+      build: String => Unit): String =
+    indexDirCache.getOrElseUpdate(
+      s"$tag|${spark.sparkContext.applicationId}|$dir", {
+        val out = java.nio.file.Files.createTempDirectory(s"graft-entry-$tag").toString
+        build(out)
+        out
+      }
+    )
+
+  /** v5 varint segments — the default SEGMENT tier under the oracle. */
   private def segmentDir(spark: SparkSession, dir: String): String =
-    segDirCache.getOrElseUpdate(
-      spark.sparkContext.applicationId + "|" + dir, {
-        val out = java.nio.file.Files.createTempDirectory("graft-entry-seg").toString
-        graft.index.SegmentIndex.build(documents(spark, dir), out, buckets = 8)
-        out
-      }
-    )
+    cachedIndexDir(spark, dir, "seg") { out =>
+      graft.index.SegmentIndex.build(documents(spark, dir), out, buckets = 8)
+    }
 
-  // PFOR-coded twin of segmentDir — the north_rule's alternative posting
-  // codec ("varint/PForDelta") under the same oracle.
-  private val pforSegDirCache = scala.collection.concurrent.TrieMap[String, String]()
-
+  /** PFOR-coded twin — the north_rule's alternative posting codec. */
   private def pforSegmentDir(spark: SparkSession, dir: String): String =
-    pforSegDirCache.getOrElseUpdate(
-      spark.sparkContext.applicationId + "|" + dir, {
-        val out = java.nio.file.Files.createTempDirectory("graft-entry-pfor").toString
-        graft.index.SegmentIndex.build(documents(spark, dir), out, buckets = 8,
-          codec = graft.index.BlockCodec.CodecPfor)
-        out
-      }
-    )
+    cachedIndexDir(spark, dir, "pfor") { out =>
+      graft.index.SegmentIndex.build(documents(spark, dir), out, buckets = 8,
+        codec = graft.index.BlockCodec.CodecPfor)
+    }
 
-  // Partially-compacted twin of segmentDir: three base buckets folded into
-  // one merged bucket via compactBuckets (meta.live engaged) — the LSM
-  // maintenance path under the same oracle.
-  private val foldedSegDirCache = scala.collection.concurrent.TrieMap[String, String]()
-
+  /** Partially-compacted twin: buckets 5-7 folded into one merged bucket
+    * via compactBuckets (meta.live engaged) — the LSM maintenance path.
+    */
   private def foldedSegmentDir(spark: SparkSession, dir: String): String =
-    foldedSegDirCache.getOrElseUpdate(
-      spark.sparkContext.applicationId + "|" + dir, {
-        val out = java.nio.file.Files.createTempDirectory("graft-entry-fold").toString
-        graft.index.SegmentIndex.build(documents(spark, dir), out, buckets = 8)
-        graft.index.SegmentIndex.compactBuckets(spark, out, Seq(5, 6, 7))
-        out
-      }
-    )
+    cachedIndexDir(spark, dir, "fold") { out =>
+      graft.index.SegmentIndex.build(documents(spark, dir), out, buckets = 8)
+      graft.index.SegmentIndex.compactBuckets(spark, out, Seq(5, 6, 7))
+    }
 
   // Multi-tenant catalog per (app, corpus): per-tenant SegmentIndexes for
   // the two gate tenants, built through the REAL staging path (one
@@ -104,7 +99,7 @@ object SparkEntry {
         val sd = segmentDir(spark, dir)
         graft.index.DocSidecar.ensure(spark, sd)
         val meta = graft.index.SegmentIndex.readMeta(sd)
-        val segs = graft.index.SegmentIndex.liveSegmentFiles(sd)
+        val segs = graft.index.SegmentIndex.liveSegmentFiles(sd, meta)
           .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
         (new graft.search.SegmentSearch.ServingEngine(segs, meta),
          graft.index.DocSidecar.openStore(sd).get)
@@ -1095,12 +1090,13 @@ object SparkEntry {
          |  FROM documents
          |), red AS (
          |  SELECT doc_id, t,
+         |         regexp_replace(t, '$email', '<EMAIL>', 'g') AS after_email,
          |         regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g') AS after_ip
          |  FROM aug
          |)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '$email')) AS INTEGER) AS n_email,
-         |  CAST(len(regexp_extract_all(t, '$ipv4')) AS INTEGER) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(after_email, '$ipv4')) AS INTEGER) AS n_ipv4,
          |  CAST(len(regexp_extract_all(after_ip, '$idnum')) AS INTEGER) AS n_idnum,
          |  regexp_replace(after_ip, '$idnum', '<IDNUM>', 'g') AS clean_text
          |FROM red""".stripMargin

@@ -62,6 +62,8 @@ object CompactJob {
           val ints = parts.map(_.toIntOption)
           if (parts.isEmpty || ints.exists(_.isEmpty))
             return usageErr(s"--fold= needs a comma-separated bucket list, got '${fold.get}'")
+          if (ints.flatten.distinct.size != ints.size)
+            return usageErr(s"--fold= has duplicate bucket ids: '${fold.get}'")
           Some(ints.flatten)
         case None => None
       }

@@ -77,6 +77,11 @@ object IndexJob {
     val outDir = pos(1)
     val codeAware = flags.contains("--code-aware")
     val addMode = flags.contains("--add")
+    // --add inherits the existing index's codec from its meta (and the
+    // bootstrap of a missing index is an operational surprise to codec-pin);
+    // accepting-and-ignoring the flag would be worse than refusing
+    if (addMode && flags.exists(_.startsWith("--codec=")))
+      return usageErr("--codec applies to fresh builds; --add inherits the index codec")
 
     // --- exit-3 layer (runtime preconditions, before Spark starts)
     if (source.contains("/") && !Files.exists(Paths.get(source)))

@@ -548,7 +548,7 @@ object SearchServer {
       s"$f|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
     }
     val segEntries: Seq[(String, SegmentIndex.LoadedSegment)] =
-      SegmentIndex.liveSegmentFiles(indexDir).map { f =>
+      SegmentIndex.liveSegmentFiles(indexDir, meta).map { f =>
         val k = fileKey(f)
         k -> prev.flatMap(_.segmentsByKey.get(k)).getOrElse(SegmentIndex.loadSegment(f))
       }

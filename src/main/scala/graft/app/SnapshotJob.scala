@@ -20,11 +20,15 @@ import graft.index.SegmentIndex
   * committed `Meta.buckets` and commit by rewriting index_meta.json (the
   * commit point). So `snapshot` (a) reads the meta BYTES first, pinning a
   * generation, (b) copies only the files that generation references
-  * (segment/manifest/sidecar files with bucket >= Meta.buckets are an
-  * uncommitted in-flight add and are excluded; the snapshot's meta is the
-  * HELD bytes, not a re-read), and (c) re-reads meta after the copy — if a
-  * mutation committed mid-copy the bytes differ and the attempt is voided
-  * and retried (bounded), so a torn copy can never verify clean. Orphan
+  * (segment/manifest/sidecar buckets outside the pinned meta's LIVE set
+  * are an uncommitted in-flight add or dead droppings; the snapshot's
+  * meta is the HELD bytes, not a re-read), and (c) re-reads meta after
+  * the copy — if a mutation committed mid-copy the bytes differ and the
+  * attempt is voided and retried (bounded), so a torn copy can never
+  * verify clean. One mutation DOES delete committed files: a partial
+  * compaction's post-commit sweep — a pinned file vanishing mid-copy
+  * (NoSuchFileException) is therefore treated exactly like the stability
+  * check firing: void the attempt and retry against the new generation. Orphan
   * docstore part-files from an in-flight add may ride along by name, but
   * are inert: their doc_ids lie beyond the held meta's `n` (no committed
   * segment can hit them) and the next addDocuments' orphan sweep deletes
@@ -197,6 +201,16 @@ object SnapshotJob {
           return 0
         }
       } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          // a concurrent partial compaction committed and swept a file this
+          // attempt had pinned — same situation as the meta stability check
+          // firing, handled the same way: void the attempt and retry
+          deleteRecursively(tmp)
+          if (attempt >= SnapshotAttempts)
+            return runtimeErr(
+              s"index mutated during every snapshot attempt ($SnapshotAttempts tries) — quiesce maintenance or retry")
+          System.err.println(s"SnapshotJob: pinned file vanished mid-copy (${e.getFile}; attempt $attempt) — retrying")
+          attempt += 1
         case e: Exception =>
           // a failed snapshot never leaves a directory that looks complete
           deleteRecursively(tmp)

@@ -549,10 +549,12 @@ object SegmentIndex {
     require(bad.isEmpty, s"compactBuckets: not live: ${bad.sorted.mkString(",")}")
     val storePath = s"$outDir/docstore"
     val newBucket = meta.buckets
-    // 0. entry recovery: prior crashed compaction (dead-but-listed) and
-    // prior crashed ATTEMPT (bucket >= counter) both fully undone
-    sweepDead(spark, outDir)
-    sweepBuckets(spark, outDir, b => b >= newBucket)
+    // 0. entry recovery, ONE scan: dead droppings of a committed prior
+    // compaction that crashed before its cleanup AND leftovers of a prior
+    // crashed attempt (bucket >= counter) — the same footer-only docstore
+    // scan every addDocuments already pays for its own orphan sweep
+    val deadSet = (0 until newBucket).filterNot(live).toSet
+    sweepBuckets(spark, outDir, b => deadSet(b) || b >= newBucket)
 
     // integrity expectation: lineage is an order-independent XOR over rows,
     // so the merged bucket must re-hash to the XOR of the picked manifests
@@ -1105,8 +1107,16 @@ object SegmentIndex {
     * sweep) are on disk but NOT part of the committed index — loading them
     * would serve phantom docs under stats that exclude them.
     */
-  def liveSegmentFiles(outDir: String): Seq[String] = {
-    val live = liveBucketSet(readMeta(outDir))
+  def liveSegmentFiles(outDir: String): Seq[String] =
+    liveSegmentFiles(outDir, readMeta(outDir))
+
+  /** Meta-paired variant: callers that already hold a Meta MUST pass it, so
+    * the stats and the file set come from ONE generation — a second readMeta
+    * could observe a newer commit and pair gen-G stats with gen-G+1 files
+    * (docs scored under idf/avgdl that exclude them).
+    */
+  def liveSegmentFiles(outDir: String, meta: Meta): Seq[String] = {
+    val live = liveBucketSet(meta)
     segmentFiles(outDir).filter(f => live(bucketOf(f)))
   }
 

@@ -44,17 +44,21 @@ object Pii {
         Ipv4Re, Ipv4Token),
       IdNumRe, IdNumToken)
 
-  /** (doc_id, n_email, n_ipv4, n_idnum, clean_text): per-class match counts
-    * on the original text (idnum counted on the ipv4-redacted text so an IP
-    * is never double-counted as a digit run) + the fully redacted text.
+  /** (doc_id, n_email, n_ipv4, n_idnum, clean_text): per-class REDACTION
+    * counts + the fully redacted text. Each class is counted on the text
+    * the previous stage produced — exactly what its redaction pass sees —
+    * so counts always equal emitted tokens: an IP-shaped substring inside
+    * an email never books an <IP> (the email swallowed it), and a dotted
+    * octet never books an <IDNUM>.
     */
   def scrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val afterIp = regexp_replace(regexp_replace(t, EmailRe, EmailToken), Ipv4Re, Ipv4Token)
+    val afterEmail = regexp_replace(t, EmailRe, EmailToken)
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, Ipv4Token)
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_email"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ipv4"),
       size(regexp_extract_all(afterIp, lit(IdNumRe), lit(0))).as("n_idnum"),
       redact(t).as("clean_text")
     )

@@ -116,7 +116,7 @@ object SegmentSearch {
       k: Int
   ): Map[Int, Seq[(Long, Double)]] = {
     val meta = SegmentIndex.readMeta(indexDir)
-    val files = SegmentIndex.liveSegmentFiles(indexDir)
+    val files = SegmentIndex.liveSegmentFiles(indexDir, meta)
     val parsed: Seq[(Int, ParsedQuery)] = queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
     val avgdl = meta.avgdl
 
@@ -245,7 +245,7 @@ object SegmentSearch {
   ): Map[Int, Seq[(Long, Double)]] = {
     val meta = SegmentIndex.readMeta(indexDir)
     DocSidecar.ensure(spark, indexDir) // idempotent; sidecars are derived data
-    val files = SegmentIndex.liveSegmentFiles(indexDir)
+    val files = SegmentIndex.liveSegmentFiles(indexDir, meta)
     val parsed: Seq[(Int, IndexedSeq[String])] =
       phrases.zipWithIndex.map { case (p, i) => (i, Tokenizer.tokenize(p).toIndexedSeq) }
     val avgdl = meta.avgdl
@@ -352,7 +352,7 @@ object SegmentSearch {
   ): Map[Int, Seq[(Long, Double)]] = {
     val meta = SegmentIndex.readMeta(indexDir)
     DocSidecar.ensure(spark, indexDir)
-    val files = SegmentIndex.liveSegmentFiles(indexDir)
+    val files = SegmentIndex.liveSegmentFiles(indexDir, meta)
     val parsed: Seq[(Int, ParsedQuery)] =
       queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
     val avgdl = meta.avgdl

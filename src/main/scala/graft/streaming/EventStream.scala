@@ -61,13 +61,17 @@ object EventStream {
     * custom state code). Emits one row per CLOSED session:
     * (user_id, session_start epoch-secs, ev = events in session).
     *
-    * Boundary alignment with the batch rule: the batch operator breaks a
-    * session when the gap is STRICTLY GREATER than `gapMinutes` (a gap of
-    * exactly 30:00 stays in-session). Spark's session window is half-open
-    * [start, lastEvent + gap), so an event at exactly lastEvent + gap would
-    * SPLIT — one second of slack (gapMinutes*60 + 1) makes the stream merge
-    * exactly when the batch rule merges (timestamps are whole seconds in
-    * this schema's domain).
+    * Boundary alignment with the batch rule: the batch operator computes
+    * gaps with `unix_timestamp` (WHOLE SECONDS) and breaks a session when
+    * the floored gap is STRICTLY GREATER than `gapMinutes` (exactly 30:00
+    * stays in-session). The stream floors event time to seconds with
+    * date_trunc — TimestampType is micros-precision and a sub-second
+    * producer must round the same way the batch rule does. Spark merges
+    * session windows that overlap OR TOUCH (an event at exactly
+    * lastEvent + gap extends the session — StreamingSpec pins this with a
+    * gap-exactly and gap-plus-one pair), so the native `merge iff
+    * diff <= gap` IS the strictly-greater batch rule with gap =
+    * gapMinutes*60 exactly — for ANY timestamp precision.
     *
     * Append mode + watermark: a session is emitted once the watermark
     * passes its close — so the LAST session of each user only flushes when
@@ -87,9 +91,10 @@ object EventStream {
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", 1) // one file per micro-batch: the watermark from batch N closes sessions in batch N+1
       .parquet(inputDir)
-      .withWatermark("ts", watermarkDelay)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withWatermark("ts_s", watermarkDelay)
       .groupBy(
-        session_window(col("ts"), s"${gapMinutes * 60 + 1} seconds").as("sw"),
+        session_window(col("ts_s"), s"${gapMinutes * 60} seconds").as("sw"),
         col("user_id"))
       .agg(count(lit(1)).as("ev"))
       .select(

@@ -30,6 +30,10 @@ class PiiSpec extends SparkTestBase {
     assert((e1, i1, d1) == ((0, 1, 0)) && t1 == "just <IP> here")
     val (e2, i2, d2, t2) = scrubOne("mail 12345678901@example.io sent")
     assert((e2, i2, d2) == ((1, 0, 0)) && t2 == "mail <EMAIL> sent")
+    // an IP-shaped substring inside an email books NO <IP>: counts are
+    // per-stage, so they always equal the tokens actually emitted
+    val (e3, i3, d3, t3) = scrubOne("john.1.2.3.4@example.com wrote")
+    assert((e3, i3, d3) == ((1, 0, 0)) && t3 == "<EMAIL> wrote")
   }
 
   test("clean text: no matches means untouched text and zero counts") {

@@ -42,9 +42,15 @@ class StreamingSpec extends SparkTestBase {
     //   user 1: gaps 10, EXACTLY 30 (merge: batch rule is strictly-greater),
     //           31 (split) -> 2 sessions, max 3 events
     //   user 2: single event -> 1 session of 1
+    def tsMs(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
     val hand = Seq(
       (1L, ts(0), 1L), (2L, ts(10), 1L), (3L, ts(40), 1L), (4L, ts(71), 1L),
-      (5L, ts(5), 2L)
+      (5L, ts(5), 2L),
+      // sub-second timestamps: the batch rule floors to seconds
+      // (unix_timestamp), so 0.0s -> 1800.5s is a 1800-second gap (merge)
+      (6L, tsMs(0), 10L), (7L, tsMs(1800500), 10L),
+      // and 0.9s -> 1801.0s floors to 1801 (split)
+      (8L, tsMs(900), 11L), (9L, tsMs(1801000), 11L)
     )
     val rnd = new scala.util.Random(17)
     val bulk = (100L to 400L).map(i => (i, ts(rnd.nextInt(600).toLong), 3L + i % 7))
@@ -76,6 +82,8 @@ class StreamingSpec extends SparkTestBase {
     assert(streaming == batch, s"streaming=$streaming batch=$batch")
     assert(batch(1L) == ((2L, 3L)), "exact-30:00 gap must merge; 31-min gap must split")
     assert(batch(2L) == ((1L, 1L)))
+    assert(batch(10L) == ((1L, 2L)), "floor-second gap 1800 must merge (sub-second input)")
+    assert(batch(11L) == ((2L, 1L)), "floor-second gap 1801 must split (sub-second input)")
   }
 
   /** The dedup scenario, parameterized by state-store provider: three
