@@ -295,6 +295,25 @@ object SparkEntry {
        |${scoresCte(Nil, isOr = true, termFilterSql = Some("levenshtein(term, 'hast') <= 1"), uniformWeight = true)}
        |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin
 
+  /** "Did you mean" twin: exact presence wins, else argmax df within
+    * Levenshtein <= 1 (ties byte-lex asc), else the term itself with df 0 —
+    * DuckDB's levenshtein() IS graft.core.EditDistance's unit-cost metric.
+    */
+  private lazy val didYouMeanOracleSql: String =
+    s"""$tokCte,
+       |q(pos, term) AS (SELECT * FROM (VALUES (1, 'tble'), (2, 'scann'), (3, 'merge'), (4, 'zzznotaword')) v(pos, term)),
+       |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok2 GROUP BY term),
+       |cand AS (
+       |  SELECT q.pos, d.term AS suggestion, d.df,
+       |         row_number() OVER (PARTITION BY q.pos
+       |           ORDER BY (d.term = q.term) DESC, d.df DESC, d.term ASC) AS rn
+       |  FROM q JOIN d ON levenshtein(q.term, d.term) <= 1
+       |)
+       |SELECT CAST(q.pos AS BIGINT) AS pos, q.term,
+       |       COALESCE(c.suggestion, q.term) AS suggestion,
+       |       CAST(COALESCE(c.df, 0) AS BIGINT) AS df
+       |FROM q LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON q.pos = c.pos""".stripMargin
+
   /** RAG context twin (dataflow + serving tiers): hits-meta columns + the
     * reference snippet expression (earliest term occurrence, 120-char window
     * from max(0, pos - 40)).
@@ -403,6 +422,18 @@ object SparkEntry {
     //     'hast' -> {fast, hash}) ---
     "q_fuzzy_topk" -> ((s, dir) =>
       rankTopK(engine(s, dir).fuzzyScoredDF("hast", maxDist = 1), 20)),
+    // --- "did you mean" spell correction (extension: exact presence wins,
+    //     else highest-df dictionary term within Levenshtein <= 1, ties
+    //     byte-lex, else the term itself with df 0) ---
+    "q_didyoumean" -> ((s, dir) =>
+      engine(s, dir).didYouMeanDF("tble scann merge zzznotaword")),
+    // --- serving twin: per-segment dictionaries, global df = sum of local
+    //     dfs -> bit-identical pick ---
+    "q_didyoumean_serving" -> ((s, dir) => {
+      import s.implicits._
+      serving(s, dir)._1.didYouMean("tble scann merge zzznotaword")
+        .toDF("pos", "term", "suggestion", "df")
+    }),
     // --- RAG context pack (Phase 11b retrieval half: ranked top-k with
     //     citation metadata + query-focused snippet) ---
     "q_rag_context" -> ((s, dir) =>
@@ -798,6 +829,8 @@ object SparkEntry {
     // fuzzy twin: dataflow + serving tiers answer the same SQL
     "q_fuzzy_topk" -> fuzzyOracleSql,
     "q_fuzzy_serving_topk" -> fuzzyOracleSql,
+    "q_didyoumean" -> didYouMeanOracleSql,
+    "q_didyoumean_serving" -> didYouMeanOracleSql,
     // RAG context twin: dataflow + serving tiers answer the same SQL
     "q_rag_context" -> ragOracleSql,
     "q_rag_serving" -> ragOracleSql,

@@ -215,6 +215,47 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     scoredDF(ParsedQuery(expanded, Nil, isOr = true))
   }
 
+  /** "Did you mean" spell correction — EXTENSION (the product-gap row that
+    * motivates typo tolerance, /root/reference/COMMERCIAL_ROADMAP.md:31 —
+    * the query-suggestion half, next to fuzzyScoredDF's retrieval half).
+    * For each positive query term, in order: an IN-VOCABULARY term is its
+    * own suggestion (exact presence wins regardless of neighbors' df); an
+    * out-of-vocabulary term suggests the HIGHEST-df dictionary term within
+    * Levenshtein <= maxDist (ties -> byte-lex ascending); no candidate ->
+    * the term itself with df 0. Returns (pos, term, suggestion, df).
+    *
+    * Scale shape: ONE vocabulary-bounded dictionary pass per query (all
+    * terms' length bands OR-ed into the pushed-down filter, candidates
+    * collected once); the per-term pick runs on the tiny collected set.
+    */
+  def didYouMeanDF(query: String, maxDist: Int = 1): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val terms = QueryParser.parse(query).terms
+    if (terms.isEmpty)
+      return spark.emptyDataset[(Long, String, String, Long)].toDF("pos", "term", "suggestion", "df")
+    val tset = terms.distinct
+    val within = udf((cand: String) =>
+      tset.exists(t => graft.core.EditDistance.within(cand, t, maxDist)))
+    val lenOk = tset
+      .map(t => length(col("term")).between(t.length - maxDist, t.length + maxDist))
+      .reduce(_ || _)
+    val cands = index.dfTable
+      .filter(lenOk)
+      .filter(within(col("term")))
+      .select(col("term"), col("df"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = terms.zipWithIndex.map { case (t, i) =>
+      val mine = cands.filter(c => graft.core.EditDistance.within(c._1, t, maxDist))
+      val pick = mine.find(_._1 == t)
+        .orElse(mine.sortBy { case (term, df) => (-df, term) }.headOption)
+        .getOrElse((t, 0L))
+      (i + 1L, t, pick._1, pick._2)
+    }
+    rows.toDF("pos", "term", "suggestion", "df")
+  }
+
   /** Retrieval half of the reference's Phase 11b RAG plan
     * (/root/reference/COMMERCIAL_ROADMAP.md:57-59: question -> "answer with a
     * citation to the exact page of the exact document"): the ranked top-k

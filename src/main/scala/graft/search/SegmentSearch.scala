@@ -571,6 +571,36 @@ object SegmentSearch {
       else search(ParsedQuery(expanded, Nil, isOr = true), k)
     }
 
+    /** Serving twin of `SearchEngine.didYouMeanDF` — same pick rule (exact
+      * presence wins; else highest GLOBAL df within Levenshtein <= maxDist,
+      * ties byte-lex; else the term itself with df 0). Global df = Σ of the
+      * segments' local dfs, so the answer is bit-identical to the dataflow
+      * tier's. One dictionary scan per request (the searchFuzzy note).
+      */
+    def didYouMean(query: String, maxDist: Int = 1): Seq[(Long, String, String, Long)] = {
+      val terms = QueryParser.parse(query).terms
+      if (terms.isEmpty) return Nil
+      val tset = terms.distinct
+      val dfs = scala.collection.mutable.HashMap[String, Long]()
+      segments.foreach { seg =>
+        seg.terms.foreach { case (cand, td) =>
+          if (tset.exists(t =>
+            math.abs(cand.length - t.length) <= maxDist &&
+              graft.core.EditDistance.within(cand, t, maxDist)))
+            dfs.update(cand, dfs.getOrElse(cand, 0L) + td.df)
+        }
+      }
+      terms.zipWithIndex.map { case (t, i) =>
+        val mine = dfs.iterator
+          .filter { case (cand, _) => graft.core.EditDistance.within(cand, t, maxDist) }
+          .toSeq
+        val pick = mine.find(_._1 == t)
+          .orElse(mine.sortBy { case (term, df) => (-df, term) }.headOption)
+          .getOrElse((t, 0L))
+        (i + 1L, t, pick._1, pick._2)
+      }
+    }
+
     /** Metadata-filtered fuzzy search — the expansion scored OR-mode with the
       * Phase-9 filter verified in rank order (see `searchFiltered`).
       */

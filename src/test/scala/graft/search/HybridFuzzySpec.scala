@@ -9,6 +9,35 @@ import graft.index.IndexBuilder
   */
 class HybridFuzzySpec extends SparkTestBase {
 
+  // -------------------------------------------------------------- did you mean
+
+  test("didYouMean: exact presence wins, else argmax df (ties byte-lex), else itself; serving == dataflow") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha alphx beta"),
+      (4L, "alphx"), (5L, "alphx gamma"), (6L, "alphx delta"),
+      (7L, "zetx zetz")
+    )
+    // df(alpha)=3 < df(alphx)=4: exact presence must still win for 'alpha'
+    val eng = new SearchEngine(IndexBuilder.build(docsDF(docs)))
+    val got = eng.didYouMeanDF("alpha alphz zety qqq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "alpha", "alpha", 3L), // in-vocab: itself, even with a denser neighbor
+      (2L, "alphz", "alphx", 4L), // oov: highest-df within lev 1
+      (3L, "zety", "zetx", 1L),   // df tie (zetx/zetz both 1): byte-lex asc
+      (4L, "qqq", "qqq", 0L)      // no candidate: itself, df 0
+    ), got.toString)
+
+    // serving twin over segments: global df = sum of local dfs -> identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-dym").toString
+    graft.index.SegmentIndex.build(docsDF(docs), dir, buckets = 3)
+    val meta = graft.index.SegmentIndex.readMeta(dir)
+    val segs = graft.index.SegmentIndex.liveSegmentFiles(dir, meta)
+      .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
+    val serving = new SegmentSearch.ServingEngine(segs, meta)
+    assert(serving.didYouMean("alpha alphz zety qqq") == got)
+  }
+
   // -------------------------------------------------------------- EditDistance
 
   private def naiveLev(a: String, b: String): Int = {
