@@ -327,6 +327,41 @@ object SearchServer {
       }
     })
 
+    // "Did you mean" — per-term spell correction against the index
+    // vocabulary (exact presence wins; else highest-df within Levenshtein
+    // <= 1, ties byte-lex; else the term itself with df 0).
+    server.createContext("/didyoumean", (ex: HttpExchange) => {
+      try {
+        var st = stateRef.get
+        while (st != null && !st.retain()) st = stateRef.get
+        if (st == null) respond(ex, 503, "text/plain", "")
+        else try {
+          val q = queryParams(ex).getOrElse("q", "")
+          val rows = st.engine.didYouMean(q)
+          val sb = new java.lang.StringBuilder(64 + 48 * rows.size)
+          sb.append("{\"query\":\"")
+          graft.core.JsonText.escInto(sb, q)
+          sb.append("\",\"terms\":[")
+          var first = true
+          rows.foreach { case (_, term, suggestion, df) =>
+            if (!first) sb.append(',')
+            first = false
+            sb.append("{\"term\":\"")
+            graft.core.JsonText.escInto(sb, term)
+            sb.append("\",\"suggestion\":\"")
+            graft.core.JsonText.escInto(sb, suggestion)
+            sb.append("\",\"df\":").append(df).append('}')
+          }
+          sb.append("]}")
+          respond(ex, 200, "application/json", sb.toString)
+        } finally st.release()
+      } catch {
+        case e: Exception =>
+          metrics.errors.increment()
+          respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
+      }
+    })
+
     // Phase-6 observability: counters + /search latency quantiles + index
     // generation info, one lock-free JSON snapshot.
     server.createContext("/metrics", (ex: HttpExchange) => {

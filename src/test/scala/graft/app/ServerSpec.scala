@@ -212,6 +212,14 @@ class ServerSpec extends SparkTestBase {
       val (_, bBody) = get(s"$base/suggest?q=b&k=1")
       assert(""""term":"""".r.findAllIn(bBody).size == 1)
 
+      // /didyoumean: exact term passes through; a typo corrects to the
+      // highest-df neighbor; an unknown word returns itself with df 0
+      val (dc, dBody) = get(s"$base/didyoumean?q=alpha+alphx+zzzz")
+      assert(dc == 200)
+      assert(dBody.contains(""""term":"alpha","suggestion":"alpha","df":3"""), dBody)
+      assert(dBody.contains(""""term":"alphx","suggestion":"alpha","df":3"""), dBody)
+      assert(dBody.contains(""""term":"zzzz","suggestion":"zzzz","df":0"""), dBody)
+
       // /search?lang= filter: candidates restricted BEFORE truncation,
       // parity with the engine-level searchFiltered
       val expect = engine.searchFiltered(
