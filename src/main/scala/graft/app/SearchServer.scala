@@ -609,7 +609,10 @@ object SearchServer {
           finally spark.stop()
       }
     }
-    val scFiles = DocSidecar.sidecarFiles(indexDir)
+    // committed generation only — a crashed add or pre-compaction sweep can
+    // leave orphan docs-*.bin files whose overlapping doc-id ranges would
+    // flip DocStore.get into its linear-scan fallback (and pin dead fds)
+    val scFiles = DocSidecar.liveSidecarFiles(indexDir, meta)
     if (scFiles.isEmpty)
       throw new IllegalStateException(s"no doc sidecars under $indexDir after backfill")
     // On a partial failure (a sidecar deleted/truncated under a concurrent

@@ -102,7 +102,9 @@ object TenantServer {
 
     def tenantDirOf(t: String): String = TenantCatalog.tenantDir(rootDir, t)
 
-    /** Phase-5 gate: authenticate (`X-Api-Key` header or `key=` param),
+    /** Phase-5 gate: authenticate (`X-Api-Key` header ONLY — a `key=` query
+      * parameter would leak plaintext credentials into access logs, proxies,
+      * and shell history),
       * authorize against the requested tenant + role, rate-limit, meter.
       * Returns true when the request may proceed (always, when the gateway
       * runs keyless — single-tenant on-prem mode).
@@ -113,7 +115,6 @@ object TenantServer {
         case None => true
         case Some(reg) =>
           val presented = Option(ex.getRequestHeaders.getFirst("X-Api-Key"))
-            .orElse(params.get("key"))
           reg.check(presented, tenant, needAdmin) match {
             case ApiKeys.Allowed(_) => true
             case ApiKeys.Missing => respond(ex, 401, "text/plain", "missing API key"); false
@@ -192,7 +193,7 @@ object TenantServer {
     })
 
     def presentedKey(ex: HttpExchange, params: Map[String, String]): Option[String] =
-      Option(ex.getRequestHeaders.getFirst("X-Api-Key")).orElse(params.get("key"))
+      Option(ex.getRequestHeaders.getFirst("X-Api-Key")) // header only — never a query param
 
     def respondTenants(ex: HttpExchange, visible: Seq[String]): Unit = {
       val sb = new java.lang.StringBuilder("{\"tenants\":[")

@@ -43,6 +43,22 @@ object DocSidecar {
       .sorted
   }
 
+  /** Bucket id encoded in a sidecar file name (docs-NNNNN.bin). */
+  def sidecarBucket(file: String): Int =
+    Paths.get(file).getFileName.toString.stripPrefix("docs-").stripSuffix(".bin").toInt
+
+  /** Sidecar files of the COMMITTED generation only — dead pre-compaction
+    * buckets and crashed-add orphans can leave docs-*.bin droppings on disk
+    * (content-identical for dead duplicates, but their overlapping doc-id
+    * ranges defeat DocStore's sorted-bucket binary search and pin dead
+    * descriptors). Readers enumerate through this, mirroring
+    * [[SegmentIndex.liveSegmentFiles]].
+    */
+  def liveSidecarFiles(indexDir: String, meta: SegmentIndex.Meta): Seq[String] = {
+    val live = SegmentIndex.liveBucketSet(meta)
+    sidecarFiles(indexDir).filter(f => live(sidecarBucket(f)))
+  }
+
   /** Write sidecars for every docstore bucket missing one (idempotent; safe
     * to call at every server load). Returns the buckets written.
     */
@@ -282,7 +298,7 @@ object DocSidecar {
     * (caller backfills via ensure()).
     */
   def openStore(indexDir: String, cacheCapBytes: Long = 64L << 20): Option[DocStore] = {
-    val files = sidecarFiles(indexDir)
+    val files = liveSidecarFiles(indexDir, SegmentIndex.readMeta(indexDir))
     if (files.isEmpty) None
     else Some(new DocStore(files.map(openBucket).toIndexedSeq, cacheCapBytes))
   }

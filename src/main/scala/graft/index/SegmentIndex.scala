@@ -584,7 +584,19 @@ object SegmentIndex {
     require(ms.size == 1 && ms.head.bucket == newBucket,
       s"compactBuckets: expected one bucket $newBucket, got ${ms.map(_.bucket)}")
     val m = ms.head
-    require(m.lineageXor == expXor && m.nDocs == expN && m.sumDl == expSumDl,
+    // Manifests written before the sumDl field existed deserialize with 0:
+    // folding such buckets would fail the sumDl leg with a misleading
+    // "corruption" message even though the data is fine. lineage XOR + doc
+    // count still verify integrity; skip only the sumDl leg and say why.
+    // (A genuinely all-empty corpus has merged sumDl == 0 too, so skipping
+    // when every picked manifest reads 0 can never mask a real mismatch
+    // that the other two legs would not catch.)
+    val legacySumDl = expSumDl == 0L && m.sumDl != 0L
+    if (legacySumDl)
+      Console.err.println(
+        s"[compact] picked manifests predate the sumDl field (all 0) — " +
+          s"skipping the sumDl integrity leg; rebuild or re-add to refresh manifests")
+    require(m.lineageXor == expXor && m.nDocs == expN && (legacySumDl || m.sumDl == expSumDl),
       s"compactBuckets: merged bucket disagrees with picked manifests " +
         s"(xor ${m.lineageXor} vs $expXor, n ${m.nDocs} vs $expN, sumDl ${m.sumDl} vs $expSumDl)")
 

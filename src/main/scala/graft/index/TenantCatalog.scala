@@ -66,7 +66,19 @@ object TenantCatalog {
     val s = Files.list(base)
     try s.iterator().asScala
       .filter(Files.isDirectory(_))
-      .map(p => java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8"))
+      // sanitize() percent-encodes, so committed dirs always decode; a
+      // hand-created dir with a stray '%' would make URLDecoder throw and
+      // take down the whole listing (and TenantServer startup) — skip such
+      // entries instead of failing the catalog
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        try Some(java.net.URLDecoder.decode(name, "UTF-8"))
+        catch {
+          case _: IllegalArgumentException =>
+            Console.err.println(s"[tenants] skipping undecodable tenant dir: $name")
+            None
+        }
+      }
       .toSeq.sorted
     finally s.close()
   }

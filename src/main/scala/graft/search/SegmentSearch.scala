@@ -534,7 +534,7 @@ object SegmentSearch {
         prefix: String,
         k: Int,
         pred: Long => Boolean,
-        maxTerms: Int = 64,
+        maxTerms: Int = Int.MaxValue,
         maxVerify: Int = 100000): Seq[(Long, Double)] = {
       val expanded = expandPrefix(prefix, maxTerms)
       if (expanded.isEmpty) Nil
@@ -547,10 +547,13 @@ object SegmentSearch {
       * term order (matching `SearchEngine.prefixScoredDF`). The in-memory
       * expansion is an O(vocab) key scan per segment per request — the v5
       * dictionary footer is SORTED on disk, so a production serving tier
-      * can range-scan it instead; `maxTerms` bounds a degenerate one-letter
-      * prefix from turning into a thousand-term OR query.
+      * can range-scan it instead. Default UNCAPPED so this tier scores the
+      * exact term set the dataflow twin does (tier parity is the oracle
+      * contract); pass `maxTerms` as an opt-in latency guard for degenerate
+      * one-letter prefixes — note a cap makes results diverge from the
+      * dataflow tier on large vocabularies.
       */
-    def searchPrefix(prefix: String, k: Int, maxTerms: Int = 64): Seq[(Long, Double)] = {
+    def searchPrefix(prefix: String, k: Int, maxTerms: Int = Int.MaxValue): Seq[(Long, Double)] = {
       val expanded = expandPrefix(prefix, maxTerms)
       if (expanded.isEmpty) Nil
       else search(ParsedQuery(expanded, Nil, isOr = true), k)
@@ -565,7 +568,7 @@ object SegmentSearch {
       * same O(vocab)-per-request scan note: a production tier precomputes a
       * SymSpell-style deletion neighborhood over the sorted v5 dictionary.
       */
-    def searchFuzzy(term: String, k: Int, maxDist: Int = 1, maxTerms: Int = 64): Seq[(Long, Double)] = {
+    def searchFuzzy(term: String, k: Int, maxDist: Int = 1, maxTerms: Int = Int.MaxValue): Seq[(Long, Double)] = {
       val expanded = expandFuzzy(term, maxDist, maxTerms)
       if (expanded.isEmpty) Nil
       else search(ParsedQuery(expanded, Nil, isOr = true), k)
@@ -609,7 +612,7 @@ object SegmentSearch {
         k: Int,
         pred: Long => Boolean,
         maxDist: Int = 1,
-        maxTerms: Int = 64,
+        maxTerms: Int = Int.MaxValue,
         maxVerify: Int = 100000): Seq[(Long, Double)] = {
       val expanded = expandFuzzy(term, maxDist, maxTerms)
       if (expanded.isEmpty) Nil

@@ -48,6 +48,12 @@ class TenantSpec extends SparkTestBase {
     assert(counts == Map("acme" -> 3L, "Beta Corp!" -> 2L, "γ" -> 1L))
     assert(TenantCatalog.tenants(root) == Seq("Beta Corp!", "acme", "γ"))
 
+    // a hand-created dir whose name is not valid percent-encoding must not
+    // take down the listing (it can never be routed to anyway — sanitize
+    // would re-encode the '%'); it is skipped, the rest still list
+    Files.createDirectories(java.nio.file.Paths.get(root, "tenants", "bad%zz"))
+    assert(TenantCatalog.tenants(root) == Seq("Beta Corp!", "acme", "γ"))
+
     // tenant dirs are sanitized but decodable
     assert(TenantCatalog.sanitize("Beta Corp!") == "Beta%20Corp%21")
     assert(TenantCatalog.sanitize("γ") == "%CE%B3")
@@ -233,8 +239,11 @@ class TenantSpec extends SparkTestBase {
       assert(get(betaUrl, Some(kBeta))._1 == 200)
       assert(get(betaUrl, Some(kBeta))._1 == 429)
 
-      // key= param works as an alternative to the header
-      assert(get(s"$base/search?tenant=acme&q=shared&key=${enc(kRead)}")._1 == 200)
+      // key= query param is NOT accepted (plaintext creds in logs/proxies) —
+      // a valid key presented that way is still a 401
+      assert(get(s"$base/search?tenant=acme&q=shared&key=${enc(kRead)}")._1 == 401)
+      // header path still works after the rejected attempt
+      assert(get(s"$base/search?tenant=acme&q=shared", Some(kRead))._1 == 200)
 
       // /tenants is scoped to the caller's tenant under auth
       assert(get(s"$base/tenants")._1 == 401)
@@ -248,7 +257,7 @@ class TenantSpec extends SparkTestBase {
       val allowed = """"allowed":(\d+)""".r.findFirstMatchIn(usage).map(_.group(1).toInt)
       val denied = """"denied":(\d+)""".r.findFirstMatchIn(usage).map(_.group(1).toInt)
       assert(usage.contains("\"acme\""), usage)
-      assert(allowed.exists(_ >= 3), usage) // kRead search + key= search + kAdmin reload
+      assert(allowed.exists(_ >= 3), usage) // kRead searches (x2) + kAdmin reload
       assert(denied.exists(_ >= 2), usage)  // cross-tenant 403 + read-key reload 403
     } finally server.stop()
   }

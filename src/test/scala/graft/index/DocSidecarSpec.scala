@@ -61,6 +61,26 @@ class DocSidecarSpec extends SparkTestBase {
     } finally store.close()
   }
 
+  test("readers open ONLY the committed generation's sidecars (orphans ignored)") {
+    val docs = metaDocs((1L to 20L).map(i => (i, s"alpha body$i", "r0", "en")))
+    val dir = tmpDir()
+    SegmentIndex.build(docs, dir, buckets = 2)
+    DocSidecar.ensure(spark, dir)
+    // a crashed add / dead pre-compaction bucket leaves a docs-*.bin dropping
+    // that is NOT in the committed live set; junk bytes prove it is never
+    // even opened (openBucket would throw on the bad magic)
+    Files.write(DocSidecar.sidecarPath(dir, 99), Array[Byte](1, 2, 3))
+    val meta = SegmentIndex.readMeta(dir)
+    assert(DocSidecar.sidecarFiles(dir).size == 3)
+    assert(DocSidecar.liveSidecarFiles(dir, meta).size == 2)
+    val store = DocSidecar.openStore(dir).get
+    try {
+      assert(store.nDocs == 20L)
+      (1L to 20L).foreach(i => assert(store.get(i).exists(_.text == s"alpha body$i")))
+    } finally store.close()
+    Files.deleteIfExists(DocSidecar.sidecarPath(dir, 99))
+  }
+
   test("addDocuments maintains sidecars for delta buckets on a serving index") {
     val base = metaDocs((1L to 30L).map(i => (i, s"alpha tok${i % 5}", "r0", "en")))
     val delta = metaDocs((31L to 45L).map(i => (i, s"bravo tok${i % 5}", "r1", "de")))

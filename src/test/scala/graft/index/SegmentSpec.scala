@@ -296,6 +296,22 @@ class SegmentSpec extends SparkTestBase {
     intercept[IllegalArgumentException](SegmentIndex.compactBuckets(spark, dir, Seq(0)))
   }
 
+  test("compactBuckets: legacy manifests (pre-sumDl, field reads 0) fold with that leg skipped") {
+    val base = (1L to 30L).map(i => i -> s"alpha bravo${i % 5} charlie")
+    val dir = tmpDir()
+    SegmentIndex.build(docsDF(base), dir, 3)
+    val before = SegmentSearch.searchBatch(spark, dir, Seq("alpha charlie", "bravo2"), 10)
+    // simulate manifests written before the sumDl field existed: it
+    // deserializes as the default 0 — the fold must not report corruption
+    (0 until 3).foreach { b =>
+      val m = SegmentIndex.readManifest(dir, b).get
+      SegmentIndex.writeManifest(dir, m.copy(sumDl = 0L))
+    }
+    val merged = SegmentIndex.compactBuckets(spark, dir, Seq(1, 2))
+    assert(merged.nDocs == 20 && merged.sumDl > 0L, merged) // fresh manifest carries the real total
+    assert(SegmentSearch.searchBatch(spark, dir, Seq("alpha charlie", "bravo2"), 10) == before)
+  }
+
   private def tmpName(): String = {
     val p = Files.createTempDirectory("graft-seg-snap")
     Files.delete(p)
