@@ -304,6 +304,43 @@ object SegmentIndex {
     manifests
   }
 
+  /** Build a fresh index from docs whose (dl, tfmap) are ALREADY
+    * materialized — the import seam: a foreign index's postings are the
+    * ground truth for tf/dl, so NOTHING here tokenizes (see
+    * [[HaystackImport]]). Same docstore layout and exchange-free segment
+    * write as [[build]] (one doc_id-sorted file per bucket, one write task
+    * per file); overwrite semantics, no resume (imports are one-shot).
+    *
+    * Expected columns: doc_id, text, source, lang, dl (int), tfmap
+    * (map<string,int>).
+    */
+  private[index] def buildFromDlTfmap(
+      docs: DataFrame,
+      outDir: String,
+      buckets: Int,
+      codec: String = BlockCodec.CodecVarint
+  ): Seq[Manifest] = {
+    val spark = docs.sparkSession
+    Files.createDirectories(Paths.get(outDir))
+    val storePath = s"$outDir/docstore"
+    // sidecars are derived from the docstore — an overwrite invalidates them
+    DocSidecar.sidecarFiles(outDir).foreach(f => Files.deleteIfExists(Paths.get(f)))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"), col("lang"), col("dl").cast("int").as("dl"), col("tfmap"))
+      .repartitionByRange(buckets, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("bucket", spark_partition_id())
+      .withColumn("sha", sha2(col("text"), 256))
+      .write.mode("overwrite").parquet(storePath)
+    val manifests = writeSegmentsFileAligned(spark, storePath, outDir, None, codec)
+    val (n, sumDl) = (manifests.map(_.nDocs).sum, manifests.map(_.sumDl).sum)
+    val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
+    writeMeta(outDir, Meta(SchemaVersion, n, sumDl, avgdl, buckets, BlockCodec.BlockSize,
+      codec, codeAware = false, None))
+    manifests
+  }
+
   /** Incrementally add `delta` docs (doc_id, text) to an existing index:
     * builds NEW segments in buckets [meta.buckets, meta.buckets+newBuckets),
     * appends their rows to the docstore, and rewrites meta with the merged
