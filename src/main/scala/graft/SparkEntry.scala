@@ -417,6 +417,12 @@ object SparkEntry {
     //     scoring in byte-lex term order) ---
     "q_prefix_topk" -> ((s, dir) =>
       rankTopK(engine(s, dir).prefixScoredDF("s"), 20)),
+    // --- general wildcard top-k (extension: the reference's last deferred
+    //     query feature — compiled glob pushed into the dictionary scan as
+    //     LIKE, OR-mode scoring in byte-lex term order; '*er' ->
+    //     {customer, filter, order}) ---
+    "q_wildcard_topk" -> ((s, dir) =>
+      rankTopK(engine(s, dir).wildcardScoredDF("*er"), 20)),
     // --- typo-tolerant query (extension: dictionary expansion at
     //     Levenshtein <= 1, OR-mode scoring in byte-lex term order;
     //     'hast' -> {fast, hash}) ---
@@ -545,6 +551,10 @@ object SparkEntry {
         serving(s, dir)._1.search("table scan merge", Int.MaxValue), 20)),
     "q_prefix_serving_topk" -> ((s, dir) =>
       rankTopKLocal(s, serving(s, dir)._1.searchPrefix("s", Int.MaxValue), 20)),
+    // --- SERVING-tier wildcard: per-segment dictionary glob expansion,
+    //     same oracle as the dataflow gate ---
+    "q_wildcard_serving_topk" -> ((s, dir) =>
+      rankTopKLocal(s, serving(s, dir)._1.searchWildcard("*er", Int.MaxValue), 20)),
     "q_phrase_serving_topk" -> ((s, dir) => {
       val (eng, store) = serving(s, dir)
       rankTopKLocal(s,
@@ -721,6 +731,11 @@ object SparkEntry {
     // --- multimodal: binary column + batched stub decode ---
     "q_mm_meta" -> ((s, dir) =>
       graft.pipeline.Multimodal.extractMeta(documents(s, dir))),
+    // --- REAL image-header decode (round 5): deterministic synthetic
+    //     PNG/JPEG blobs (actual signature/IHDR/SOF0 bytes) parsed by the
+    //     pure-JVM header decoder; oracle computes the closed form ---
+    "q_mm_imghdr" -> ((s, dir) =>
+      graft.pipeline.Multimodal.imageHeaderMeta(documents(s, dir))),
     // --- deterministic hash sampling (reproducible train/eval splits) ---
     "q_sample" -> ((s, dir) =>
       graft.pipeline.Sampling.sampleDeterministic(documents(s, dir), rateMicros = 150000L, salt = "s1")
@@ -825,6 +840,16 @@ object SparkEntry {
     "q_prefix_topk" ->
       s"""$tokCte,
          |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE 's%'"), uniformWeight = true)}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
+    // wildcard twin: same scoring chain, term filter LIKE '%er' (terms are
+    // pure alnum so LIKE == glob); dataflow + serving answer the same SQL
+    "q_wildcard_topk" ->
+      s"""$tokCte,
+         |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE '%er'"), uniformWeight = true)}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
+    "q_wildcard_serving_topk" ->
+      s"""$tokCte,
+         |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE '%er'"), uniformWeight = true)}
          |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
     // fuzzy twin: dataflow + serving tiers answer the same SQL
     "q_fuzzy_topk" -> fuzzyOracleSql,
@@ -1226,6 +1251,12 @@ object SparkEntry {
         |  CAST(1 + ascii(substr(text, 1, 1)) % 480 AS BIGINT) AS height,
         |  CAST(1 + length(text) % 7 AS BIGINT) AS frames,
         |  CASE length(text) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END AS fmt
+        |FROM documents""".stripMargin,
+    "q_mm_imghdr" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CAST(1 + doc_id % 640 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 480 AS BIGINT) AS height
         |FROM documents""".stripMargin,
     "q_mm_resize" ->
       """WITH m AS (

@@ -109,7 +109,7 @@ object SearchServer {
       * Parameters it ignores are ignored here too (same body either way).
       */
     private[app] val KeyedParams: Seq[String] =
-      Seq("q", "phrase", "prefix", "fuzzy", "k", "lang", "source")
+      Seq("q", "phrase", "prefix", "fuzzy", "wildcard", "k", "lang", "source")
     def key(params: Map[String, String]): String =
       // length-prefixed fields: no value content can alias a field boundary.
       // Absent ("-") is distinct from present-but-empty ("0:"): searchBody
@@ -461,28 +461,36 @@ object SearchServer {
           def metaOk(row: DocRow): Boolean =
             wantLang.forall(_ == row.lang) && wantSource.forall(_ == row.source)
           def pred(id: Long): Boolean = st.docs(id).exists(metaOk)
-          // `phrase=` / `prefix=` / `fuzzy=` are ADDITIVE extension params
-          // (SURVEY §2.12/§2.14); the reference contract (`q=` + QueryParser
-          // semantics) is untouched.
-          val (q, top, highlight) = (params.get("phrase"), params.get("prefix"), params.get("fuzzy")) match {
-            case (Some(p), _, _) =>
+          // `phrase=` / `prefix=` / `fuzzy=` / `wildcard=` are ADDITIVE
+          // extension params (SURVEY §2.12/§2.14); the reference contract
+          // (`q=` + QueryParser semantics) is untouched.
+          val (q, top, highlight) = (params.get("phrase"), params.get("prefix"),
+              params.get("fuzzy"), params.get("wildcard")) match {
+            case (Some(p), _, _, _) =>
               // a filtered phrase composes through textOf: a doc failing the
               // metadata filter yields no text, so verification rejects it
               (p,
                st.engine.searchPhrase(p, k,
                  id => st.docs(id).filter(metaOk).map(_.text)),
                graft.core.Tokenizer.tokenize(p))
-            case (None, Some(p), _) =>
+            case (None, Some(p), _, _) =>
               (p,
                if (hasFilter) st.engine.searchPrefixFiltered(p, k, pred)
                else st.engine.searchPrefix(p, k),
                graft.core.Tokenizer.tokenize(p))
-            case (None, None, Some(p)) =>
+            case (None, None, Some(p), _) =>
               // typo-tolerant expansion (distance <= 1); filters compose
               // through the same bounded rank-order verification as prefix
               (p,
                if (hasFilter) st.engine.searchFuzzyFiltered(p, k, pred)
                else st.engine.searchFuzzy(p, k),
+               graft.core.Tokenizer.tokenize(p))
+            case (None, None, None, Some(p)) =>
+              // general glob expansion (prefix generalized); snippet
+              // highlighting falls back to the pattern's literal chunks
+              (p,
+               if (hasFilter) st.engine.searchWildcardFiltered(p, k, pred)
+               else st.engine.searchWildcard(p, k),
                graft.core.Tokenizer.tokenize(p))
             case _ =>
               val qs = params.getOrElse("q", "")

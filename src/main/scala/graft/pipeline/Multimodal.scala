@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * processed in partition-sized batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (this container has
-  * no image/audio codecs); everything around it — the binary column, the
-  * schema, the batched `mapPartitions` execution shape, the typed output —
-  * is the real plumbing a decoder would plug into: swap `stubDecode` for a
+  * The decode seam is layered honestly: PNG/JPEG dimensions are parsed from
+  * REAL container headers in pure JVM code ([[ImageHeaders]] — no codec
+  * needed, the header carries them); anything else (audio/video/opaque)
+  * falls back to the clearly-marked deterministic STUB (this container has
+  * no codecs). Everything around the seam — the binary column, the schema,
+  * the batched `mapPartitions` execution shape, the typed output — is the
+  * real plumbing a full decoder would plug into: swap `stubDecode` for a
   * JNI/FFmpeg call and nothing else changes.
   */
 object Multimodal {
@@ -44,6 +47,15 @@ object Multimodal {
     )
   }
 
+  /** Layered decode: real PNG/JPEG header parse first (frames = 1 for a
+    * still image), stub for everything a header alone cannot describe.
+    */
+  def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
+    ImageHeaders.parse(bytes) match {
+      case Some(d) => MediaMeta(docId, bytes.length.toLong, d.width.toLong, d.height.toLong, 1L, d.fmt)
+      case None => stubDecode(docId, bytes)
+    }
+
   /** Attach an opaque binary column (here derived from text — stand-in for
     * real media bytes) and run the batched decode. Output columns:
     * (doc_id, n_bytes, width, height, frames, fmt).
@@ -53,8 +65,33 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       .as(Encoders.product[BlobRow])
     blobs
-      .mapPartitions { it => it.map(r => stubDecode(r.doc_id, r.blob)) }(Encoders.product[MediaMeta])
+      .mapPartitions { it => it.map(r => decode(r.doc_id, r.blob)) }(Encoders.product[MediaMeta])
       .toDF()
+  }
+
+  /** Oracle-gated REAL-decode path: deterministic synthetic PNG/JPEG blobs
+    * (doc_id-derived dimensions, actual signature/chunk/marker bytes via
+    * [[ImageHeaders.synthPng]]/[[ImageHeaders.synthJpeg]]) decoded by the
+    * real header parser — blob bytes are built and parsed row-locally in
+    * one task, nothing binary shuffles. The oracle computes the closed
+    * form from doc_id. Output: (doc_id, fmt, width, height).
+    */
+  def imageHeaderMeta(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (1L + id % 640L).toInt
+          val h = (1L + id % 480L).toInt
+          val blob =
+            if (id % 2L == 0L) ImageHeaders.synthPng(w, h) else ImageHeaders.synthJpeg(w, h)
+          val d = ImageHeaders.parse(blob)
+            .getOrElse(throw new IllegalStateException(s"synth blob failed to parse for doc $id"))
+          (id, d.fmt, d.width.toLong, d.height.toLong)
+        }
+      }
+      .toDF("doc_id", "fmt", "width", "height")
   }
 
   /** Aspect-fit resize planning: output dimensions for fitting each medium

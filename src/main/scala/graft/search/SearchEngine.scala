@@ -180,6 +180,37 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     scoredDF(ParsedQuery(expanded, Nil, isOr = true))
   }
 
+  /** General wildcard query (`*bar`, `foo*bar`) — the reference's LAST
+    * deferred query feature (specs/phase3_ranking_query_engine.md:66;
+    * phrase and `foo*` prefix shipped earlier). The pattern expands against
+    * the term dictionary and the union scores OR-mode in byte-lex term
+    * order — exactly `prefixScoredDF`'s discipline (prefix is the special
+    * case `foo*`).
+    *
+    * Scale shape: index terms are pure ASCII-alnum, so the compiled glob IS
+    * a `LIKE` predicate (see [[graft.core.Glob]]) — a native Catalyst
+    * expression pushed into the vocabulary-bounded dictionary scan, never a
+    * UDF. `maxTerms` is an opt-in guard against degenerate patterns
+    * (`*a*`), default uncapped for tier parity.
+    */
+  def wildcardScoredDF(pattern: String, maxTerms: Int = Int.MaxValue): DataFrame = {
+    val spark = index.postings.sparkSession
+    graft.core.Glob.normalize(pattern) match {
+      case None => emptyScored(spark)
+      case Some(g) =>
+        val expanded = index.dfTable
+          .filter(col("term").like(graft.core.Glob.toLike(g)))
+          .select(col("term"))
+          .collect()
+          .map(_.getString(0))
+          .sorted
+          .take(maxTerms)
+          .toSeq
+        if (expanded.isEmpty) emptyScored(spark)
+        else scoredDF(ParsedQuery(expanded, Nil, isOr = true))
+    }
+  }
+
   /** Typo-tolerant (fuzzy) query — EXTENSION beyond the reference (its own
     * product survey marks typo tolerance as the gap vs Meilisearch/Typesense,
     * /root/reference/COMMERCIAL_ROADMAP.md:31). A single query term expands

@@ -541,6 +541,20 @@ object SegmentSearch {
       else searchFiltered(ParsedQuery(expanded, Nil, isOr = true), k, pred, maxVerify)
     }
 
+    /** Wildcard + metadata filter: glob expansion composed through the same
+      * bounded rank-order verification as prefix.
+      */
+    def searchWildcardFiltered(
+        pattern: String,
+        k: Int,
+        pred: Long => Boolean,
+        maxTerms: Int = Int.MaxValue,
+        maxVerify: Int = 100000): Seq[(Long, Double)] = {
+      val expanded = expandWildcard(pattern, maxTerms)
+      if (expanded.isEmpty) Nil
+      else searchFiltered(ParsedQuery(expanded, Nil, isOr = true), k, pred, maxVerify)
+    }
+
     /** Prefix top-k over segments — EXTENSION (same deferred wildcard phase
       * as phrases; SURVEY §2.12). Expands the prefix against each segment's
       * in-memory term dictionary, then scores the union OR-mode in byte-lex
@@ -558,6 +572,28 @@ object SegmentSearch {
       if (expanded.isEmpty) Nil
       else search(ParsedQuery(expanded, Nil, isOr = true), k)
     }
+
+    /** General wildcard (`*bar`, `foo*bar`) — prefix generalized; expands
+      * per-segment dictionaries through the compiled glob
+      * ([[graft.core.Glob.matches]], identical term set to the dataflow
+      * tier's pushed-down LIKE) and scores the union OR-mode in byte-lex
+      * order. Same O(vocab)-per-request scan note as prefix/fuzzy.
+      */
+    def searchWildcard(pattern: String, k: Int, maxTerms: Int = Int.MaxValue): Seq[(Long, Double)] = {
+      val expanded = expandWildcard(pattern, maxTerms)
+      if (expanded.isEmpty) Nil
+      else search(ParsedQuery(expanded, Nil, isOr = true), k)
+    }
+
+    private def expandWildcard(pattern: String, maxTerms: Int): Seq[String] =
+      graft.core.Glob.normalize(pattern) match {
+        case None => Nil
+        case Some(g) =>
+          segments.iterator
+            .flatMap(_.terms.keysIterator.filter(graft.core.Glob.matches(g, _)))
+            .toSeq.distinct.sorted
+            .take(maxTerms)
+      }
 
     /** Typo-tolerant top-k over segments — EXTENSION (the reference's own
       * competitive-gap row, COMMERCIAL_ROADMAP.md:31). Expands the term

@@ -170,6 +170,16 @@ class ServerSpec extends SparkTestBase {
       assert(""""docId":(\d+)""".r.findAllMatchIn(fBody).map(_.group(1).toLong).toSeq ==
         fuzzyExpect.map(_._1))
       assert(get(s"$base/search?fuzzy=zzzzzz")._2.contains(""""results":[]"""))
+
+      // wildcard extension: glob expansion ("*een" -> "green"); parity with
+      // the engine's own expansion; URL-encoded '*' works too
+      val wildExpect = engine.searchWildcard("*een", 10)
+      assert(wildExpect.map(_._1) == engine.search("green", 10).map(_._1))
+      val (wc, wBody) = get(s"$base/search?wildcard=%2Aeen&k=10")
+      assert(wc == 200)
+      assert(""""docId":(\d+)""".r.findAllMatchIn(wBody).map(_.group(1).toLong).toSeq ==
+        wildExpect.map(_._1))
+      assert(get(s"$base/search?wildcard=zz%2Azz")._2.contains(""""results":[]"""))
     } finally server.stop()
   }
 
