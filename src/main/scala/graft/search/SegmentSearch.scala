@@ -456,6 +456,12 @@ object SegmentSearch {
       parallelSegments: Boolean = true
   ) {
     private val idfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+    // SymSpell deletion neighborhood (SURVEY §2.14's 100 TB shape for the
+    // fuzzy family): built once per serving generation, and ONLY when the
+    // first fuzzy/did-you-mean request arrives (lazy) — per-request cost is
+    // then O(|term|) probes + the verified candidate set, not O(vocab)
+    private lazy val symspell: SymSpell =
+      SymSpell.build(segments.iterator.flatMap(_.terms.keysIterator))
     private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     // Adaptive intra-request parallelism: fan a request's segments out across
     // cores only while few requests are in flight (cuts unloaded latency);
@@ -619,24 +625,41 @@ object SegmentSearch {
     def didYouMean(query: String, maxDist: Int = 1): Seq[(Long, String, String, Long)] = {
       val terms = QueryParser.parse(query).terms
       if (terms.isEmpty) return Nil
-      val tset = terms.distinct
-      val dfs = scala.collection.mutable.HashMap[String, Long]()
-      segments.foreach { seg =>
-        seg.terms.foreach { case (cand, td) =>
-          if (tset.exists(t =>
-            math.abs(cand.length - t.length) <= maxDist &&
-              graft.core.EditDistance.within(cand, t, maxDist)))
-            dfs.update(cand, dfs.getOrElse(cand, 0L) + td.df)
+      def dfOf(c: String): Long = segments.iterator.flatMap(_.terms.get(c)).map(_.df).sum
+      if (maxDist == 1) {
+        // SymSpell path: per term, O(|t|) probes + a verified candidate set
+        // whose dfs are summed with per-segment hash gets — nothing here is
+        // proportional to vocabulary size
+        terms.zipWithIndex.map { case (t, i) =>
+          val cands = symspell.neighbors(t) // byte-lex sorted, lev<=1 verified
+          val pick =
+            if (cands.contains(t)) (t, dfOf(t)) // exact presence wins
+            else cands.iterator.map(c => (c, dfOf(c)))
+              .reduceOption((a, b) => if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+              .getOrElse((t, 0L))
+          (i + 1L, t, pick._1, pick._2)
         }
-      }
-      terms.zipWithIndex.map { case (t, i) =>
-        val mine = dfs.iterator
-          .filter { case (cand, _) => graft.core.EditDistance.within(cand, t, maxDist) }
-          .toSeq
-        val pick = mine.find(_._1 == t)
-          .orElse(mine.sortBy { case (term, df) => (-df, term) }.headOption)
-          .getOrElse((t, 0L))
-        (i + 1L, t, pick._1, pick._2)
+      } else {
+        // fallback scan for radii the deletion index does not cover
+        val tset = terms.distinct
+        val dfs = scala.collection.mutable.HashMap[String, Long]()
+        segments.foreach { seg =>
+          seg.terms.foreach { case (cand, td) =>
+            if (tset.exists(t =>
+              math.abs(cand.length - t.length) <= maxDist &&
+                graft.core.EditDistance.within(cand, t, maxDist)))
+              dfs.update(cand, dfs.getOrElse(cand, 0L) + td.df)
+          }
+        }
+        terms.zipWithIndex.map { case (t, i) =>
+          val mine = dfs.iterator
+            .filter { case (cand, _) => graft.core.EditDistance.within(cand, t, maxDist) }
+            .toSeq
+          val pick = mine.find(_._1 == t)
+            .orElse(mine.sortBy { case (term, df) => (-df, term) }.headOption)
+            .getOrElse((t, 0L))
+          (i + 1L, t, pick._1, pick._2)
+        }
       }
     }
 
@@ -659,11 +682,14 @@ object SegmentSearch {
       val norm = Tokenizer.tokenize(term)
       if (norm.size != 1) return Nil
       val t = norm.head
-      segments.iterator
-        .flatMap(_.terms.keysIterator.filter(c =>
-          graft.core.EditDistance.within(c, t, maxDist)))
-        .toSeq.distinct.sorted
-        .take(maxTerms)
+      val all =
+        if (maxDist == 1) symspell.neighbors(t) // O(|t|) probes, not O(vocab)
+        else // fallback: the deletion index is depth-1; larger radii scan
+          segments.iterator
+            .flatMap(_.terms.keysIterator.filter(c =>
+              graft.core.EditDistance.within(c, t, maxDist)))
+            .toSeq.distinct.sorted
+      all.take(maxTerms)
     }
 
     private def expandPrefix(prefix: String, maxTerms: Int): Seq[String] = {

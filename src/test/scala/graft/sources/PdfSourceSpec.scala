@@ -141,6 +141,74 @@ class PdfSourceSpec extends SparkTestBase {
     assert(p3.did_ocr && p3.text == "")
   }
 
+  // ------------------------------------------------------- real binaries
+
+  private def binOnPath(name: String): Boolean =
+    sys.env.getOrElse("PATH", "").split(':').filter(_.nonEmpty).exists { d =>
+      java.nio.file.Files.isExecutable(java.nio.file.Paths.get(d, name))
+    }
+
+  /** Deterministic minimal 2-page PDF (uncompressed streams, computed xref
+    * offsets) — a real file any poppler parses; generated at test time so no
+    * binary fixture is committed.
+    */
+  private def writeGoldenPdf(): String = {
+    def page(parent: Int, contents: Int) =
+      s"<< /Type /Page /Parent $parent 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 7 0 R >> >> /Contents $contents 0 R >>"
+    def stream(text: String) = {
+      val s = s"BT /F1 18 Tf 72 720 Td ($text) Tj ET"
+      s"<< /Length ${s.length} >>\nstream\n$s\nendstream"
+    }
+    // both pages carry >= 50 chars AND >= 10 tokens so the reference OCR
+    // policy must NOT fire (keeps the real-binary path poppler-only)
+    val bodies = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      page(2, 4),
+      stream("Graft golden fixture page one with plenty of embedded words for the ocr policy"),
+      page(2, 6),
+      stream("Second page of the graft fixture also carries ten or more extracted tokens easily"),
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = bodies.zipWithIndex.map { case (b, i) =>
+      val off = sb.length
+      sb.append(s"${i + 1} 0 obj\n").append(b).append("\nendobj\n")
+      off
+    }
+    val xrefOff = sb.length
+    sb.append(s"xref\n0 ${bodies.size + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${bodies.size + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    val p = java.nio.file.Files.createTempFile("graft-golden", ".pdf")
+    java.nio.file.Files.writeString(p, sb.toString)
+    p.toString
+  }
+
+  test("SubprocessExtractor against REAL poppler binaries (opportunistic — cancels when absent)") {
+    assume(binOnPath("pdfinfo") && binOnPath("pdftotext"),
+      "poppler not installed on PATH — real-binary validation skipped (sandbox has none; " +
+        "runs automatically wherever pdfinfo/pdftotext exist)")
+    val pdf = writeGoldenPdf()
+    val ex = new PdfSource.SubprocessExtractor()
+    assert(ex.pageCount(pdf) == 2)
+    assert(ex.textLayer(pdf, 1).contains("Graft golden fixture page one"))
+    assert(ex.textLayer(pdf, 2).contains("Second page of the graft fixture"))
+    assert(!ex.textLayer(pdf, 1).contains("Second page"), "page windowing must isolate pages")
+
+    // whole pipeline over the real extractor: both pages are text-rich
+    // enough that the OCR policy must NOT fire (no tesseract needed)
+    val (pages, bad) = PdfSource.pages(spark, Seq(pdf), ex) { (pagesDs, badDs) =>
+      (pagesDs.collect().sortBy(_.page_number), badDs.collect())
+    }
+    assert(bad.isEmpty)
+    assert(pages.map(_.page_number).toSeq == Seq(1, 2))
+    assert(pages.forall(!_.did_ocr))
+    assert(pages(0).text.contains("golden fixture"))
+  }
+
   test("shouldOcrPage matches the row-level policy thresholds") {
     assert(PdfSource.shouldOcrPage("")) // empty
     assert(PdfSource.shouldOcrPage("short but words " * 2)) // >=50 chars? no — 32 chars
