@@ -256,6 +256,13 @@ object SearchServer {
     val stateRef = new AtomicReference[IndexState](initial)
     val reloading = new AtomicBoolean(false)
     val metrics = new Metrics
+    // The JDK HttpServer leaves Nagle ON; with keep-alive clients its
+    // two-write response pattern (headers, then body) hits the classic
+    // 40 ms Nagle/delayed-ACK stall on every request (measured: a no-op
+    // /health at c=50 collapsed 3,053 -> 1,138 rps with p50 pinned at 44 ms
+    // the moment clients reused connections). ServerConfig reads the
+    // property ONCE per JVM, so it must be set before the first create().
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     // daemon workers: an embedding JVM (bench, spec) exits cleanly after
     // stop(); the standalone main stays alive via its explicit join

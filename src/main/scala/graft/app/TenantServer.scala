@@ -182,6 +182,8 @@ object TenantServer {
           }
       }
 
+    // Nagle off before the first create() — see SearchServer.start
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.setExecutor(Executors.newFixedThreadPool(
       math.max(8, Runtime.getRuntime.availableProcessors()),

@@ -25,6 +25,11 @@ object LatencyBench {
   def main(args: Array[String]): Unit = {
     val requests = args.lift(0).map(_.toInt).getOrElse(200)
     val concurrency = args.lift(1).map(_.toInt).getOrElse(50)
+    // JDK keep-alive pool caps at 5 connections per destination by default —
+    // with 50 concurrent clients that is 45 threads re-handshaking TCP every
+    // request. Must be set before the first connection (the KeepAliveCache
+    // reads it once at class init).
+    System.setProperty("http.maxConnections", math.max(concurrency, 16).toString)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "64").toInt
     val overHttp = sys.env.get("SPARK_GRAFT_LATENCY_HTTP").contains("1")
@@ -94,8 +99,11 @@ object LatencyBench {
           if (noop) s"$base/health"
           else s"$base/search?k=10&q=" + java.net.URLEncoder.encode(q, "UTF-8"))
         val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
-        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
-        conn.disconnect()
+        // fully drain + close (NOT disconnect: disconnect() tears the socket
+        // down; draining returns it to the JDK keep-alive pool, so each
+        // client thread reuses its connection instead of re-handshaking)
+        val in = conn.getInputStream
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         body.length
     }
 

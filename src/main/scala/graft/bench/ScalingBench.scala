@@ -179,16 +179,56 @@ object ScalingBench {
     // size) — both levels run the IDENTICAL job; only resources differ.
     val buckets = 64
 
+    // SPARK_GRAFT_SCALING_MASTER=local-cluster runs each level as
+    // local-cluster[cores/W, W, memMb]: separate EXECUTOR JVMs with separate
+    // heaps — one step closer to the north rule's N->4N executors than
+    // threads in one JVM (GC, JIT, and heap bandwidth no longer shared).
+    // Needs SPARK_HOME pointing at the full distribution (worker JVMs launch
+    // through its spark-class); app classes ship via executor extraClassPath.
+    val clusterMode = sys.env.get("SPARK_GRAFT_SCALING_MASTER").contains("local-cluster")
+    val workerCores = sys.env.getOrElse("SPARK_GRAFT_SCALING_WORKER_CORES", "4").toInt
+    val workerMemMb = sys.env.getOrElse("SPARK_GRAFT_SCALING_WORKER_MEM_MB", "6144").toInt
+    def masterFor(cores: Int): String =
+      if (!clusterMode) s"local[$cores]"
+      else {
+        require(cores % workerCores == 0,
+          s"level $cores not divisible by worker cores $workerCores")
+        s"local-cluster[${cores / workerCores},$workerCores,$workerMemMb]"
+      }
+
     def runAt(cores: Int, reps: Int, nq: Int): (Long, Double, Int, Double) = {
       // Index + shuffle IO on tmpfs: on a real cluster local disks scale WITH
       // executor count; a single shared VM disk would otherwise impose a
       // serial floor that misrepresents the engine's scaling.
+      val builder0 = org.apache.spark.sql.SparkSession.builder()
+        .master(masterFor(cores))
+        .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      val builder =
+        if (clusterMode) builder0.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        else builder0
       val spark = graft.spark.Sessions
-        .configure(org.apache.spark.sql.SparkSession.builder()
-          .master(s"local[$cores]")
-          .config("spark.local.dir", "/dev/shm/graft-spark-local"), cores, s"graft-scaling-$cores")
+        .configure(builder, cores, s"graft-scaling-$cores")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      if (clusterMode) {
+        // executors register asynchronously; a job submitted before all
+        // workers are up runs half-provisioned and corrupts the level's wall
+        val want = cores / workerCores + 1 // + driver
+        val t0 = System.currentTimeMillis()
+        while (spark.sparkContext.statusTracker.getExecutorInfos.length < want &&
+          System.currentTimeMillis() - t0 < 60000) Thread.sleep(200)
+        require(spark.sparkContext.statusTracker.getExecutorInfos.length >= want,
+          s"only ${spark.sparkContext.statusTracker.getExecutorInfos.length - 1} of ${want - 1} executors registered")
+        // fresh executor JVMs every round: thread-mode sessions keep JIT
+        // across rounds (one JVM), so to measure the same steady state the
+        // cluster session runs one small UNTIMED build+query first — this
+        // JITs the actual kernels (tokenize, inversion, codec, WAND) on
+        // every executor before the measured work
+        val warmOut = Files.createTempDirectory(
+          Paths.get("/dev/shm"), s"graft-scale-warm-$cores").toString
+        try Workload.run(spark, sfDir, warmOut, replicas = 8, nQueries = 40, buckets = buckets)
+        finally Try(scala.sys.process.Process(Seq("rm", "-rf", warmOut)).!)
+      }
       val out = Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-scale-$cores").toString
       try Workload.run(spark, sfDir, out, reps, nq, buckets = buckets)
       finally {
@@ -259,9 +299,9 @@ object ScalingBench {
       def plaus(v: Double): String =
         if (v <= 1.0 || v > factor) f"$v%.2fx (IMPLAUSIBLE — ceiling baseline throttled; distrust the normalized cell)"
         else f"$v%.2fx"
-      f"""### Pair local[$lo] -> local[$hi] (N -> 4N)
+      f"""### Pair ${masterFor(lo)} -> ${masterFor(hi)} (N -> 4N)
          |
-         || metric | local[$lo] | local[$hi] | speedup | raw efficiency | host-normalized |
+         || metric | ${masterFor(lo)} | ${masterFor(hi)} | speedup | raw efficiency | host-normalized |
          ||---|---|---|---|---|---|
          || segment index build (docs/sec) | ${(nDocs / buildLo).round}%,d | ${(nDocs / buildHi).round}%,d | $buildSp%.2fx | ${buildSp / factor}%.3f | ${buildSp / buildCeil}%.3f |
          || BM25 top-10 batch QPS (Spark fan-out) | ${nq / queryLo}%.1f | ${nq / queryHi}%.1f | $querySp%.2fx | ${querySp / factor}%.3f | ${querySp / queryCeil}%.3f |
@@ -272,9 +312,20 @@ object ScalingBench {
          |""".stripMargin
     }
 
+    // NOTE: replaceSection matches by PREFIX — the cluster section key must
+    // not extend the plain key or a plain run would clobber it
+    val sectionKey =
+      if (clusterMode) "## Executor-JVM scaling runs (local-cluster)"
+      else "## Scaling runs"
+    val modeNote =
+      if (clusterMode)
+        s"\nMaster mode: local-cluster — each level runs cores/$workerCores separate EXECUTOR JVMs " +
+          s"($workerCores cores, $workerMemMb MB each): separate heaps/GC/JIT per executor, " +
+          "one step closer to the north rule's N->4N executor semantics than threads in one JVM.\n"
+      else ""
     val md =
-      f"""## Scaling runs — same job, same input, three parallelism levels
-         |
+      f"""$sectionKey — same job, same input, three parallelism levels
+         |$modeNote
          |Input: $sfDir documents x$replicas replicas = $nDocs%,d docs; $nq BM25 top-10 queries
          |(mixed dense/rare AND/OR/NOT batch). Index + shuffle on tmpfs (per-node disks scale with
          |executors on a real cluster). Interleaved best-of-$rounds per level; every measured
@@ -295,7 +346,7 @@ object ScalingBench {
          |shared memory system, which a multi-node cluster scales but one VM cannot.
          |""".stripMargin
 
-    BenchReport.replaceSection("## Scaling runs", md)
+    BenchReport.replaceSection(sectionKey, md)
     println(md)
   }
 }
