@@ -505,6 +505,19 @@ object SparkEntry {
       rankTopKLocal(s,
         graft.search.SegmentSearch.searchBatch(s, segmentDir(s, dir), Seq("table scan merge"), Int.MaxValue)(0),
         20)),
+    // --- SEGMENT-tier expanded queries (round 5: completes the three-tier
+    //     matrix for prefix/wildcard/fuzzy — per-segment dictionary
+    //     expansion runs distributed, matched terms only come back, the
+    //     union scores through the normal WAND batch) ---
+    "q_prefix_seg_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        graft.search.SegmentSearch.prefixBatch(s, segmentDir(s, dir), "s", Int.MaxValue), 20)),
+    "q_wildcard_seg_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        graft.search.SegmentSearch.wildcardBatch(s, segmentDir(s, dir), "*er", Int.MaxValue), 20)),
+    "q_fuzzy_seg_topk" -> ((s, dir) =>
+      rankTopKLocal(s,
+        graft.search.SegmentSearch.fuzzyBatch(s, segmentDir(s, dir), "hast", Int.MaxValue), 20)),
     // --- SEGMENT-tier BM25 over PFOR-coded segments (GRFTSEG6, patched
     //     frame-of-reference blocks): the SAME oracle SQL as the varint
     //     gate — codec changes bytes, never answers ---
@@ -851,9 +864,19 @@ object SparkEntry {
       s"""$tokCte,
          |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE '%er'"), uniformWeight = true)}
          |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
-    // fuzzy twin: dataflow + serving tiers answer the same SQL
+    // fuzzy twin: dataflow + segment + serving tiers answer the same SQL
     "q_fuzzy_topk" -> fuzzyOracleSql,
     "q_fuzzy_serving_topk" -> fuzzyOracleSql,
+    "q_fuzzy_seg_topk" -> fuzzyOracleSql,
+    // segment-tier prefix/wildcard twins: same SQL as the dataflow gates
+    "q_prefix_seg_topk" ->
+      s"""$tokCte,
+         |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE 's%'"), uniformWeight = true)}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
+    "q_wildcard_seg_topk" ->
+      s"""$tokCte,
+         |${scoresCte(Nil, isOr = true, termFilterSql = Some("term LIKE '%er'"), uniformWeight = true)}
+         |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
     "q_didyoumean" -> didYouMeanOracleSql,
     "q_didyoumean_serving" -> didYouMeanOracleSql,
     // RAG context twin: dataflow + serving tiers answer the same SQL

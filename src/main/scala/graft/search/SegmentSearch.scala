@@ -114,10 +114,18 @@ object SegmentSearch {
       indexDir: String,
       queries: Seq[String],
       k: Int
+  ): Map[Int, Seq[(Long, Double)]] =
+    searchBatchParsed(spark, indexDir,
+      queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }, k)
+
+  private def searchBatchParsed(
+      spark: SparkSession,
+      indexDir: String,
+      parsed: Seq[(Int, ParsedQuery)],
+      k: Int
   ): Map[Int, Seq[(Long, Double)]] = {
     val meta = SegmentIndex.readMeta(indexDir)
     val files = SegmentIndex.liveSegmentFiles(indexDir, meta)
-    val parsed: Seq[(Int, ParsedQuery)] = queries.zipWithIndex.map { case (q, i) => (i, QueryParser.parse(q)) }
     val avgdl = meta.avgdl
 
     import spark.implicits._
@@ -152,7 +160,73 @@ object SegmentSearch {
         }
       }(Encoders.product[QueryHit])
 
-    mergeDistributed(hits, queries.size, k)
+    mergeDistributed(hits, parsed.size, k)
+  }
+
+  /** Expansion descriptor for the batch tier's dictionary-expanded query
+    * family (prefix / wildcard / fuzzy) — serialized into the expansion
+    * task; normalization happens driver-side before construction.
+    */
+  private sealed trait Expansion extends Serializable
+  private final case class PrefixExp(p: String) extends Expansion
+  private final case class WildExp(glob: String) extends Expansion
+  private final case class FuzzyExp(t: String, maxDist: Int) extends Expansion
+
+  /** Distributed batch twins of the serving tier's expanded queries —
+    * completes the three-tier matrix for prefix/wildcard/fuzzy (SURVEY
+    * §2.12/§2.15). Phase 0: expand the pattern against per-segment
+    * dictionaries IN PARALLEL — vocabulary never leaves the executors, only
+    * matched terms come back (a vocabulary-bounded, usually tiny list).
+    * The byte-lex-sorted union then scores OR-mode through the normal
+    * searchBatch machinery (global df = sum of local dfs, WAND, distributed
+    * merge) — identical semantics to the dataflow and serving tiers, so all
+    * three answer the same oracle SQL.
+    */
+  def prefixBatch(spark: SparkSession, indexDir: String, prefix: String, k: Int): Seq[(Long, Double)] = {
+    val norm = Tokenizer.tokenize(prefix)
+    if (norm.size != 1) return Nil
+    expansionBatch(spark, indexDir, PrefixExp(norm.head), k)
+  }
+
+  def wildcardBatch(spark: SparkSession, indexDir: String, pattern: String, k: Int): Seq[(Long, Double)] =
+    graft.core.Glob.normalize(pattern) match {
+      case None => Nil
+      case Some(g) => expansionBatch(spark, indexDir, WildExp(g), k)
+    }
+
+  def fuzzyBatch(spark: SparkSession, indexDir: String, term: String, k: Int, maxDist: Int = 1): Seq[(Long, Double)] = {
+    val norm = Tokenizer.tokenize(term)
+    if (norm.size != 1) return Nil
+    expansionBatch(spark, indexDir, FuzzyExp(norm.head, maxDist), k)
+  }
+
+  private def expansionBatch(
+      spark: SparkSession,
+      indexDir: String,
+      exp: Expansion,
+      k: Int
+  ): Seq[(Long, Double)] = {
+    val files = SegmentIndex.liveSegmentFiles(indexDir)
+    import spark.implicits._
+    val expanded = spark
+      .createDataset(files)(Encoders.STRING)
+      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val dict = loadCached(p).terms
+          exp match {
+            case PrefixExp(pre) => dict.keysIterator.filter(_.startsWith(pre))
+            case WildExp(g) => dict.keysIterator.filter(graft.core.Glob.matches(g, _))
+            case FuzzyExp(t, d) => dict.keysIterator.filter(c =>
+              math.abs(c.length - t.length) <= d && graft.core.EditDistance.within(c, t, d))
+          }
+        }
+      }(Encoders.STRING)
+      .collect() // matched terms only — vocabulary-bounded, dedup driver-side
+      .distinct.sorted.toSeq
+    if (expanded.isEmpty) Nil
+    else searchBatchParsed(spark, indexDir,
+      Seq(0 -> ParsedQuery(expanded, Nil, isOr = true)), k)(0)
   }
 
   final case class RankedHit(qid: Int, rank: Int, docId: Long, score: Double)

@@ -95,6 +95,27 @@ class WildcardSpec extends SparkTestBase {
     assert(even.map(_._1).toSet == serving.searchWildcard("*er", 10).filter(_._1 % 2 == 0).map(_._1).toSet)
   }
 
+  test("batch tier == serving tier for the expanded family (prefix/wildcard/fuzzy)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wildbatch").toString
+    graft.index.SegmentIndex.build(docsDF(docs), dir, buckets = 3)
+    val meta = graft.index.SegmentIndex.readMeta(dir)
+    val segs = graft.index.SegmentIndex.liveSegmentFiles(dir, meta)
+      .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
+    val serving = new SegmentSearch.ServingEngine(segs, meta)
+    Seq("w*ter", "*er", "zz*zz").foreach { pat =>
+      assert(SegmentSearch.wildcardBatch(spark, dir, pat, 10) == serving.searchWildcard(pat, 10), pat)
+    }
+    Seq("wat", "t", "zz").foreach { p =>
+      assert(SegmentSearch.prefixBatch(spark, dir, p, 10) == serving.searchPrefix(p, 10), p)
+    }
+    Seq("watr", "tigr", "qqqq").foreach { t =>
+      assert(SegmentSearch.fuzzyBatch(spark, dir, t, 10) == serving.searchFuzzy(t, 10), t)
+    }
+    // multi-token / invalid inputs stay empty on the batch tier too
+    assert(SegmentSearch.prefixBatch(spark, dir, "a b", 10).isEmpty)
+    assert(SegmentSearch.wildcardBatch(spark, dir, "a b*", 10).isEmpty)
+  }
+
   test("QueryParser untouched: '*' in a plain q= query is a separator, not a wildcard") {
     // the reference tokenizer treats '*' as a separator; wildcard is an
     // ADDITIVE param, never a change to q= semantics
