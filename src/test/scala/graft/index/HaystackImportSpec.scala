@@ -123,6 +123,49 @@ class HaystackImportSpec extends SparkTestBase {
     assertParity(impPfor, built, Seq("alpha bravo", "charlie OR delta echo"))
   }
 
+  test("round trip: export(import(demo)) reproduces all three reference files BYTE-IDENTICALLY") {
+    val imp = tmpDir()
+    HaystackImport.importIndex(spark, "/root/reference/idx", imp, buckets = 2)
+    val out = tmpDir()
+    val (nDocs, nTerms) = HaystackExport.exportIndex(spark, imp, out)
+    // 18 GLOBAL distinct terms (ImportJob's terms=20 sums per-segment LOCAL
+    // counts — migration/schema/validation span both segments)
+    assert(nDocs == 3 && nTerms == 18)
+    Seq("index_meta.json", "docs.jsonl", "postings.bin").foreach { f =>
+      val got = Files.readAllBytes(Paths.get(out, f))
+      val ref = Files.readAllBytes(Paths.get("/root/reference/idx", f))
+      assert(java.util.Arrays.equals(got, ref),
+        s"$f differs (${got.length} vs ${ref.length} bytes)")
+    }
+  }
+
+  test("round trip: native build -> export -> import serves identical top-k") {
+    val docs = (1L to 120L).map(i => i -> s"alpha bravo${i % 9} charlie delta${i % 4} e${i % 3}")
+    val built = tmpDir()
+    SegmentIndex.build(docsDF(docs), built, buckets = 3)
+    val hs = tmpDir()
+    HaystackExport.exportIndex(spark, built, hs)
+    // the exported files are a valid haystack index: meta agrees, import succeeds
+    val hsMeta = HaystackImport.readHsMeta(hs)
+    assert(hsMeta.n == 120)
+    val back = tmpDir()
+    HaystackImport.importIndex(spark, hs, back, buckets = 2) // different bucket count on purpose
+    assertParity(back, built, Seq("alpha charlie", "bravo3 OR delta2", "charlie -e1", "delta0 e2"))
+    // jsoncpp escaping: a doc with specials survives the round trip
+    val tricky = Seq(1L -> "quote \" back \\ slash \t tab \n line", 2L -> "plain words here")
+    val b2 = tmpDir(); SegmentIndex.build(docsDF(tricky), b2, 1)
+    val h2 = tmpDir(); HaystackExport.exportIndex(spark, b2, h2)
+    val i2 = tmpDir(); HaystackImport.importIndex(spark, h2, i2, 1)
+    val hit = SegmentSearch.searchWithSnippets(spark, i2, "quote", 1)
+    assert(hit.nonEmpty && hit.head.snippet.contains("quote"))
+  }
+
+  test("ExportJob CLI: exit codes") {
+    assert(graft.app.ExportJob.run(Array("--help")) == 0)
+    assert(graft.app.ExportJob.run(Array("x")) == 2)
+    assert(graft.app.ExportJob.run(Array("/nonexistent", tmpDir())) == 3)
+  }
+
   test("fail fast: unsupported schema_version, truncated postings, orphan postings, N mismatch") {
     // unsupported version
     val v2 = tmpDir()
