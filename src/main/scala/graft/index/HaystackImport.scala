@@ -156,12 +156,21 @@ object HaystackImport {
     val hs = readHsMeta(hsDir)
 
     // FAILFAST: a torn/garbled docs.jsonl line must abort the import, not
-    // silently drop a document
+    // silently drop a document. The Phase-2.5 metadata fields
+    // (search_service.cpp:368-377: file_name/file_type/source_path/
+    // page_number/did_ocr) are optional per row; source_path maps onto the
+    // docstore's `source` column so hits keep their citation after
+    // migration (the other fields have no docstore home — import is
+    // text+postings-lossless, metadata-best-effort, and says so here).
     val docs = spark.read
-      .schema("docId LONG, text STRING")
+      .schema("docId LONG, text STRING, file_name STRING, file_type STRING, " +
+        "source_path STRING, page_number INT, did_ocr BOOLEAN")
       .option("mode", "FAILFAST")
       .json(s"$hsDir/docs.jsonl")
-      .select(col("docId").as("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .select(
+        col("docId").as("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("source_path"), lit("")).as("source"))
 
     val post = postingsDF(spark, s"$hsDir/postings.bin")
     // sort_array before map_from_entries: collect_list order is
@@ -192,9 +201,10 @@ object HaystackImport {
       .select(
         col("doc_id"),
         col("text"),
-        // the format carries no per-doc metadata; stable empty strings keep
+        // source carries the reference's source_path (empty when absent);
+        // the format has no language column — stable empty string keeps
         // the docstore schema identical to a native build's
-        lit("").as("source"),
+        col("source"),
         lit("").as("lang"),
         coalesce(col("dl"), lit(0)).as("dl"),
         coalesce(col("tfmap"), typedLit(Map.empty[String, Int])).as("tfmap"))

@@ -160,6 +160,23 @@ class HaystackImportSpec extends SparkTestBase {
     assert(hit.nonEmpty && hit.head.snippet.contains("quote"))
   }
 
+  test("Phase-2.5 metadata rows: source_path maps onto the docstore source column") {
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(dir))
+    writeHaystack(dir, Seq(1L -> "alpha bravo charlie words", 2L -> "alpha delta"))
+    // rewrite docs.jsonl with the PDF-ingest row shape for doc 1
+    Files.writeString(Paths.get(dir, "docs.jsonl"),
+      """{"did_ocr":true,"docId":1,"file_name":"a.pdf","file_type":"pdf","page_number":3,"source_path":"/corpus/a.pdf","text":"alpha bravo charlie words"}""" +
+        "\n" + """{"docId":2,"text":"alpha delta"}""" + "\n")
+    val imp = tmpDir()
+    HaystackImport.importIndex(spark, dir, imp, buckets = 2)
+    val rows = spark.read.parquet(s"$imp/docstore")
+      .select("doc_id", "source").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "/corpus/a.pdf", 2L -> ""))
+    val hits = SegmentSearch.searchWithSnippets(spark, imp, "bravo", 1)
+    assert(hits.head.source == "/corpus/a.pdf") // citation survives migration
+  }
+
   test("ExportJob CLI: exit codes") {
     assert(graft.app.ExportJob.run(Array("--help")) == 0)
     assert(graft.app.ExportJob.run(Array("x")) == 2)
