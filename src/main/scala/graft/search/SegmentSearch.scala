@@ -536,6 +536,32 @@ object SegmentSearch {
     // then O(|term|) probes + the verified candidate set, not O(vocab)
     private lazy val symspell: SymSpell =
       SymSpell.build(segments.iterator.flatMap(_.terms.keysIterator))
+    // Byte-lex-sorted global vocabulary — the in-memory twin of the v5
+    // dictionary footer's on-disk sort order: prefix expansion and suggest
+    // become an O(log V) binary search + an O(|matches|) range walk instead
+    // of an O(V) scan per request (the "production tier can range-scan"
+    // note SURVEY §2.12/§2.16 carried since round 4). Built lazily once per
+    // serving generation, only when a prefix-family request arrives.
+    private lazy val sortedVocab: Array[String] = {
+      val set = new java.util.HashSet[String]()
+      segments.foreach(_.terms.keysIterator.foreach(set.add))
+      val arr = set.toArray(new Array[String](set.size))
+      java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[String]())
+      arr
+    }
+
+    /** All vocabulary terms with `p` as prefix, byte-lex ascending — the
+      * sorted-dictionary range scan.
+      */
+    private def prefixRange(p: String): Seq[String] = {
+      val v = sortedVocab
+      var lo = java.util.Arrays.binarySearch(v.asInstanceOf[Array[AnyRef]], p)
+      if (lo < 0) lo = -lo - 1
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = lo
+      while (i < v.length && v(i).startsWith(p)) { out += v(i); i += 1 }
+      out.toSeq
+    }
     private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     // Adaptive intra-request parallelism: fan a request's segments out across
     // cores only while few requests are in flight (cuts unloaded latency);
@@ -575,19 +601,19 @@ object SegmentSearch {
     /** Prefix term suggestions — EXTENSION (the reference's deferred Phase 9
       * "autocomplete"): top-k dictionary terms for a prefix, ranked by GLOBAL
       * df (sum of per-segment local dfs — the same Lucene-model summation as
-      * scoring) desc, then term asc. The scan is O(vocab) over the pinned
-      * dictionaries; the v5 footer is sorted on disk, so a production tier
-      * can range-scan instead (same note as `searchPrefix`).
+      * scoring) desc, then term asc. Round 5: rides the sorted-vocabulary
+      * range scan (the in-memory twin of the sorted v5 footer) —
+      * O(log V + |matches| x segments) per request, never O(V).
       */
     def suggest(prefix: String, k: Int): Seq[(String, Long)] = {
       val norm = Tokenizer.tokenize(prefix)
       if (norm.size != 1) return Nil
-      val p = norm.head
-      val dfs = scala.collection.mutable.HashMap.empty[String, Long]
-      segments.foreach(_.terms.foreach { case (t, td) =>
-        if (t.startsWith(p)) dfs.update(t, dfs.getOrElse(t, 0L) + td.df)
-      })
-      dfs.toSeq.sortBy { case (t, df) => (-df, t) }.take(k)
+      // range scan gives the matches; df = Σ per-segment local dfs via hash
+      // gets — O(log V + |matches| x segments), never O(V)
+      prefixRange(norm.head)
+        .map(t => t -> segments.iterator.flatMap(_.terms.get(t)).map(_.df).sum)
+        .sortBy { case (t, df) => (-df, t) }
+        .take(k)
     }
 
     /** Metadata-filtered top-k — EXTENSION (the reference's deferred Phase 9
@@ -638,10 +664,11 @@ object SegmentSearch {
     /** Prefix top-k over segments — EXTENSION (same deferred wildcard phase
       * as phrases; SURVEY §2.12). Expands the prefix against each segment's
       * in-memory term dictionary, then scores the union OR-mode in byte-lex
-      * term order (matching `SearchEngine.prefixScoredDF`). The in-memory
-      * expansion is an O(vocab) key scan per segment per request — the v5
-      * dictionary footer is SORTED on disk, so a production serving tier
-      * can range-scan it instead. Default UNCAPPED so this tier scores the
+      * term order (matching `SearchEngine.prefixScoredDF`). Round 5: the
+      * expansion is a binary search + range walk over the lazily-built
+      * sorted global vocabulary (the in-memory twin of the sorted v5
+      * dictionary footer) — O(log V + |matches|), never O(V) per request.
+      * Default UNCAPPED so this tier scores the
       * exact term set the dataflow twin does (tier parity is the oracle
       * contract); pass `maxTerms` as an opt-in latency guard for degenerate
       * one-letter prefixes — note a cap makes results diverge from the
@@ -657,7 +684,8 @@ object SegmentSearch {
       * per-segment dictionaries through the compiled glob
       * ([[graft.core.Glob.matches]], identical term set to the dataflow
       * tier's pushed-down LIKE) and scores the union OR-mode in byte-lex
-      * order. Same O(vocab)-per-request scan note as prefix/fuzzy.
+      * order. A literal leading chunk bounds the walk to its sorted-vocab
+      * range; a leading `*` walks the (one, global, sorted) vocabulary.
       */
     def searchWildcard(pattern: String, k: Int, maxTerms: Int = Int.MaxValue): Seq[(Long, Double)] = {
       val expanded = expandWildcard(pattern, maxTerms)
@@ -669,10 +697,14 @@ object SegmentSearch {
       graft.core.Glob.normalize(pattern) match {
         case None => Nil
         case Some(g) =>
-          segments.iterator
-            .flatMap(_.terms.keysIterator.filter(graft.core.Glob.matches(g, _)))
-            .toSeq.distinct.sorted
-            .take(maxTerms)
+          // a literal leading chunk bounds the scan to its dictionary range
+          // (`foo*bar` walks only foo*); a leading '*' walks the sorted
+          // vocab once — still one array, never per-segment maps
+          val lit = g.takeWhile(_ != '*')
+          val cands: Seq[String] =
+            if (lit.nonEmpty) prefixRange(lit)
+            else scala.collection.immutable.ArraySeq.unsafeWrapArray(sortedVocab)
+          cands.iterator.filter(graft.core.Glob.matches(g, _)).take(maxTerms).toSeq
       }
 
     /** Typo-tolerant top-k over segments — EXTENSION (the reference's own
@@ -680,9 +712,10 @@ object SegmentSearch {
       * against each segment's in-memory dictionary at Levenshtein <=
       * `maxDist` (banded DP, length pre-check — `graft.core.EditDistance`,
       * DuckDB `levenshtein` semantics), then scores the union OR-mode in
-      * byte-lex term order — exactly `searchPrefix`'s discipline, and the
-      * same O(vocab)-per-request scan note: a production tier precomputes a
-      * SymSpell-style deletion neighborhood over the sorted v5 dictionary.
+      * byte-lex term order — exactly `searchPrefix`'s discipline. Round 5:
+      * maxDist=1 (the default) rides the precomputed SymSpell deletion
+      * neighborhood (O(|term|) probes per request); larger radii fall back
+      * to the dictionary scan.
       */
     def searchFuzzy(term: String, k: Int, maxDist: Int = 1, maxTerms: Int = Int.MaxValue): Seq[(Long, Double)] = {
       val expanded = expandFuzzy(term, maxDist, maxTerms)
@@ -769,11 +802,8 @@ object SegmentSearch {
     private def expandPrefix(prefix: String, maxTerms: Int): Seq[String] = {
       val norm = Tokenizer.tokenize(prefix)
       if (norm.size != 1) return Nil
-      val p = norm.head
-      segments.iterator
-        .flatMap(_.terms.keysIterator.filter(_.startsWith(p)))
-        .toSeq.distinct.sorted
-        .take(maxTerms)
+      // sorted-vocab range scan (already byte-lex ascending and distinct)
+      prefixRange(norm.head).take(maxTerms)
     }
 
     /** Learning-to-rank re-rank — EXTENSION (the roadmap's optional Phase 10
