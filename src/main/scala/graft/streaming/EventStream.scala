@@ -196,6 +196,82 @@ object EventStream {
     }
   }
 
+  /** Per-LSH-bucket streaming state: the docIds seen in this band bucket
+    * (bounded by the cap — the state-size contract at scale).
+    */
+  final case class BucketState(ids: Array[Long])
+
+  /** Streaming MinHash-LSH near-dup CANDIDATES — the streaming twin of
+    * `Dedup.minhashSignatures -> lshBands -> lshCandidatePairs`, and it
+    * literally reuses those operators' expressions (signatures and band
+    * keys are row-local Catalyst exprs, so they run unchanged on a
+    * streaming DataFrame); only the pairing step becomes stateful: one
+    * state entry per band bucket holding the docIds seen so far, each new
+    * arrival emitting a candidate pair against every prior member.
+    *
+    * Output rows are (doc_a, doc_b) with doc_a < doc_b, exactly-once per
+    * (bucket, pair) via the parquet file sink + checkpoint; a pair sharing
+    * SEVERAL bands appears once per shared band (the batch op's terminal
+    * `.distinct()` is cross-bucket and has no bounded-state streaming
+    * equivalent — consumers dedupe, and the downstream exact-Jaccard
+    * verify is idempotent anyway).
+    *
+    * `maxBucket` (<= 0 disables, mirroring `lshCandidatePairs`) is BOTH
+    * the skew guard and the state bound: a saturated bucket stops
+    * accumulating and stops emitting — at 100 TB state per bucket is
+    * O(maxBucket) ids, never O(corpus). Semantics vs batch differ under
+    * saturation by construction (batch drops an over-cap bucket
+    * RETROACTIVELY; a stream cannot retract emitted pairs — it keeps the
+    * first maxBucket members' pairs). Below the cap the candidate SETS are
+    * identical (spec-asserted).
+    */
+  def nearDupCandidateStream(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      checkpointDir: String,
+      w: Int = 5,
+      maxBucket: Int = 0
+  ): StreamingQuery = {
+    import spark.implicits._
+    val docs = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+    val bands = graft.pipeline.Dedup.lshBands(
+      graft.pipeline.Dedup.minhashSignatures(docs, w))
+    val q = bands
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[BucketState]) =>
+          var known = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+          // sorted fresh arrivals: deterministic pair emission within a batch
+          val fresh = rows.map(_._1).toArray.distinct.sorted
+            .filterNot(id => known.contains(id))
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          fresh.foreach { id =>
+            if (maxBucket <= 0 || known.length < maxBucket) {
+              known.foreach(k =>
+                out += ((math.min(k, id), math.max(k, id))))
+              known = known :+ id
+            } // else: saturated — neither stored nor paired (state stays bounded)
+          }
+          if (fresh.nonEmpty) state.update(BucketState(known))
+          out.iterator
+      }
+      .toDF("doc_a", "doc_b")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming INDEX ingestion: readStream over a document directory ->
     * foreachBatch appending each micro-batch as new segments via
     * SegmentIndex.addDocuments. Because the segment design is append-only

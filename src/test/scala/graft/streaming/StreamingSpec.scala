@@ -33,6 +33,55 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("streaming LSH near-dup candidates == batch candidate set; cross-batch pairs found; cap bounds state") {
+    val sp = spark
+    import sp.implicits._
+    // planted near-dups: pairs (i, i+1000) share most shingles; fillers are
+    // unique. Split across THREE files so maxFilesPerTrigger=1 forces each
+    // planted pair's members into DIFFERENT micro-batches.
+    def nearText(i: Long, variant: Int) = {
+      val base = (0 until 12).map(j => s"tok${(i * 7 + j) % 50}").mkString(" ")
+      if (variant == 0) base else base + " extraword"
+    }
+    val a = (1L to 20L).map(i => (i, nearText(i, 0), "s", "en"))
+    val b = (1L to 20L).map(i => (i + 1000L, nearText(i, 1), "s", "en"))
+    val fill = (2001L to 2030L).map(i => (i, s"unique$i " + (0 until 10).map(j => s"u${i}x$j").mkString(" "), "s", "en"))
+    val dir = Files.createTempDirectory("graft-stream-neardup").toString
+    a.toDF("doc_id", "text", "source", "lang").coalesce(1).write.mode("append").parquet(dir)
+    b.toDF("doc_id", "text", "source", "lang").coalesce(1).write.mode("append").parquet(dir)
+    fill.toDF("doc_id", "text", "source", "lang").coalesce(1).write.mode("append").parquet(dir)
+
+    val outDir = Files.createTempDirectory("graft-neardup-out").toString
+    val ckDir = Files.createTempDirectory("graft-neardup-ck").toString
+    EventStream.nearDupCandidateStream(spark, dir, outDir, ckDir, w = 5)
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batchDocs = spark.read.parquet(dir)
+    val batch = graft.pipeline.Dedup.lshCandidatePairs(
+      graft.pipeline.Dedup.lshBands(graft.pipeline.Dedup.minhashSignatures(batchDocs, 5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    // cross-batch recall: each planted pair's members arrived in DIFFERENT
+    // micro-batches (files), so every one found proves bucket state spans
+    // batches. LSH is probabilistic by design — require most, not all.
+    val planted = (1L to 20L).count(i => streamed.contains((i, i + 1000L)))
+    assert(planted >= 15, s"only $planted/20 planted cross-batch pairs found")
+
+    // cap: a degenerate bucket (identical docs -> identical bands) stops at
+    // maxBucket members -> at most C(cap,2) pairs per band from it
+    val dup = (1L to 10L).map(i => (i, "same same same tokens here all identical words", "s", "en"))
+    val dir2 = Files.createTempDirectory("graft-stream-neardup2").toString
+    dup.toDF("doc_id", "text", "source", "lang").coalesce(1).write.mode("overwrite").parquet(dir2)
+    val out2 = Files.createTempDirectory("graft-neardup-out2").toString
+    EventStream.nearDupCandidateStream(spark, dir2, out2,
+      Files.createTempDirectory("graft-neardup-ck2").toString, w = 5, maxBucket = 3)
+    val capped = spark.read.parquet(out2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3 members per bucket -> 3 distinct pairs (identical docs share ALL
+    // bands, so the same 3 pairs repeat per band and collapse in the set)
+    assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L)), capped.toString)
+  }
+
   test("streaming sessionization (native session_window) == batch gap rule, incl. the exact-30:00 boundary") {
     val sp = spark
     import sp.implicits._
