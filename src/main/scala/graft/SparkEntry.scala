@@ -676,6 +676,11 @@ object SparkEntry {
     // --- SimHash signatures ---
     "q_dedup_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhash(documents(s, dir))),
+    // --- exact substring duplication share (windowed Lee-et-al form:
+    //     per-doc count of distinct 5-token windows shared verbatim with
+    //     another doc; 16-byte hashed windows through the one exchange) ---
+    "q_substring_dups" -> ((s, dir) =>
+      graft.pipeline.Dedup.substringDupStats(documents(s, dir), w = 5)),
     // --- brute n-gram Jaccard near-dup over bounded id range ---
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.pipeline.Dedup.ngramJaccard(documents(s, dir), w = 3, maxId = 150L, jMicrosThreshold = 100000L)),
@@ -993,6 +998,17 @@ object SparkEntry {
          |SELECT doc_id,
          |       CAST(sum(CASE WHEN bitsum > 0 THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM c GROUP BY doc_id""".stripMargin,
+    "q_substring_dups" ->
+      s"""${shingleCte(5)},
+         |shared AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+         |tot AS (SELECT doc_id, count(*) AS windows FROM sh GROUP BY doc_id),
+         |dup AS (SELECT doc_id, count(*) AS dup_windows FROM sh
+         |        WHERE sh IN (SELECT sh FROM shared) GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       CAST(t.windows AS BIGINT) AS windows,
+         |       CAST(coalesce(d.dup_windows, 0) AS BIGINT) AS dup_windows,
+         |       CAST((coalesce(d.dup_windows, 0) * 1000000) // t.windows AS BIGINT) AS dup_micros
+         |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin,
     "q_ngram_jaccard" ->
       s"""${shingleCte(3, "WHERE doc_id < 150")},
          |ids AS (SELECT DISTINCT doc_id FROM sh),

@@ -291,6 +291,40 @@ object Dedup {
     * positive. ROW-LOCAL via the native expression (a per-doc pure function
     * — the old dataflow form paid three shuffles). (doc_id, simhash long).
     */
+  /** Exact substring duplication stats — the practical windowed form of
+    * suffix-array exact-substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": long verbatim repeats are the
+    * highest-value dedup targets): per doc, how many of its DISTINCT
+    * w-token windows appear verbatim in at least one OTHER document.
+    * Output: (doc_id, windows, dup_windows, dup_micros) for docs with >= w
+    * tokens — dup_micros is the integer duplicated-window share, the
+    * per-doc signal a curation pipeline thresholds on.
+    *
+    * Scale shape: window enumeration is row-local (reuses [[shingles]] —
+    * one pass, O(len) windows per doc); windows are md5-hashed BEFORE the
+    * exchange so the only shuffle carries 16-byte keys, never window text;
+    * the shared-window set comes from one groupBy(hash) with a distinct-doc
+    * count (map-side partial aggregation applies). No all-pairs anywhere —
+    * cost is O(total windows), not O(docs^2).
+    */
+  def substringDupStats(docs: DataFrame, w: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, w, idCol, textCol).select(col("doc_id"), md5(col("sh")).as("wh"))
+    val shared = sh.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("wh"))
+    val dup = sh.join(shared, Seq("wh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("windows"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        expr("(coalesce(dup_windows, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT)) DIV windows")
+          .as("dup_micros"))
+  }
+
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.expr.ShingleExprs.register(docs.sparkSession)
     docs

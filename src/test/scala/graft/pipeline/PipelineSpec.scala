@@ -21,6 +21,26 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("substringDupStats: verbatim window shares counted per doc; short docs excluded") {
+    val sp = spark
+    import sp.implicits._
+    val shared = "alpha bravo charlie delta echo" // one 5-token window
+    val docs = Seq(
+      (1L, s"$shared unique1 u1a u1b u1c u1d"),      // 6 windows, 1 shared
+      (2L, s"prefix2 p2a $shared tail2 t2a"),        // 9 tokens -> 5 windows, 1 shared
+      (3L, "all unique tokens here nothing shared"), // 2 windows, 0 shared
+      (4L, "alpha bravo charlie delta echo"),        // exactly the window
+      (5L, "too short doc")                          // < 5 tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.substringDupStats(docs, w = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains(5L))
+    assert(got(1L) == ((6L, 1L, 166666L)))
+    assert(got(2L) == ((5L, 1L, 200000L)))
+    assert(got(3L) == ((2L, 0L, 0L)))
+    assert(got(4L) == ((1L, 1L, 1000000L)))
+  }
+
   test("simhash: identical docs share signature; near docs within small hamming") {
     val df = docsDF(Seq(
       1L -> "alpha bravo charlie delta echo foxtrot",
