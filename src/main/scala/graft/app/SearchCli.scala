@@ -11,9 +11,10 @@ import graft.spark.Sessions
   *
   * Usage: SearchCli <corpus.parquet> <k> <query> [<query> ...]
   *
-  * A query of the form `phrase:<text>` runs the phrase-adjacent extension
-  * (SURVEY §2.12) instead of the reference query language; plain queries
-  * keep the reference-exact semantics.
+  * Queries of the form `phrase:<text>` / `prefix:<p>` / `fuzzy:<t>` /
+  * `wildcard:<pat>` run the matching extension (SURVEY §2.12) instead of
+  * the reference query language; plain queries keep the reference-exact
+  * semantics.
   */
 object SearchCli {
   def main(args: Array[String]): Unit = {
@@ -38,6 +39,9 @@ object SearchCli {
     queries.foreach { q =>
       val hits =
         if (q.startsWith("phrase:")) engine.searchPhraseWithSnippets(q.substring(7), k)
+        else if (q.startsWith("prefix:")) engine.searchPrefixWithSnippets(q.substring(7), k)
+        else if (q.startsWith("fuzzy:")) engine.searchFuzzyWithSnippets(q.substring(6), k)
+        else if (q.startsWith("wildcard:")) engine.searchWildcardWithSnippets(q.substring(9), k)
         else engine.searchWithSnippets(q, k)
       val body = hits.map(h =>
         s"""{"docId":${h.docId},"score":${h.score},"snippet":"${esc(h.snippet)}",""" +

@@ -37,18 +37,28 @@ object Curate {
       piiRedactions: Long,
       afterExactDedup: Long,
       afterNearDup: Long,
-      afterQuality: Long
+      afterQuality: Long,
+      // -1 when the optional substring-dup ceiling stage is disabled
+      afterSubstringDup: Long = -1
   )
 
   /** Curated corpus (doc_id, text, source, lang — text is the REDACTED
     * text) and the stage funnel (all -1 when `funnel = false`).
+    */
+  /** `maxSubstringDupMicros` >= 0 enables the optional stage 3b: drop docs
+    * whose distinct-window duplicated share (Dedup.substringDupStats,
+    * window `substringW`) exceeds the cap — verbatim-heavy near-copies
+    * that banded LSH can miss (long shared runs inside otherwise-different
+    * shingle sets). Docs shorter than the window have no share and pass.
     */
   def curate(
       docs: DataFrame,
       w: Int = 3,
       jMicrosThreshold: Long = 300000L,
       minQualityMicros: Long = 200000L,
-      funnel: Boolean = true
+      funnel: Boolean = true,
+      maxSubstringDupMicros: Long = -1L,
+      substringW: Int = 8
   ): (DataFrame, Funnel) = {
     val meta = docs.columns.filter(c => c == "source" || c == "lang").map(col)
 
@@ -72,17 +82,28 @@ object Curate {
     val pairs = Dedup.minhashNearDups(exact, w, jMicrosThreshold)
     val nearKept = exact.join(Dedup.keepAfterNearDup(exact, pairs), Seq("doc_id"))
 
+    // 3b. optional substring-dup ceiling (anti-join on violators, so docs
+    // too short for a window — no stats row — pass through)
+    val subKept =
+      if (maxSubstringDupMicros < 0) nearKept
+      else nearKept.join(
+        Dedup.substringDupStats(nearKept, substringW)
+          .filter(col("dup_micros") > maxSubstringDupMicros)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
     // 4. quality floor
-    val curated = nearKept
+    val curated = subKept
       .join(
-        TextStats.quality(nearKept)
+        TextStats.quality(subKept)
           .filter(col("quality_micros") >= minQualityMicros)
           .select(col("doc_id")),
         Seq("doc_id"))
 
     val f =
       if (!funnel) Funnel(-1, redactions, -1, -1, -1)
-      else Funnel(docs.count(), redactions, exact.count(), nearKept.count(), curated.count())
+      else Funnel(docs.count(), redactions, exact.count(), nearKept.count(), curated.count(),
+        if (maxSubstringDupMicros < 0) -1 else subKept.count())
     (curated, f)
   }
 }

@@ -497,6 +497,28 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
   def searchPhraseWithSnippets(phrase: String, k: Int = 10): Seq[Hit] =
     decorate(searchPhraseScored(phrase, k), Tokenizer.tokenize(phrase))
 
+  /** Expanded-family twins of `searchWithSnippets` (extension): rank the
+    * scored expansion with the reference comparator, decorate the k
+    * survivors. Snippets highlight the typed pattern's literal tokens.
+    */
+  def searchPrefixWithSnippets(prefix: String, k: Int = 10): Seq[Hit] =
+    decorate(rankScored(prefixScoredDF(prefix), k), Tokenizer.tokenize(prefix))
+
+  def searchFuzzyWithSnippets(term: String, k: Int = 10): Seq[Hit] =
+    decorate(rankScored(fuzzyScoredDF(term), k), Tokenizer.tokenize(term))
+
+  def searchWildcardWithSnippets(pattern: String, k: Int = 10): Seq[Hit] =
+    decorate(rankScored(wildcardScoredDF(pattern), k), Tokenizer.tokenize(pattern))
+
+  private def rankScored(scored: DataFrame, k: Int): Seq[(Long, Double)] = {
+    val all = scored
+      .select(col("doc_id"), col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toIndexedSeq
+    Bm25.sortHits(all).take(math.max(1, k))
+  }
+
   /** Decorate ranked (docId, score) rows with snippet + doc metadata, text
     * fetched for the k surviving rows only.
     */

@@ -42,8 +42,39 @@ class CurateSpec extends SparkTestBase {
 
     // funnel = false pays zero extra actions and returns the same corpus
     val (again, f2) = Curate.curate(docs, funnel = false)
-    assert(f2.input == -1 && f2.afterQuality == -1)
+    assert(f2.input == -1 && f2.afterQuality == -1 && f2.afterSubstringDup == -1)
     assert(again.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L, 8L))
+  }
+
+  test("curate: optional substring-dup ceiling drops verbatim-heavy near-copies LSH misses") {
+    val sp = spark
+    import sp.implicits._
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel" // 8-token verbatim run
+    val docs = Seq(
+      (1L, s"$run plus its own unique continuation of several more ordinary words here", "s1", "en"),
+      // shares the verbatim 8-token run but a mostly-different shingle set:
+      // below the LSH jaccard threshold, caught by the substring ceiling
+      (2L, s"$run completely different remainder talking about other topics entirely now", "s1", "en"),
+      (3L, "an unrelated document with enough ordinary words to clear every quality floor easily", "s2", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+
+    // without the ceiling all three survive (not exact dups, not LSH near-dups at j>=0.9)
+    val (base, _) = Curate.curate(docs, jMicrosThreshold = 900000L)
+    assert(base.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    // with the ceiling: docs 1+2 share exactly the one 8-token window
+    // inside the verbatim run. doc 1: 19 tokens -> 12 windows, share
+    // 1/12 = 83,333 micros; doc 2: 18 tokens -> 11 windows, share 90,909.
+    // A 50,000 cap drops both; doc 3 (no shared windows) survives.
+    val (capped, f) = Curate.curate(docs, jMicrosThreshold = 900000L,
+      maxSubstringDupMicros = 50000L, substringW = 8)
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L), f)
+    assert(f.afterSubstringDup == 1L, f)
+
+    // a looser cap (above both shares) keeps everything
+    val (loose, _) = Curate.curate(docs, jMicrosThreshold = 900000L,
+      maxSubstringDupMicros = 100000L, substringW = 8)
+    assert(loose.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
   test("CurateJob: argument matrix + end-to-end curated index answers queries") {
