@@ -681,6 +681,11 @@ object SparkEntry {
     //     another doc; 16-byte hashed windows through the one exchange) ---
     "q_substring_dups" -> ((s, dir) =>
       graft.pipeline.Dedup.substringDupStats(documents(s, dir), w = 5)),
+    // --- corpus-conditional bigram familiarity (LM-fluency signal in exact
+    //     integer micros: per-partition dense partial counts, broadcast
+    //     model, row-local scoring) ---
+    "q_bigram_lm" -> ((s, dir) =>
+      graft.pipeline.TextStats.bigramFamiliarity(documents(s, dir))),
     // --- brute n-gram Jaccard near-dup over bounded id range ---
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.pipeline.Dedup.ngramJaccard(documents(s, dir), w = 3, maxId = 150L, jMicrosThreshold = 100000L)),
@@ -998,6 +1003,26 @@ object SparkEntry {
          |SELECT doc_id,
          |       CAST(sum(CASE WHEN bitsum > 0 THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM c GROUP BY doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    CASE WHEN unicode(substr(text, CAST(t.i AS INT), 1)) < 128
+        |         THEN unicode(substr(text, CAST(t.i AS INT), 1)) ELSE 128 END AS a,
+        |    CASE WHEN unicode(substr(text, CAST(t.i AS INT) + 1, 1)) < 128
+        |         THEN unicode(substr(text, CAST(t.i AS INT) + 1, 1)) ELSE 128 END AS b
+        |  FROM documents, unnest(range(1, length(text))) AS t(i)
+        |),
+        |big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM ch GROUP BY a, b),
+        |ua AS (SELECT a, CAST(sum(cab) AS BIGINT) AS cta FROM big GROUP BY a),
+        |per AS (
+        |  SELECT ch.doc_id,
+        |    CAST((CAST(big.cab AS HUGEINT) * 1000000) // ua.cta AS BIGINT) AS m
+        |  FROM ch JOIN big USING (a, b) JOIN ua USING (a)
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(CAST(sum(m) AS HUGEINT) // count(*) AS BIGINT) AS familiarity_micros
+        |FROM per GROUP BY doc_id""".stripMargin,
     "q_substring_dups" ->
       s"""${shingleCte(5)},
          |shared AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) > 1),

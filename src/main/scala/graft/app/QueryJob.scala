@@ -11,9 +11,10 @@ import graft.search.SegmentSearch
   * Usage: QueryJob <indexDir> <k> <query> [<query> ...]
   * Prints one JSON line per query: {"query":…,"results":[{docId,score}…]}.
   *
-  * A query of the form `phrase:<text>` runs the distributed phrase batch
-  * (SegmentSearch.phraseBatch — SURVEY §2.12); plain queries keep the
-  * reference-exact language.
+  * Queries of the form `phrase:<text>` / `prefix:<p>` / `fuzzy:<t>` /
+  * `wildcard:<pat>` run the matching distributed extension
+  * (SegmentSearch.phraseBatch / prefixBatch / fuzzyBatch / wildcardBatch —
+  * SURVEY §2.12); plain queries keep the reference-exact language.
   */
 object QueryJob {
   def main(args: Array[String]): Unit = {
@@ -30,16 +31,24 @@ object QueryJob {
       else graft.spark.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, 16, "graft-job")
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val (phraseQ, plainQ) = queries.zipWithIndex.partition(_._1.startsWith("phrase:"))
+      val (phraseQ, rest0) = queries.zipWithIndex.partition(_._1.startsWith("phrase:"))
+      val (expandedQ, plainQ) = rest0.partition { case (q, _) =>
+        q.startsWith("prefix:") || q.startsWith("fuzzy:") || q.startsWith("wildcard:") }
       val plainRes =
         if (plainQ.isEmpty) Map.empty[Int, Seq[(Long, Double)]]
         else SegmentSearch.searchBatch(spark, indexDir, plainQ.map(_._1), k)
       val phraseRes =
         if (phraseQ.isEmpty) Map.empty[Int, Seq[(Long, Double)]]
         else SegmentSearch.phraseBatch(spark, indexDir, phraseQ.map(_._1.substring(7)), k)
+      val expandedRes: Map[Int, Seq[(Long, Double)]] = expandedQ.map { case (q, orig) =>
+        orig -> (if (q.startsWith("prefix:")) SegmentSearch.prefixBatch(spark, indexDir, q.substring(7), k)
+                 else if (q.startsWith("fuzzy:")) SegmentSearch.fuzzyBatch(spark, indexDir, q.substring(6), k)
+                 else SegmentSearch.wildcardBatch(spark, indexDir, q.substring(9), k))
+      }.toMap
       val byInput: Map[Int, Seq[(Long, Double)]] =
         plainQ.map(_._2).zipWithIndex.map { case (orig, j) => orig -> plainRes(j) }.toMap ++
-          phraseQ.map(_._2).zipWithIndex.map { case (orig, j) => orig -> phraseRes(j) }.toMap
+          phraseQ.map(_._2).zipWithIndex.map { case (orig, j) => orig -> phraseRes(j) }.toMap ++
+          expandedRes
       import graft.core.JsonText.esc
       queries.zipWithIndex.foreach { case (q, i) =>
         val hits = byInput(i).map { case (d, s) => s"""{"docId":$d,"score":$s}""" }.mkString("[", ",", "]")

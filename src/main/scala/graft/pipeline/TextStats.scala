@@ -200,4 +200,78 @@ object TextStats {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("score_micros"))
   }
+
+  /** Corpus-conditional character-bigram familiarity — the statistical
+    * "does this read like the corpus" fluency signal (the CCNet/DataComp
+    * LM-perplexity role, without an external LM): per doc, the mean
+    * conditional bigram probability under the corpus's own bigram model,
+    * in EXACT INTEGER MICROS — per bigram (a,b):
+    * micros = count(a,b) * 1e6 DIV count(a, *); familiarity = mean over the
+    * doc's bigrams (integer DIV). Integer end-to-end, so the DuckDB oracle
+    * is bit-exact — no float-log rounding hazards. Gibberish and
+    * wrong-alphabet text score low; corpus-typical text scores high.
+    *
+    * Alphabet: ASCII codepoints 0-127 plus one OTHER bucket (UTF-16 units
+    * >= 128 — matches the oracle for any BMP text; this corpus is ASCII).
+    *
+    * Scale shape: the model pass is mapPartitions with a dense local count
+    * array — ONE (code, count) row per distinct bigram per partition
+    * leaves each task (<= 129^2 rows, the classic partial-aggregate
+    * shape), one tiny groupBy, and the <= 17k-entry model broadcasts. The
+    * scoring pass is row-local with zero shuffle. Per-bigram division
+    * falls back to BigInt only when count * 1e6 would overflow a long
+    * (corpus beyond ~9.2e12 occurrences of one leading char).
+    */
+  def bigramFamiliarity(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val A = 129
+    @inline def codeOf(s: String, i: Int): Int = { val c = s.charAt(i).toInt; if (c < 128) c else 128 }
+
+    val texts = docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val counts = texts
+      .select(col("text")).as[String]
+      .mapPartitions { it =>
+        val arr = new Array[Long](A * A)
+        it.foreach { s =>
+          var i = 0
+          while (i + 1 < s.length) { arr(codeOf(s, i) * A + codeOf(s, i + 1)) += 1; i += 1 }
+        }
+        arr.iterator.zipWithIndex.collect { case (c, k) if c > 0 => (k, c) }
+      }
+      .toDF("k", "c")
+      .groupBy(col("k")).agg(sum(col("c")).as("c"))
+      .collect()
+    val cab = new Array[Long](A * A)
+    counts.foreach(r => cab(r.getInt(0)) = r.getLong(1))
+    val ca = new Array[Long](A)
+    var k = 0
+    while (k < A * A) { ca(k / A) += cab(k); k += 1 }
+    val bc = spark.sparkContext.broadcast((cab, ca))
+
+    texts.as[(Long, String)]
+      .mapPartitions { it =>
+        val (ab, a) = bc.value
+        @inline def micros(num: Long, den: Long): Long =
+          if (num < Long.MaxValue / 1000000L) num * 1000000L / den
+          else (BigInt(num) * 1000000 / den).toLong
+        it.flatMap { case (id, s) =>
+          if (s.length < 2) None
+          else {
+            var i = 0
+            var n = 0L
+            var sum = 0L
+            while (i + 1 < s.length) {
+              val ai = codeOf(s, i)
+              sum += micros(ab(ai * A + codeOf(s, i + 1)), a(ai))
+              n += 1
+              i += 1
+            }
+            Some((id, n, sum / n))
+          }
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "familiarity_micros")
+  }
 }

@@ -21,6 +21,24 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("bigramFamiliarity: corpus-typical text outranks gibberish; exact integer mean") {
+    val sp = spark
+    import sp.implicits._
+    val typical = (1L to 30L).map(i => (i, "the streaming engine merges sorted partitions then the scheduler starts more tasks"))
+    val docs = (typical ++ Seq(
+      (100L, "zq xv jq qz vx zz qqj zxv jjq vzx"), // gibberish: rare bigrams
+      (101L, "a"),                                  // single char: no bigrams
+      (102L, "")
+    )).toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.bigramFamiliarity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!got.contains(101L) && !got.contains(102L))
+    assert(got(1L) == got(30L)) // identical docs, identical integer score
+    assert(got(1L)._2 > got(100L)._2, s"typical ${got(1L)} vs gibberish ${got(100L)}")
+    // hand-check n_bigrams = len - 1
+    assert(got(100L)._1 == "zq xv jq qz vx zz qqj zxv jjq vzx".length - 1)
+  }
+
   test("substringDupStats: verbatim window shares counted per doc; short docs excluded") {
     val sp = spark
     import sp.implicits._
