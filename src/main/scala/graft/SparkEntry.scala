@@ -701,6 +701,17 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) =>
       graft.pipeline.Similarity.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), k = 5, numCentroids = 8, nprobe = 2)),
+    // --- SERVING-tier IVF ANN: pinned VecStore cells, same oracle as the
+    //     distributed gate (round 5 — per-query cost O(centroids + probed
+    //     members), never O(N)) ---
+    "q_ann_ivf_serving" -> ((s, dir) => {
+      import s.implicits._
+      val vs = vecStore(s, dir)
+      Seq(0L, 1L, 2L)
+        .flatMap(q => vs.ivfTopK(q, n = 5, numCentroids = 8, nprobe = 2)
+          .map { case (rank, id, cm) => (q, rank, id, cm) })
+        .toDF("query_id", "rank", "vec_id", "cos_micros")
+    }),
     // --- embedding near-dup, IVF-bucketed scale path (within-cell pairs only) ---
     "q_dedup_embcos_ivf" -> ((s, dir) =>
       graft.pipeline.Similarity.ivfNearDups(
@@ -1060,30 +1071,9 @@ object SparkEntry {
          |r AS (SELECT query_id, vec_id, cos_micros,
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
          |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 10""".stripMargin,
-    "q_ann_ivf" ->
-      s"""$vecCte,
-         |cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
-         |asg AS (SELECT vec_id, centroid_id FROM (
-         |  SELECT n.vec_id, c.centroid_id,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      CAST(round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn) * 1e6) AS BIGINT) DESC,
-         |      c.centroid_id ASC) AS rn
-         |  FROM n CROSS JOIN cents c) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id IN (0, 1, 2)),
-         |probes AS (SELECT query_id, centroid_id FROM (
-         |  SELECT q.query_id, c.centroid_id,
-         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |      CAST(round(list_dot_product(q.qe, c.ce) / (q.qn * c.cn) * 1e6) AS BIGINT) DESC,
-         |      c.centroid_id ASC) AS rn
-         |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
-         |members AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a USING (centroid_id)),
-         |s AS (SELECT m.query_id, m.vec_id,
-         |        CAST(round(list_dot_product(q.qe, n.e) / (q.qn * n.nrm) * 1e6) AS BIGINT) AS cos_micros
-         |      FROM members m JOIN q ON q.query_id = m.query_id JOIN n ON n.vec_id = m.vec_id
-         |      WHERE m.vec_id <> m.query_id),
-         |r AS (SELECT query_id, vec_id, cos_micros,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
-         |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin,
+    "q_ann_ivf" -> annIvfOracleSql,
+    // serving IVF twin: pinned cells, identical SQL
+    "q_ann_ivf_serving" -> annIvfOracleSql,
     // LSH twin: same md5-derived integer hyperplanes, per-table L-bit sign
     // signature, candidates = bucket mates in ANY table, exact cosine rank
     "q_ann_lsh" ->
@@ -1425,6 +1415,36 @@ object SparkEntry {
   private val vecCte =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
+
+  /** IVF ANN oracle (shared by the distributed gate and its pinned-serving
+    * twin): first-8-by-vec_id centroids, nearest-centroid assignment
+    * (cos_micros desc, centroid_id asc), nprobe=2, exact within-cell
+    * cosine rank, k=5, queries {0,1,2}.
+    */
+  private val annIvfOracleSql =
+    s"""$vecCte,
+       |cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT n.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      CAST(round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn) * 1e6) AS BIGINT) DESC,
+       |      c.centroid_id ASC) AS rn
+       |  FROM n CROSS JOIN cents c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id IN (0, 1, 2)),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |  SELECT q.query_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      CAST(round(list_dot_product(q.qe, c.ce) / (q.qn * c.cn) * 1e6) AS BIGINT) DESC,
+       |      c.centroid_id ASC) AS rn
+       |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+       |members AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a USING (centroid_id)),
+       |s AS (SELECT m.query_id, m.vec_id,
+       |        CAST(round(list_dot_product(q.qe, n.e) / (q.qn * n.nrm) * 1e6) AS BIGINT) AS cos_micros
+       |      FROM members m JOIN q ON q.query_id = m.query_id JOIN n ON n.vec_id = m.vec_id
+       |      WHERE m.vec_id <> m.query_id),
+       |r AS (SELECT query_id, vec_id, cos_micros,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
+       |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin
 
   /** Hybrid (Phase 11a) oracle: BM25 lexical rank over `documents` fused by
     * integer RRF with a cosine rank over `embeddings`. `vecLegSql` must

@@ -305,7 +305,12 @@ object Dedup {
     * exchange so the only shuffle carries 16-byte keys, never window text;
     * the shared-window set comes from one groupBy(hash) with a distinct-doc
     * count (map-side partial aggregation applies). No all-pairs anywhere —
-    * cost is O(total windows), not O(docs^2).
+    * cost is O(total windows), not O(docs^2). The plan's three branches
+    * (totals, shared set, per-doc dup counts) each re-derive windows from
+    * the columnar scan — row-local codegen'd work, deliberately cheaper at
+    * scale than materializing the window set between exchanges; callers
+    * with pathological window counts can persist `shingles(docs, w)`
+    * upstream instead.
     */
   def substringDupStats(docs: DataFrame, w: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingles(docs, w, idCol, textCol).select(col("doc_id"), md5(col("sh")).as("wh"))

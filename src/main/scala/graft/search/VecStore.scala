@@ -53,6 +53,66 @@ final class VecStore private (
       (x: (Long, Long), y: (Long, Long)) => x._1 > y._1 || (x._1 == y._1 && x._2 < y._2))
     scored.iterator.take(n).zipWithIndex.map { case ((_, id), r) => (id, r + 1L) }.toSeq
   }
+
+  // cell member indices per numCentroids config, built once per store
+  private val ivfCells = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Int]]]()
+
+  private def cellsFor(numCentroids: Int): Array[Array[Int]] =
+    ivfCells.computeIfAbsent(numCentroids, nc0 => {
+      val nc = math.min(nc0, ids.length)
+      // centroids = the first nc vectors by vec_id (the store is sorted),
+      // exactly Similarity.centroids; each vector assigns to its nearest
+      // centroid by (cos_micros desc, centroid_id asc) — ids are sorted, so
+      // centroid-index order IS centroid-id order
+      val buf = Array.fill(nc)(new scala.collection.mutable.ArrayBuffer[Int]())
+      var i = 0
+      while (i < ids.length) {
+        var best = -1
+        var bestCm = Long.MinValue
+        var c = 0
+        while (c < nc) {
+          val cm = cosMicros(i, c)
+          if (cm > bestCm) { bestCm = cm; best = c } // ties keep the lower cid
+          c += 1
+        }
+        buf(best) += i
+        i += 1
+      }
+      buf.map(_.toArray)
+    })
+
+  /** Serving-tier IVF ANN over the pinned store — the same semantics and
+    * integer arithmetic as `Similarity.ivfTopK` (and the `q_ann_ivf`
+    * oracle): centroids are the first `numCentroids` vectors by vec_id,
+    * every vector assigns to its nearest centroid (cos_micros desc,
+    * centroid_id asc), a query probes its `nprobe` best centroids and
+    * brute-forces ONLY their members — the within-cell kernel is the same
+    * pinned scan the hybrid leg uses, so per-query cost is
+    * O(numCentroids + probed members), not O(N). Cell lists build lazily
+    * once per (store, numCentroids) and are shared across requests.
+    * Output: (rank, vec_id, cos_micros), rank 1-based, self excluded.
+    */
+  def ivfTopK(queryVecId: Long, n: Int, numCentroids: Int, nprobe: Int): Seq[(Long, Long, Long)] = {
+    val qi = java.util.Arrays.binarySearch(ids, queryVecId)
+    if (qi < 0) return Nil
+    val cells = cellsFor(numCentroids)
+    val nc = cells.length
+    // probe order: (cos_micros desc, centroid_id asc); centroid index order
+    // is id order, so a stable sort on descending cm preserves the tie rule
+    val probeOrder = (0 until nc).map(c => (cosMicros(qi, c), c)).toArray
+    scala.util.Sorting.stableSort(probeOrder,
+      (x: (Long, Int), y: (Long, Int)) => x._1 > y._1 || (x._1 == y._1 && x._2 < y._2))
+    val scored = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (cos, id)
+    probeOrder.iterator.take(math.min(nprobe, nc)).foreach { case (_, c) =>
+      cells(c).foreach { i =>
+        if (i != qi) scored += ((cosMicros(qi, i), ids(i)))
+      }
+    }
+    val arr = scored.toArray
+    scala.util.Sorting.stableSort(arr,
+      (x: (Long, Long), y: (Long, Long)) => x._1 > y._1 || (x._1 == y._1 && x._2 < y._2))
+    arr.iterator.take(n).zipWithIndex.map { case ((cm, id), r) => (r + 1L, id, cm) }.toSeq
+  }
 }
 
 object VecStore {

@@ -62,6 +62,24 @@ class ServingHybridSpec extends SparkTestBase {
     assert(vs.topK(0L, 100).size == 5)
   }
 
+  test("VecStore.ivfTopK is bit-identical to Similarity.ivfTopK across configs") {
+    val sp = spark
+    import sp.implicits._
+    // larger random corpus so cells are non-trivial and probes actually prune
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(6)((rnd.nextInt(2001) - 1000) / 1000.0f))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-vecstore-ivf").toString
+    emb.coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val vs = VecStore.load(spark, s"$dir/embeddings.parquet")
+    for (nc <- Seq(4, 8); np <- Seq(1, 2, 4); q <- Seq(0L, 7L, 59L)) {
+      val expect = Similarity.ivfTopK(emb, Seq(q), k = 5, numCentroids = nc, nprobe = np)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(vs.ivfTopK(q, 5, nc, np) == expect, s"q=$q nc=$nc np=$np")
+    }
+    assert(vs.ivfTopK(999L, 5, 8, 2).isEmpty)
+  }
+
   test("roundHalfAwayMicros matches Spark round semantics on signed halves") {
     assert(VecStore.roundHalfAwayMicros(0.0000005) == 1L)
     assert(VecStore.roundHalfAwayMicros(-0.0000005) == -1L)
