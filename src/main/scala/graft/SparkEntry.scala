@@ -732,6 +732,12 @@ object SparkEntry {
       graft.search.Hybrid.hybridTopKIvf(
         engine(s, dir), s.read.parquet(s"$dir/embeddings.parquet"),
         "merge join", queryVecId = 7L, k = 15, numCentroids = 8, nprobe = 2)),
+    // --- SERVING-tier hybrid with the pinned IVF leg (round 5), same
+    //     oracle as the distributed IVF gate ---
+    "q_hybrid_ivf_serving" -> ((s, dir) =>
+      hybridRowsDF(s, graft.search.Hybrid.hybridServingIvf(
+        serving(s, dir)._1, vecStore(s, dir), "merge join", queryVecId = 7L,
+        k = 15, numCentroids = 8, nprobe = 2))),
     // --- language-ID heuristic ---
     "q_langid" -> ((s, dir) =>
       graft.pipeline.TextStats.langId(documents(s, dir))),
@@ -1112,6 +1118,26 @@ object SparkEntry {
     "q_hybrid_seg_topk" -> bruteHybridOracleSql,
     "q_hybrid_serving_topk" -> bruteHybridOracleSql,
     "q_hybrid_ivf_topk" -> hybridOracleSql(
+      """cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT n.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      CAST(round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn) * 1e6) AS BIGINT) DESC,
+        |      c.centroid_id ASC) AS rn
+        |  FROM n CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (SELECT centroid_id FROM (
+        |  SELECT c.centroid_id,
+        |    row_number() OVER (ORDER BY
+        |      CAST(round(list_dot_product(q.qe, c.ce) / (q.qn * c.cn) * 1e6) AS BIGINT) DESC,
+        |      c.centroid_id ASC) AS rn
+        |  FROM q CROSS JOIN cents c) WHERE rn <= 2),
+        |members AS (SELECT a.vec_id FROM probes p JOIN asg a USING (centroid_id)),
+        |s2 AS (SELECT m.vec_id,
+        |        CAST(round(list_dot_product(q.qe, n.e) / (q.qn * n.nrm) * 1e6) AS BIGINT) AS cos_micros
+        |      FROM members m CROSS JOIN q JOIN n ON n.vec_id = m.vec_id
+        |      WHERE m.vec_id <> q.query_id)""".stripMargin),
+    // serving IVF hybrid twin: same SQL (the leg is bit-identical)
+    "q_hybrid_ivf_serving" -> hybridOracleSql(
       """cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
         |asg AS (SELECT vec_id, centroid_id FROM (
         |  SELECT n.vec_id, c.centroid_id,

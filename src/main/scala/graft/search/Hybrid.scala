@@ -154,6 +154,26 @@ object Hybrid {
       vs.topK(queryVecId, nVec),
       k, rrfK)
 
+  /** Serving hybrid with the IVF-bucketed vector leg (round 5): fusion
+    * unchanged, the leg is `VecStore.ivfTopK` — bit-identical to
+    * `Similarity.ivfTopK`, O(centroids + probed members) per request.
+    */
+  def hybridServingIvf(
+      eng: SegmentSearch.ServingEngine,
+      vs: VecStore,
+      query: String,
+      queryVecId: Long,
+      k: Int,
+      numCentroids: Int,
+      nprobe: Int,
+      nLex: Int = 50,
+      nVec: Int = 50,
+      rrfK: Int = 60): Seq[(Long, Long, Long, Long, Long)] =
+    fuseRanksLocal(
+      lexLegLocal(eng.search(query, Int.MaxValue), nLex),
+      vs.ivfTopK(queryVecId, nVec, numCentroids, nprobe).map { case (rank, id, _) => (id, rank) },
+      k, rrfK)
+
   /** Hybrid top-k with the IVF-bucketed vector leg — the 100 TB scale path
     * (fixed-count centroids, row-local assignment, probes broadcast; see
     * `Similarity.ivfTopK`). Identical fusion semantics; the leg itself is
