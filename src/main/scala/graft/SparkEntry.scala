@@ -721,6 +721,15 @@ object SparkEntry {
       graft.pipeline.Similarity.lshTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L),
         k = 5, numTables = 2, bitsPerTable = 4, dim = 64)),
+    // --- SERVING-tier LSH ANN: pinned buckets, same oracle (round 5) ---
+    "q_ann_lsh_serving" -> ((s, dir) => {
+      import s.implicits._
+      val vs = vecStore(s, dir)
+      Seq(0L, 1L, 2L)
+        .flatMap(q => vs.lshTopK(q, n = 5, numTables = 2, bitsPerTable = 4)
+          .map { case (rank, id, cm) => (q, rank, id, cm) })
+        .toDF("query_id", "rank", "vec_id", "cos_micros")
+    }),
     // --- hybrid lexical+vector retrieval (Phase 11a): BM25 leg + exact
     //     cosine leg fused with integer-micros RRF ---
     "q_hybrid_topk" -> ((s, dir) =>
@@ -1082,34 +1091,9 @@ object SparkEntry {
     "q_ann_ivf_serving" -> annIvfOracleSql,
     // LSH twin: same md5-derived integer hyperplanes, per-table L-bit sign
     // signature, candidates = bucket mates in ANY table, exact cosine rank
-    "q_ann_lsh" ->
-      s"""$vecCte,
-         |planes AS (
-         |  SELECT t.t, j.j,
-         |    CAST(list_transform(range(1, 65),
-         |      i -> CAST(('0x' || substr(md5('lsh:' || t.t || ':' || j.j || ':' || i), 1, 15)) AS BIGINT) % 2001 - 1000)
-         |      AS DOUBLE[]) AS p
-         |  FROM range(0, 2) t(t) CROSS JOIN range(0, 4) j(j)
-         |),
-         |bits AS (
-         |  SELECT n.vec_id, p.t,
-         |    CASE WHEN list_dot_product(n.e, p.p) > 0 THEN (1 << p.j) ELSE 0 END AS bit
-         |  FROM n CROSS JOIN planes p
-         |),
-         |buck AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY 1, 2),
-         |qb AS (SELECT vec_id AS query_id, t, bucket FROM buck WHERE vec_id IN (0, 1, 2)),
-         |cand AS (
-         |  SELECT DISTINCT q.query_id, b.vec_id
-         |  FROM qb q JOIN buck b ON b.t = q.t AND b.bucket = q.bucket AND b.vec_id <> q.query_id
-         |),
-         |s AS (
-         |  SELECT c.query_id, c.vec_id,
-         |    CAST(round(list_dot_product(qn.e, n.e) / (qn.nrm * n.nrm) * 1e6) AS BIGINT) AS cos_micros
-         |  FROM cand c JOIN n qn ON qn.vec_id = c.query_id JOIN n ON n.vec_id = c.vec_id
-         |),
-         |r AS (SELECT query_id, vec_id, cos_micros,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
-         |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin,
+    "q_ann_lsh" -> annLshOracleSql,
+    // serving LSH twin: pinned buckets, identical SQL
+    "q_ann_lsh_serving" -> annLshOracleSql,
     // hybrid twins (Phase 11a): the scoresCte lexical rank + the ANN chain's
     // cosine rank fused with integer RRF — 1000000 // (60 + rank) per leg,
     // absent leg = 0; final order (rrf_r desc, doc_id asc)
@@ -1471,6 +1455,39 @@ object SparkEntry {
        |r AS (SELECT query_id, vec_id, cos_micros,
        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
        |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin
+
+  /** LSH ANN oracle (shared by the distributed gate and its pinned-serving
+    * twin): md5-derived integer hyperplanes, 2 tables x 4 bits, candidates =
+    * bucket mates in ANY table, exact cosine rank, k=5, queries {0,1,2}.
+    */
+  private val annLshOracleSql =
+    s"""$vecCte,
+         |planes AS (
+         |  SELECT t.t, j.j,
+         |    CAST(list_transform(range(1, 65),
+         |      i -> CAST(('0x' || substr(md5('lsh:' || t.t || ':' || j.j || ':' || i), 1, 15)) AS BIGINT) % 2001 - 1000)
+         |      AS DOUBLE[]) AS p
+         |  FROM range(0, 2) t(t) CROSS JOIN range(0, 4) j(j)
+         |),
+         |bits AS (
+         |  SELECT n.vec_id, p.t,
+         |    CASE WHEN list_dot_product(n.e, p.p) > 0 THEN (1 << p.j) ELSE 0 END AS bit
+         |  FROM n CROSS JOIN planes p
+         |),
+         |buck AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY 1, 2),
+         |qb AS (SELECT vec_id AS query_id, t, bucket FROM buck WHERE vec_id IN (0, 1, 2)),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, b.vec_id
+         |  FROM qb q JOIN buck b ON b.t = q.t AND b.bucket = q.bucket AND b.vec_id <> q.query_id
+         |),
+         |s AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    CAST(round(list_dot_product(qn.e, n.e) / (qn.nrm * n.nrm) * 1e6) AS BIGINT) AS cos_micros
+         |  FROM cand c JOIN n qn ON qn.vec_id = c.query_id JOIN n ON n.vec_id = c.vec_id
+         |),
+         |r AS (SELECT query_id, vec_id, cos_micros,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id ASC) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, cos_micros FROM r WHERE rank <= 5""".stripMargin
 
   /** Hybrid (Phase 11a) oracle: BM25 lexical rank over `documents` fused by
     * integer RRF with a cosine rank over `embeddings`. `vecLegSql` must

@@ -113,6 +113,75 @@ final class VecStore private (
       (x: (Long, Long), y: (Long, Long)) => x._1 > y._1 || (x._1 == y._1 && x._2 < y._2))
     arr.iterator.take(n).zipWithIndex.map { case ((cm, id), r) => (r + 1L, id, cm) }.toSeq
   }
+
+  // per-(numTables, bitsPerTable) LSH structures: each vector's per-table
+  // bucket, and (table, bucket) -> member indices
+  private val lshIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), (Array[Array[Long]], java.util.HashMap[java.lang.Long, Array[Int]])]()
+
+  private def lshIndexFor(numTables: Int, bitsPerTable: Int) =
+    lshIndexes.computeIfAbsent((numTables, bitsPerTable), { case (nt, bits) =>
+      val dim = if (vecs.isEmpty) 0 else vecs(0).length
+      val planes = graft.pipeline.Similarity.lshPlanes(nt, bits, dim)
+      val perVec = Array.ofDim[Long](ids.length, nt)
+      val acc = new java.util.HashMap[java.lang.Long, scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < ids.length) {
+        val e = vecs(i)
+        var t = 0
+        while (t < nt) {
+          var bucket = 0L
+          var j = 0
+          while (j < bits) {
+            val p = planes(t)(j)
+            var dot = 0.0
+            var d = 0
+            while (d < e.length) { dot += e(d) * p(d); d += 1 }
+            if (dot > 0.0) bucket |= (1L << j)
+            j += 1
+          }
+          perVec(i)(t) = bucket
+          val key = java.lang.Long.valueOf((t.toLong << 32) | bucket)
+          var buf = acc.get(key)
+          if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int](4); acc.put(key, buf) }
+          buf += i
+          t += 1
+        }
+        i += 1
+      }
+      val frozen = new java.util.HashMap[java.lang.Long, Array[Int]](acc.size() * 2)
+      acc.forEach((k, v) => frozen.put(k, v.toArray))
+      (perVec, frozen)
+    })
+
+  /** Serving-tier random-hyperplane LSH ANN — the pinned twin of
+    * `Similarity.lshTopK` (same md5-derived integer planes via
+    * `Similarity.lshPlanes`, same left-to-right dot folds, same
+    * bucket rule): candidates are the query's bucket mates in ANY table
+    * (deduplicated), brute-forced exactly — per-request cost
+    * O(tables x bits x dim + bucket mates), never O(N). Structures build
+    * lazily once per (store, numTables, bitsPerTable).
+    * Output: (rank, vec_id, cos_micros), rank 1-based, self excluded.
+    */
+  def lshTopK(queryVecId: Long, n: Int, numTables: Int, bitsPerTable: Int): Seq[(Long, Long, Long)] = {
+    val qi = java.util.Arrays.binarySearch(ids, queryVecId)
+    if (qi < 0) return Nil
+    val (perVec, index) = lshIndexFor(numTables, bitsPerTable)
+    val seen = new java.util.HashSet[Integer]()
+    val scored = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var t = 0
+    while (t < numTables) {
+      val mates = index.get(java.lang.Long.valueOf((t.toLong << 32) | perVec(qi)(t)))
+      if (mates != null) mates.foreach { i =>
+        if (i != qi && seen.add(i)) scored += ((cosMicros(qi, i), ids(i)))
+      }
+      t += 1
+    }
+    val arr = scored.toArray
+    scala.util.Sorting.stableSort(arr,
+      (x: (Long, Long), y: (Long, Long)) => x._1 > y._1 || (x._1 == y._1 && x._2 < y._2))
+    arr.iterator.take(n).zipWithIndex.map { case ((cm, id), r) => (r + 1L, id, cm) }.toSeq
+  }
 }
 
 object VecStore {

@@ -80,6 +80,24 @@ class ServingHybridSpec extends SparkTestBase {
     assert(vs.ivfTopK(999L, 5, 8, 2).isEmpty)
   }
 
+  test("VecStore.lshTopK is bit-identical to Similarity.lshTopK across configs") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val emb = (0L until 50L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextInt(2001) - 1000) / 1000.0f))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-vecstore-lsh").toString
+    emb.coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val vs = VecStore.load(spark, s"$dir/embeddings.parquet")
+    for (nt <- Seq(1, 2); bits <- Seq(3, 4); q <- Seq(0L, 13L, 49L)) {
+      val expect = Similarity.lshTopK(emb, Seq(q), k = 5, numTables = nt, bitsPerTable = bits, dim = dim)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(vs.lshTopK(q, 5, nt, bits) == expect, s"q=$q nt=$nt bits=$bits")
+    }
+    assert(vs.lshTopK(999L, 5, 2, 4).isEmpty)
+  }
+
   test("roundHalfAwayMicros matches Spark round semantics on signed halves") {
     assert(VecStore.roundHalfAwayMicros(0.0000005) == 1L)
     assert(VecStore.roundHalfAwayMicros(-0.0000005) == -1L)
