@@ -440,6 +440,14 @@ object SparkEntry {
       serving(s, dir)._1.didYouMean("tble scann merge zzznotaword")
         .toDF("pos", "term", "suggestion", "df")
     }),
+    // --- SEGMENT-tier did-you-mean (round 5: three-tier story complete —
+    //     distributed per-segment candidate+df collection, shared pick) ---
+    "q_didyoumean_seg" -> ((s, dir) => {
+      import s.implicits._
+      graft.search.SegmentSearch
+        .didYouMeanBatch(s, segmentDir(s, dir), "tble scann merge zzznotaword")
+        .toDF("pos", "term", "suggestion", "df")
+    }),
     // --- RAG context pack (Phase 11b retrieval half: ranked top-k with
     //     citation metadata + query-focused snippet) ---
     "q_rag_context" -> ((s, dir) =>
@@ -915,6 +923,7 @@ object SparkEntry {
          |SELECT rank, doc_id, score_r FROM ranked WHERE rank <= 20""".stripMargin,
     "q_didyoumean" -> didYouMeanOracleSql,
     "q_didyoumean_serving" -> didYouMeanOracleSql,
+    "q_didyoumean_seg" -> didYouMeanOracleSql,
     // RAG context twin: dataflow + serving tiers answer the same SQL
     "q_rag_context" -> ragOracleSql,
     "q_rag_serving" -> ragOracleSql,

@@ -1,6 +1,7 @@
 package graft.search
 
 import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions.{col, sum}
 import scala.collection.parallel.CollectionConverters._
 
 import graft.core.{Bm25, ParsedQuery, Phrase, QueryParser, Tokenizer}
@@ -161,6 +162,54 @@ object SegmentSearch {
       }(Encoders.product[QueryHit])
 
     mergeDistributed(hits, parsed.size, k)
+  }
+
+  /** Distributed did-you-mean — completes its three-tier story (dataflow
+    * `SearchEngine.didYouMeanDF`, serving `ServingEngine.didYouMean`): one
+    * distributed pass over per-segment dictionaries collects the
+    * Levenshtein<=maxDist candidates WITH their local dfs (length-band
+    * pre-check before the DP; only matched (term, df) rows leave the
+    * executors), dfs sum across segments driver-side, then the shared pick
+    * rule: exact presence wins, else argmax global df (ties byte-lex), else
+    * the term itself with df 0. Output rows: (pos, term, suggestion, df).
+    */
+  def didYouMeanBatch(
+      spark: SparkSession,
+      indexDir: String,
+      query: String,
+      maxDist: Int = 1
+  ): Seq[(Long, String, String, Long)] = {
+    val terms = QueryParser.parse(query).terms
+    if (terms.isEmpty) return Nil
+    val tset = terms.distinct
+    val files = SegmentIndex.liveSegmentFiles(indexDir)
+    import spark.implicits._
+    val tbc = spark.sparkContext.broadcast(tset)
+    val dfs: Map[String, Long] = spark
+      .createDataset(files)(Encoders.STRING)
+      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+      .mapPartitions { paths =>
+        val ts = tbc.value
+        paths.flatMap { p =>
+          loadCached(p).terms.iterator.collect {
+            case (cand, td) if ts.exists(t =>
+              math.abs(cand.length - t.length) <= maxDist &&
+                graft.core.EditDistance.within(cand, t, maxDist)) => (cand, td.df)
+          }
+        }
+      }(Encoders.product[(String, Long)])
+      .toDF("term", "df")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.zipWithIndex.map { case (t, i) =>
+      val mine = dfs.iterator
+        .filter { case (cand, _) => graft.core.EditDistance.within(cand, t, maxDist) }
+        .toSeq
+      val pick = mine.find(_._1 == t)
+        .orElse(mine.sortBy { case (term, df) => (-df, term) }.headOption)
+        .getOrElse((t, 0L))
+      (i + 1L, t, pick._1, pick._2)
+    }
   }
 
   /** Expansion descriptor for the batch tier's dictionary-expanded query
