@@ -191,7 +191,9 @@ object HaystackImport {
     val orphans = perDoc.join(docs, Seq("doc_id"), "left_anti").count()
     require(orphans == 0L,
       s"postings.bin references $orphans docIds absent from docs.jsonl: $hsDir")
-    val sumDl = perDoc.agg(sum(col("dl"))).head().getLong(0)
+    // coalesce: an index whose postings.bin has zero terms (all docs empty)
+    // sums over zero rows -> NULL
+    val sumDl = perDoc.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
     val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
     require(math.abs(avgdl - hs.avgdl) <= 1e-9 * math.max(1.0, math.abs(hs.avgdl)),
       s"postings imply avgdl=$avgdl but index_meta.json says ${hs.avgdl}: $hsDir")

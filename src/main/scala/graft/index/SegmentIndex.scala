@@ -622,13 +622,14 @@ object SegmentIndex {
       s"compactBuckets: expected one bucket $newBucket, got ${ms.map(_.bucket)}")
     val m = ms.head
     // Manifests written before the sumDl field existed deserialize with 0:
-    // folding such buckets would fail the sumDl leg with a misleading
-    // "corruption" message even though the data is fine. lineage XOR + doc
-    // count still verify integrity; skip only the sumDl leg and say why.
-    // (A genuinely all-empty corpus has merged sumDl == 0 too, so skipping
-    // when every picked manifest reads 0 can never mask a real mismatch
-    // that the other two legs would not catch.)
-    val legacySumDl = expSumDl == 0L && m.sumDl != 0L
+    // folding such buckets (or a MIX of legacy and current ones) would fail
+    // the sumDl leg with a misleading "corruption" message even though the
+    // data is fine. lineage XOR + doc count still verify integrity; skip
+    // only the sumDl leg whenever any picked manifest looks legacy (a
+    // non-empty bucket whose sumDl reads 0 — a genuinely all-empty bucket
+    // trips this too, harmlessly: the other two legs still check).
+    val legacySumDl =
+      pickedMs.exists(p => p.sumDl == 0L && p.nDocs > 0) && m.sumDl != expSumDl
     if (legacySumDl)
       Console.err.println(
         s"[compact] picked manifests predate the sumDl field (all 0) — " +

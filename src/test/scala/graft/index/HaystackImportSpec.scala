@@ -177,6 +177,17 @@ class HaystackImportSpec extends SparkTestBase {
     assert(hits.head.source == "/corpus/a.pdf") // citation survives migration
   }
 
+  test("degenerate index: zero-term postings.bin (all docs empty) imports cleanly") {
+    val dir = tmpDir()
+    writeHaystack(dir, Seq(1L -> "", 2L -> "   ", 3L -> "!!!")) // no tokens anywhere
+    val imp = tmpDir()
+    val ms = HaystackImport.importIndex(spark, dir, imp, buckets = 2)
+    assert(ms.map(_.nDocs).sum == 3 && ms.map(_.sumDl).sum == 0L)
+    val meta = SegmentIndex.readMeta(imp)
+    assert(meta.n == 3 && meta.sumDl == 0L && meta.avgdl == 0.0)
+    assert(SegmentSearch.searchBatch(spark, imp, Seq("anything"), 5)(0).isEmpty)
+  }
+
   test("ExportJob CLI: exit codes") {
     assert(graft.app.ExportJob.run(Array("--help")) == 0)
     assert(graft.app.ExportJob.run(Array("x")) == 2)

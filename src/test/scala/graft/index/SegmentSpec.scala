@@ -310,6 +310,16 @@ class SegmentSpec extends SparkTestBase {
     val merged = SegmentIndex.compactBuckets(spark, dir, Seq(1, 2))
     assert(merged.nDocs == 20 && merged.sumDl > 0L, merged) // fresh manifest carries the real total
     assert(SegmentSearch.searchBatch(spark, dir, Seq("alpha charlie", "bravo2"), 10) == before)
+
+    // MIXED picks (one legacy, one current — an old index after a new add):
+    // the sumDl leg must also stand down, not report corruption
+    val dir2 = tmpDir()
+    SegmentIndex.build(docsDF(base), dir2, 3)
+    val m1 = SegmentIndex.readManifest(dir2, 1).get
+    SegmentIndex.writeManifest(dir2, m1.copy(sumDl = 0L))
+    val merged2 = SegmentIndex.compactBuckets(spark, dir2, Seq(1, 2))
+    assert(merged2.nDocs == 20 && merged2.sumDl > 0L, merged2)
+    assert(SegmentSearch.searchBatch(spark, dir2, Seq("alpha charlie", "bravo2"), 10) == before)
   }
 
   private def tmpName(): String = {
