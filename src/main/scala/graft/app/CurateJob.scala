@@ -11,7 +11,11 @@ import graft.pipeline.Curate
   * prune -> quality floor -> fresh SegmentIndex build, with the per-stage
   * funnel printed as the success summary (the line an orchestrator parses).
   *
-  * Usage: CurateJob <docsParquet> <outIndexDir> [buckets]
+  * Usage: CurateJob <docsParquet> <outIndexDir> [buckets] [--substring-cap=micros]
+  *
+  * `--substring-cap=` enables the optional substring-dup ceiling stage
+  * (Curate stage 3b): drop docs whose distinct-window duplicated share
+  * exceeds the cap in micros (verbatim-heavy near-copies LSH can miss).
   *
   * Input is a documents-shaped parquet (doc_id, text[, source, lang]); the
   * curated corpus also lands at `<outIndexDir>/curated` (parquet) so the
@@ -19,7 +23,7 @@ import graft.pipeline.Curate
   * error before any work, 3 = runtime precondition / failure.
   */
 object CurateJob {
-  private val Usage = "usage: CurateJob <docsParquet> <outIndexDir> [buckets]"
+  private val Usage = "usage: CurateJob <docsParquet> <outIndexDir> [buckets] [--substring-cap=micros]"
 
   private def usageErr(msg: String): Int = {
     System.err.println(s"CurateJob: $msg")
@@ -32,7 +36,11 @@ object CurateJob {
     if (args.contains("--help")) { println(Usage); return 0 } // reference: usage on stdout, exit 0
     val flags = args.filter(_.startsWith("--")).toIndexedSeq
     val pos = args.filterNot(_.startsWith("--")).toIndexedSeq
-    if (flags.nonEmpty) return usageErr(s"unknown flag: ${flags.head}")
+    val unknown = flags.filterNot(_.startsWith("--substring-cap="))
+    if (unknown.nonEmpty) return usageErr(s"unknown flag: ${unknown.head}")
+    val subCap = flags.collectFirst { case f if f.startsWith("--substring-cap=") =>
+      f.stripPrefix("--substring-cap=").toLongOption.getOrElse(-2L) }.getOrElse(-1L)
+    if (subCap == -2L || subCap < -1L) return usageErr("--substring-cap= must be a non-negative integer (micros)")
     if (pos.length < 2) return usageErr("missing required <docsParquet> <outIndexDir>")
     if (pos.length > 3) return usageErr(s"unexpected argument: ${pos(3)}")
     val buckets = pos.lift(2) match {
@@ -53,7 +61,7 @@ object CurateJob {
       val docs = spark.read.parquet(pos(0))
       val need = Seq("doc_id", "text").filterNot(c => docs.columns.map(_.toLowerCase).contains(c))
       if (need.nonEmpty) return runtimeErr(s"corpus is missing required column(s): ${need.mkString(", ")}")
-      val (curated, f) = Curate.curate(docs)
+      val (curated, f) = Curate.curate(docs, maxSubstringDupMicros = subCap)
       val curatedPath = s"${pos(1)}/curated"
       curated.write.mode("overwrite").parquet(curatedPath)
       val fresh = spark.read.parquet(curatedPath) // index from the materialized artifact

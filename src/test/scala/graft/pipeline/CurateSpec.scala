@@ -84,6 +84,8 @@ class CurateSpec extends SparkTestBase {
     assert(CurateJobRunner.run(Array("a", "b", "0")) == 2)
     assert(CurateJobRunner.run(Array("a", "b", "8", "extra")) == 2)
     assert(CurateJobRunner.run(Array("/not/here.parquet", "/tmp/x")) == 3)
+    assert(CurateJobRunner.run(Array("--substring-cap=abc", "a", "b")) == 2)
+    assert(CurateJobRunner.run(Array("--substring-cap=50000", "/not/here.parquet", "/tmp/x")) == 3)
 
     val sp = spark
     import sp.implicits._
