@@ -38,9 +38,15 @@ object CurateJob {
     val pos = args.filterNot(_.startsWith("--")).toIndexedSeq
     val unknown = flags.filterNot(_.startsWith("--substring-cap="))
     if (unknown.nonEmpty) return usageErr(s"unknown flag: ${unknown.head}")
-    val subCap = flags.collectFirst { case f if f.startsWith("--substring-cap=") =>
-      f.stripPrefix("--substring-cap=").toLongOption.getOrElse(-2L) }.getOrElse(-1L)
-    if (subCap == -2L || subCap < -1L) return usageErr("--substring-cap= must be a non-negative integer (micros)")
+    // -1 is the internal "stage disabled" sentinel — only the ABSENT flag may
+    // produce it; an explicit --substring-cap=-1 is a user error, not a skip
+    val subCapRaw = flags.collectFirst { case f if f.startsWith("--substring-cap=") =>
+      f.stripPrefix("--substring-cap=").toLongOption.filter(_ >= 0L) }
+    val subCap = subCapRaw match {
+      case Some(None) => return usageErr("--substring-cap= must be a non-negative integer (micros)")
+      case Some(Some(v)) => v
+      case None => -1L
+    }
     if (pos.length < 2) return usageErr("missing required <docsParquet> <outIndexDir>")
     if (pos.length > 3) return usageErr(s"unexpected argument: ${pos(3)}")
     val buckets = pos.lift(2) match {

@@ -37,6 +37,14 @@ object SearchServer {
   type DocRow = DocSidecar.DocRow
   val DocRow: DocSidecar.DocRow.type = DocSidecar.DocRow
 
+  /** Per-request dictionary-expansion bound for the PUBLIC HTTP surface
+    * (prefix/fuzzy/wildcard): the engine tiers default uncapped (tier parity
+    * is the oracle contract), but an internet-facing endpoint must not let
+    * `wildcard=*` score the entire vocabulary per request. Tunable via
+    * -Dgraft.server.maxExpandTerms=N.
+    */
+  val MaxExpandTerms: Int = Integer.getInteger("graft.server.maxExpandTerms", 4096).intValue
+
   /** A refcounted sidecar bucket reader, shared ACROSS serving generations:
     * a delta reload carries unchanged buckets' readers into the new
     * generation, so the superseded generation's close must not close a
@@ -471,6 +479,12 @@ object SearchServer {
           // `phrase=` / `prefix=` / `fuzzy=` / `wildcard=` are ADDITIVE
           // extension params (SURVEY §2.12/§2.14); the reference contract
           // (`q=` + QueryParser semantics) is untouched.
+          // The PUBLIC surface opts into the engine's maxTerms latency guard:
+          // an unbounded `wildcard=*` would score the whole vocabulary as one
+          // OR query per request. 4096 terms is far beyond any real
+          // expansion; past the cap results diverge from the uncapped engine
+          // tiers by contract (first maxTerms in byte-lex order).
+          val maxExp = SearchServer.MaxExpandTerms
           val (q, top, highlight) = (params.get("phrase"), params.get("prefix"),
               params.get("fuzzy"), params.get("wildcard")) match {
             case (Some(p), _, _, _) =>
@@ -482,22 +496,22 @@ object SearchServer {
                graft.core.Tokenizer.tokenize(p))
             case (None, Some(p), _, _) =>
               (p,
-               if (hasFilter) st.engine.searchPrefixFiltered(p, k, pred)
-               else st.engine.searchPrefix(p, k),
+               if (hasFilter) st.engine.searchPrefixFiltered(p, k, pred, maxTerms = maxExp)
+               else st.engine.searchPrefix(p, k, maxTerms = maxExp),
                graft.core.Tokenizer.tokenize(p))
             case (None, None, Some(p), _) =>
               // typo-tolerant expansion (distance <= 1); filters compose
               // through the same bounded rank-order verification as prefix
               (p,
-               if (hasFilter) st.engine.searchFuzzyFiltered(p, k, pred)
-               else st.engine.searchFuzzy(p, k),
+               if (hasFilter) st.engine.searchFuzzyFiltered(p, k, pred, maxTerms = maxExp)
+               else st.engine.searchFuzzy(p, k, maxTerms = maxExp),
                graft.core.Tokenizer.tokenize(p))
             case (None, None, None, Some(p)) =>
               // general glob expansion (prefix generalized); snippet
               // highlighting falls back to the pattern's literal chunks
               (p,
-               if (hasFilter) st.engine.searchWildcardFiltered(p, k, pred)
-               else st.engine.searchWildcard(p, k),
+               if (hasFilter) st.engine.searchWildcardFiltered(p, k, pred, maxTerms = maxExp)
+               else st.engine.searchWildcard(p, k, maxTerms = maxExp),
                graft.core.Tokenizer.tokenize(p))
             case _ =>
               val qs = params.getOrElse("q", "")

@@ -114,11 +114,42 @@ object HaystackExport {
     // ---- index_meta.json (jsoncpp: alphabetical keys, no newline)
     val mTmp = Paths.get(outDir, "index_meta.json.tmp")
     Files.writeString(mTmp,
-      s"""{"N":${meta.n},"avgdl":${meta.avgdl},"schema_version":1}""")
+      s"""{"N":${meta.n},"avgdl":${jsoncppDouble(meta.avgdl)},"schema_version":1}""")
     Files.move(mTmp, Paths.get(outDir, "index_meta.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
 
     (nDocs, dfMap.size.toLong)
+  }
+
+  /** jsoncpp double serialization (json_writer.cpp `valueToString`: C
+    * `"%.17g"`, which strips trailing fractional zeros, then `".0"` appended
+    * to integral-looking output). Scala's shortest-repr `Double.toString`
+    * diverges on most non-terminating doubles (735.1 -> jsoncpp
+    * "735.10000000000002" vs Scala "735.1"), which would break the
+    * byte-identical export contract for reference-produced metas. Java's
+    * `%.17g` keeps the trailing zeros C strips, so strip them here (in the
+    * mantissa only, mirroring C `%g`).
+    */
+  private[index] def jsoncppDouble(v: Double): String = {
+    if (v == 0.0) return "0.0"
+    // NOT Java's "%.17g": Java's %g pads the SHORTEST decimal repr with
+    // zeros instead of rounding the exact binary value to 17 significant
+    // digits (C gives 735.1 -> "735.10000000000002"; Java -> "735.10000...0").
+    // new BigDecimal(double) is the exact value; round like C, format like C %g.
+    val mc = new java.math.MathContext(17, java.math.RoundingMode.HALF_EVEN)
+    val bd = new java.math.BigDecimal(v).round(mc).stripTrailingZeros()
+    val exp = bd.precision - bd.scale - 1 // decimal exponent of the leading digit
+    if (exp < -4 || exp >= 17) { // C %g's scientific-notation rule at precision 17
+      val digits = bd.unscaledValue.abs.toString
+      val sign = if (bd.signum < 0) "-" else ""
+      val mant = if (digits.length == 1) digits else digits.head + "." + digits.tail
+      val eabs = math.abs(exp)
+      val estr = (if (exp < 0) "e-" else "e+") + (if (eabs < 10) "0" + eabs else eabs.toString)
+      sign + mant + estr
+    } else {
+      val s = bd.toPlainString
+      if (s.contains('.')) s else s + ".0"
+    }
   }
 
   /** jsoncpp `valueToQuotedString` escaping: named escapes for the usual

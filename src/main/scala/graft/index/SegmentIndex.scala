@@ -323,8 +323,11 @@ object SegmentIndex {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(outDir))
     val storePath = s"$outDir/docstore"
-    // sidecars are derived from the docstore — an overwrite invalidates them
-    DocSidecar.sidecarFiles(outDir).foreach(f => Files.deleteIfExists(Paths.get(f)))
+    // Imports are one-shot overwrites: remove EVERY prior artifact first.
+    // Spark writes no parquet file for an empty range partition, so a bucket
+    // the new corpus leaves empty would otherwise keep the OLD segment file —
+    // meta live=None would serve its ghost postings under the new stats.
+    invalidate(outDir)
     docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("source"), col("lang"), col("dl").cast("int").as("dl"), col("tfmap"))

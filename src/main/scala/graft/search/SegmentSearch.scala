@@ -88,6 +88,18 @@ object SegmentSearch {
 
   final case class QueryHit(qid: Int, docId: Long, score: Double)
 
+  /** The ONE did-you-mean pick rule (the oracle contract shared by all
+    * tiers): exact presence wins; else argmax global df with byte-lex tie;
+    * else the term itself with df 0. `cands` are (candidate, global df)
+    * pairs already verified within the edit-distance radius of `t`.
+    */
+  private[search] def pickSuggestion(t: String, cands: Iterable[(String, Long)]): (String, Long) = {
+    val cs = cands.toSeq
+    cs.find(_._1 == t)
+      .orElse(cs.reduceOption((a, b) => if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a))
+      .getOrElse((t, 0L))
+  }
+
   /** Global idf per positive query term from IN-MEMORY segments: global df =
     * sum of per-segment local dfs (the Lucene sharding model — lets segments
     * be appended incrementally without rewriting stats into old files).
@@ -136,7 +148,7 @@ object SegmentSearch {
     // scheduler rebalance
     val fileDs = spark
       .createDataset(files)(Encoders.STRING)
-      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
 
     val idfs = batchIdfs(spark, indexDir, meta, files, fileDs, parsed.flatMap(_._2.terms).distinct)
     val bc = spark.sparkContext.broadcast((parsed, idfs))
@@ -183,11 +195,14 @@ object SegmentSearch {
     if (terms.isEmpty) return Nil
     val tset = terms.distinct
     val files = SegmentIndex.liveSegmentFiles(indexDir)
+    // Zero live segments (empty corpus / streaming dir before first commit):
+    // every term falls through to (itself, df 0) — same as the serving tier.
+    if (files.isEmpty) return terms.zipWithIndex.map { case (t, i) => (i + 1L, t, t, 0L) }
     import spark.implicits._
     val tbc = spark.sparkContext.broadcast(tset)
     val dfs: Map[String, Long] = spark
       .createDataset(files)(Encoders.STRING)
-      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
       .mapPartitions { paths =>
         val ts = tbc.value
         paths.flatMap { p =>
@@ -202,12 +217,8 @@ object SegmentSearch {
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     terms.zipWithIndex.map { case (t, i) =>
-      val mine = dfs.iterator
-        .filter { case (cand, _) => graft.core.EditDistance.within(cand, t, maxDist) }
-        .toSeq
-      val pick = mine.find(_._1 == t)
-        .orElse(mine.sortBy { case (term, df) => (-df, term) }.headOption)
-        .getOrElse((t, 0L))
+      val pick = pickSuggestion(t,
+        dfs.view.filter { case (cand, _) => graft.core.EditDistance.within(cand, t, maxDist) })
       (i + 1L, t, pick._1, pick._2)
     }
   }
@@ -256,10 +267,11 @@ object SegmentSearch {
       k: Int
   ): Seq[(Long, Double)] = {
     val files = SegmentIndex.liveSegmentFiles(indexDir)
+    if (files.isEmpty) return Nil // repartition(0) would throw on an empty index
     import spark.implicits._
     val expanded = spark
       .createDataset(files)(Encoders.STRING)
-      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
       .mapPartitions { paths =>
         paths.flatMap { p =>
           val dict = loadCached(p).terms
@@ -376,7 +388,7 @@ object SegmentSearch {
     import spark.implicits._
     val fileDs = spark
       .createDataset(files)(Encoders.STRING)
-      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
 
     val idfs = batchIdfs(spark, indexDir, meta, files, fileDs, parsed.flatMap(_._2).distinct)
     val bc = spark.sparkContext.broadcast((parsed, idfs))
@@ -436,7 +448,7 @@ object SegmentSearch {
     import spark.implicits._
     spark
       .createDataset(files)(Encoders.STRING)
-      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
       .mapPartitions { paths =>
         paths.flatMap { f =>
           loadCached(f).terms.iterator.collect {
@@ -483,7 +495,7 @@ object SegmentSearch {
     import spark.implicits._
     val fileDs = spark
       .createDataset(files)(Encoders.STRING)
-      .repartition(math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
 
     val idfs = batchIdfs(spark, indexDir, meta, files, fileDs, parsed.flatMap(_._2.terms).distinct)
     val bc = spark.sparkContext.broadcast((parsed, idfs, lang, source))
@@ -788,11 +800,7 @@ object SegmentSearch {
         // proportional to vocabulary size
         terms.zipWithIndex.map { case (t, i) =>
           val cands = symspell.neighbors(t) // byte-lex sorted, lev<=1 verified
-          val pick =
-            if (cands.contains(t)) (t, dfOf(t)) // exact presence wins
-            else cands.iterator.map(c => (c, dfOf(c)))
-              .reduceOption((a, b) => if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
-              .getOrElse((t, 0L))
+          val pick = pickSuggestion(t, cands.view.map(c => (c, dfOf(c))))
           (i + 1L, t, pick._1, pick._2)
         }
       } else {
@@ -808,12 +816,8 @@ object SegmentSearch {
           }
         }
         terms.zipWithIndex.map { case (t, i) =>
-          val mine = dfs.iterator
-            .filter { case (cand, _) => graft.core.EditDistance.within(cand, t, maxDist) }
-            .toSeq
-          val pick = mine.find(_._1 == t)
-            .orElse(mine.sortBy { case (term, df) => (-df, term) }.headOption)
-            .getOrElse((t, 0L))
+          val pick = SegmentSearch.pickSuggestion(t,
+            dfs.view.filter { case (cand, _) => graft.core.EditDistance.within(cand, t, maxDist) })
           (i + 1L, t, pick._1, pick._2)
         }
       }

@@ -119,7 +119,11 @@ final class VecStore private (
   private val lshIndexes = new java.util.concurrent.ConcurrentHashMap[
     (Int, Int), (Array[Array[Long]], java.util.HashMap[java.lang.Long, Array[Int]])]()
 
-  private def lshIndexFor(numTables: Int, bitsPerTable: Int) =
+  private def lshIndexFor(numTables: Int, bitsPerTable: Int) = {
+    // key packing is (table << bits) | bucket — exact only while the shifted
+    // table index cannot collide with bucket bits
+    require(bitsPerTable >= 1 && bitsPerTable <= 56 && numTables >= 1 && numTables <= 64,
+      s"bitsPerTable must be in [1,56] and numTables in [1,64] (got $bitsPerTable, $numTables)")
     lshIndexes.computeIfAbsent((numTables, bitsPerTable), { case (nt, bits) =>
       val dim = if (vecs.isEmpty) 0 else vecs(0).length
       val planes = graft.pipeline.Similarity.lshPlanes(nt, bits, dim)
@@ -141,7 +145,7 @@ final class VecStore private (
             j += 1
           }
           perVec(i)(t) = bucket
-          val key = java.lang.Long.valueOf((t.toLong << 32) | bucket)
+          val key = java.lang.Long.valueOf((t.toLong << bits) | bucket)
           var buf = acc.get(key)
           if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int](4); acc.put(key, buf) }
           buf += i
@@ -153,6 +157,7 @@ final class VecStore private (
       acc.forEach((k, v) => frozen.put(k, v.toArray))
       (perVec, frozen)
     })
+  }
 
   /** Serving-tier random-hyperplane LSH ANN — the pinned twin of
     * `Similarity.lshTopK` (same md5-derived integer planes via
@@ -171,7 +176,7 @@ final class VecStore private (
     val scored = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     var t = 0
     while (t < numTables) {
-      val mates = index.get(java.lang.Long.valueOf((t.toLong << 32) | perVec(qi)(t)))
+      val mates = index.get(java.lang.Long.valueOf((t.toLong << bitsPerTable) | perVec(qi)(t)))
       if (mates != null) mates.foreach { i =>
         if (i != qi && seen.add(i)) scored += ((cosMicros(qi, i), ids(i)))
       }

@@ -160,6 +160,57 @@ class HaystackImportSpec extends SparkTestBase {
     assert(hit.nonEmpty && hit.head.snippet.contains("quote"))
   }
 
+  test("exporter double formatting == jsoncpp (C %.17g + fractional-zero strip + .0)") {
+    // expectations generated with C printf("%.17g") + jsoncpp's post-pass;
+    // Scala's shortest-repr toString would write "735.1" / "0.1" and break
+    // byte-identity against reference-produced metas
+    Seq(
+      22.0 / 3 -> "7.333333333333333",
+      14.0 / 3 -> "4.666666666666667",
+      735.1 -> "735.10000000000002",
+      0.1 -> "0.10000000000000001",
+      7.0 -> "7.0",
+      0.0 -> "0.0",
+      123.456 -> "123.456",
+      5.25 -> "5.25"
+    ).foreach { case (v, want) =>
+      assert(HaystackExport.jsoncppDouble(v) == want, s"for $v")
+    }
+    // a round trip through a meta whose avgdl Scala would shorten
+    val hs = tmpDir()
+    writeHaystack(hs, Seq(1L -> ("alpha " * 7351).trim, 2L -> "bravo", 3L -> "", 4L -> "",
+      5L -> "", 6L -> "", 7L -> "", 8L -> "", 9L -> "", 10L -> ""))
+    // sumDl = 7352, n = 10 -> avgdl 735.2 (non-terminating in binary)
+    Files.writeString(Paths.get(hs, "index_meta.json"),
+      s"""{"N":10,"avgdl":${HaystackExport.jsoncppDouble(7352.0 / 10)},"schema_version":1}""")
+    val imp = tmpDir()
+    HaystackImport.importIndex(spark, hs, imp, buckets = 2)
+    val out = tmpDir()
+    HaystackExport.exportIndex(spark, imp, out)
+    assert(Files.readString(Paths.get(out, "index_meta.json")) ==
+      Files.readString(Paths.get(hs, "index_meta.json")))
+  }
+
+  test("re-import into a dir holding a larger index leaves no ghost segments") {
+    val big = tmpDir()
+    writeHaystack(big, (1L to 300L).map(i => i -> s"zulu yankee w${i % 7}"))
+    val out = tmpDir()
+    HaystackImport.importIndex(spark, big, out, buckets = 4)
+    assert(SegmentSearch.searchBatch(spark, out, Seq("zulu"), 5)(0).nonEmpty)
+    // second migration into the SAME dir: 2 docs, so range partitioning
+    // leaves most of the 4 buckets empty — Spark writes no parquet file (and
+    // hence no segment) for an empty partition, so the old buckets' files
+    // must be invalidated or they would serve ghost postings
+    val small = tmpDir()
+    writeHaystack(small, Seq(1L -> "alpha bravo", 2L -> "alpha charlie"))
+    HaystackImport.importIndex(spark, small, out, buckets = 4)
+    val meta = SegmentIndex.readMeta(out)
+    assert(meta.n == 2 && meta.sumDl == 4L)
+    assert(SegmentSearch.searchBatch(spark, out, Seq("zulu"), 5)(0).isEmpty,
+      "ghost postings from the pre-import index are being served")
+    assert(SegmentSearch.searchBatch(spark, out, Seq("alpha"), 5)(0).map(_._1).sorted == Seq(1L, 2L))
+  }
+
   test("Phase-2.5 metadata rows: source_path maps onto the docstore source column") {
     val dir = tmpDir()
     Files.createDirectories(Paths.get(dir))

@@ -85,6 +85,9 @@ class CurateSpec extends SparkTestBase {
     assert(CurateJobRunner.run(Array("a", "b", "8", "extra")) == 2)
     assert(CurateJobRunner.run(Array("/not/here.parquet", "/tmp/x")) == 3)
     assert(CurateJobRunner.run(Array("--substring-cap=abc", "a", "b")) == 2)
+    // -1 is the internal "disabled" sentinel — typing it must be an error,
+    // not a silent stage skip
+    assert(CurateJobRunner.run(Array("--substring-cap=-1", "a", "b")) == 2)
     assert(CurateJobRunner.run(Array("--substring-cap=50000", "/not/here.parquet", "/tmp/x")) == 3)
 
     val sp = spark

@@ -96,6 +96,10 @@ class ServingHybridSpec extends SparkTestBase {
       assert(vs.lshTopK(q, 5, nt, bits) == expect, s"q=$q nt=$nt bits=$bits")
     }
     assert(vs.lshTopK(999L, 5, 2, 4).isEmpty)
+    // bucket-key packing is (table << bits) | bucket — out-of-range configs
+    // that could alias across tables are rejected, not silently wrong
+    intercept[IllegalArgumentException](vs.lshTopK(0L, 5, 2, 60))
+    intercept[IllegalArgumentException](vs.lshTopK(0L, 5, 0, 4))
   }
 
   test("roundHalfAwayMicros matches Spark round semantics on signed halves") {

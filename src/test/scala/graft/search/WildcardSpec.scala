@@ -116,6 +116,19 @@ class WildcardSpec extends SparkTestBase {
     assert(SegmentSearch.wildcardBatch(spark, dir, "a b*", 10).isEmpty)
   }
 
+  test("batch tier on a zero-segment index: empty results, no repartition(0) crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptyidx").toString
+    graft.index.SegmentIndex.build(docsDF(Seq.empty), dir, buckets = 2)
+    assert(graft.index.SegmentIndex.liveSegmentFiles(dir).isEmpty)
+    assert(SegmentSearch.searchBatch(spark, dir, Seq("anything"), 5)(0).isEmpty)
+    assert(SegmentSearch.prefixBatch(spark, dir, "wat", 5).isEmpty)
+    assert(SegmentSearch.wildcardBatch(spark, dir, "w*t", 5).isEmpty)
+    assert(SegmentSearch.fuzzyBatch(spark, dir, "watr", 5).isEmpty)
+    // did-you-mean mirrors the serving tier: every term falls back to itself, df 0
+    assert(SegmentSearch.didYouMeanBatch(spark, dir, "alpha beta") ==
+      Seq((1L, "alpha", "alpha", 0L), (2L, "beta", "beta", 0L)))
+  }
+
   test("QueryParser untouched: '*' in a plain q= query is a separator, not a wildcard") {
     // the reference tokenizer treats '*' as a separator; wildcard is an
     // ADDITIVE param, never a change to q= semantics
