@@ -793,6 +793,9 @@ object SparkEntry {
     //     pure-JVM header decoder; oracle computes the closed form ---
     "q_mm_imghdr" -> ((s, dir) =>
       graft.pipeline.Multimodal.imageHeaderMeta(documents(s, dir))),
+    // --- multimodal: REAL WAV (RIFF) header decode, audio twin of imghdr ---
+    "q_mm_wavhdr" -> ((s, dir) =>
+      graft.pipeline.Multimodal.audioHeaderMeta(documents(s, dir))),
     // --- deterministic hash sampling (reproducible train/eval splits) ---
     "q_sample" -> ((s, dir) =>
       graft.pipeline.Sampling.sampleDeterministic(documents(s, dir), rateMicros = 150000L, salt = "s1")
@@ -1331,6 +1334,19 @@ object SparkEntry {
         |  CAST(1 + doc_id % 640 AS BIGINT) AS width,
         |  CAST(1 + doc_id % 480 AS BIGINT) AS height
         |FROM documents""".stripMargin,
+    "q_mm_wavhdr" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |         WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+        |    CAST(1 + doc_id % 1000 AS BIGINT) AS n_samples
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'wav' AS fmt, channels, sample_rate, bits, n_samples,
+        |  CAST((n_samples * 1000000) // sample_rate AS BIGINT) AS duration_micros
+        |FROM p""".stripMargin,
     "q_mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * The decode seam is layered honestly: PNG/JPEG dimensions are parsed from
   * REAL container headers in pure JVM code ([[ImageHeaders]] — no codec
-  * needed, the header carries them); anything else (audio/video/opaque)
-  * falls back to the clearly-marked deterministic STUB (this container has
-  * no codecs). Everything around the seam — the binary column, the schema,
+  * needed, the header carries them), and WAV channel/rate/duration from the
+  * real RIFF walk ([[AudioHeaders]]); anything needing an actual codec
+  * (compressed audio, video) falls back to the clearly-marked deterministic
+  * STUB (this container has no codecs). Everything around the seam — the binary column, the schema,
   * the batched `mapPartitions` execution shape, the typed output — is the
   * real plumbing a full decoder would plug into: swap `stubDecode` for a
   * JNI/FFmpeg call and nothing else changes.
@@ -92,6 +93,41 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fmt", "width", "height")
+  }
+
+  /** Oracle-gated REAL audio-decode path — the audio twin of
+    * [[imageHeaderMeta]]: deterministic synthetic WAV blobs (doc_id-derived
+    * channels/rate/width/length, actual RIFF/fmt/data bytes via
+    * [[AudioHeaders.synthWav]]) parsed by the real RIFF header walker —
+    * built and parsed row-locally in one task, nothing binary shuffles.
+    * duration_micros is integer DIV so the DuckDB oracle computes the same
+    * closed form from doc_id. NOT folded into the text-stand-in [[decode]]
+    * path: "RIFF…WAVE" is valid UTF-8, so a text corpus COULD alias the
+    * audio signature (unlike PNG/JPEG signatures, which cannot begin UTF-8
+    * text) — real audio bytes enter through [[AudioHeaders.parseWav]].
+    * Output: (doc_id, fmt, channels, sample_rate, bits, n_samples,
+    * duration_micros).
+    */
+  def audioHeaderMeta(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val channels = (1L + id % 2L).toInt
+          val rate = (id % 4L) match {
+            case 0L => 8000; case 1L => 16000; case 2L => 44100; case _ => 48000
+          }
+          val bits = if (id % 3L == 0L) 8 else 16
+          val nSamples = 1L + id % 1000L
+          val blob = AudioHeaders.synthWav(channels, rate, bits, nSamples)
+          val m = AudioHeaders.parseWav(blob)
+            .getOrElse(throw new IllegalStateException(s"synth wav failed to parse for doc $id"))
+          (id, "wav", m.channels.toLong, m.sampleRate.toLong, m.bitsPerSample.toLong,
+            m.nSamples, m.durationMicros)
+        }
+      }
+      .toDF("doc_id", "fmt", "channels", "sample_rate", "bits", "n_samples", "duration_micros")
   }
 
   /** Aspect-fit resize planning: output dimensions for fitting each medium
