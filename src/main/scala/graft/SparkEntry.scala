@@ -796,6 +796,9 @@ object SparkEntry {
     // --- multimodal: REAL WAV (RIFF) header decode, audio twin of imghdr ---
     "q_mm_wavhdr" -> ((s, dir) =>
       graft.pipeline.Multimodal.audioHeaderMeta(documents(s, dir))),
+    // --- multimodal: REAL MP4 (ISO-BMFF moov/mvhd) decode, video twin ---
+    "q_mm_mp4hdr" -> ((s, dir) =>
+      graft.pipeline.Multimodal.videoHeaderMeta(documents(s, dir))),
     // --- deterministic hash sampling (reproducible train/eval splits) ---
     "q_sample" -> ((s, dir) =>
       graft.pipeline.Sampling.sampleDeterministic(documents(s, dir), rateMicros = 150000L, salt = "s1")
@@ -1346,6 +1349,17 @@ object SparkEntry {
         |)
         |SELECT doc_id, 'wav' AS fmt, channels, sample_rate, bits, n_samples,
         |  CAST((n_samples * 1000000) // sample_rate AS BIGINT) AS duration_micros
+        |FROM p""".stripMargin,
+    "q_mm_mp4hdr" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |         WHEN 2 THEN 90000 ELSE 48000 END AS BIGINT) AS timescale,
+        |    CAST(1 + doc_id % 100000 AS BIGINT) AS duration_ticks
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'mp4' AS fmt, timescale, duration_ticks,
+        |  CAST((duration_ticks * 1000000) // timescale AS BIGINT) AS duration_micros
         |FROM p""".stripMargin,
     "q_mm_resize" ->
       """WITH m AS (

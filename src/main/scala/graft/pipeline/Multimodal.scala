@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * The decode seam is layered honestly: PNG/JPEG dimensions are parsed from
   * REAL container headers in pure JVM code ([[ImageHeaders]] — no codec
-  * needed, the header carries them), and WAV channel/rate/duration from the
-  * real RIFF walk ([[AudioHeaders]]); anything needing an actual codec
-  * (compressed audio, video) falls back to the clearly-marked deterministic
-  * STUB (this container has no codecs). Everything around the seam — the binary column, the schema,
+  * needed, the header carries them), WAV channel/rate/duration from the
+  * real RIFF walk ([[AudioHeaders]]), and MP4 timescale/duration from the
+  * real ISO-BMFF box walk ([[VideoHeaders]]); only work that genuinely
+  * needs a codec (pixel/sample/frame decoding) falls back to the
+  * clearly-marked deterministic STUB (this container has no codecs). Everything around the seam — the binary column, the schema,
   * the batched `mapPartitions` execution shape, the typed output — is the
   * real plumbing a full decoder would plug into: swap `stubDecode` for a
   * JNI/FFmpeg call and nothing else changes.
@@ -128,6 +129,35 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fmt", "channels", "sample_rate", "bits", "n_samples", "duration_micros")
+  }
+
+  /** Oracle-gated REAL video-container decode path — the video twin of
+    * [[imageHeaderMeta]]/[[audioHeaderMeta]]: deterministic synthetic MP4
+    * blobs (doc_id-derived timescale/duration, actual ftyp + moov/mvhd
+    * bytes via [[VideoHeaders.synthMp4]]) parsed by the real ISO-BMFF box
+    * walker, row-locally in one task. With this, every media class exposes
+    * its container metadata through REAL byte parsing (PNG/JPEG dims, WAV
+    * audio params, MP4 timescale/duration); the stub is left only for work
+    * that genuinely needs a codec (pixels, samples, frame extraction).
+    * Output: (doc_id, fmt, timescale, duration_ticks, duration_micros).
+    */
+  def videoHeaderMeta(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val timescale = (id % 4L) match {
+            case 0L => 600L; case 1L => 1000L; case 2L => 90000L; case _ => 48000L
+          }
+          val ticks = 1L + id % 100000L
+          val blob = VideoHeaders.synthMp4(timescale, ticks)
+          val m = VideoHeaders.parseMp4(blob)
+            .getOrElse(throw new IllegalStateException(s"synth mp4 failed to parse for doc $id"))
+          (id, "mp4", m.timescale, m.durationTicks, m.durationMicros)
+        }
+      }
+      .toDF("doc_id", "fmt", "timescale", "duration_ticks", "duration_micros")
   }
 
   /** Aspect-fit resize planning: output dimensions for fitting each medium
