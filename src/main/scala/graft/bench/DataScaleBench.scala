@@ -3,10 +3,11 @@ package graft.bench
 import java.nio.file.{Files, Paths}
 
 /** Data-linearity evidence: the SAME job at the SAME parallelism on 1x vs 4x
-  * input (weak scaling in DATA, the complement of ScalingBench's scaling in
-  * CORES). Buckets grow with the corpus (64 -> 256) so per-segment size — the
-  * thing a 1000-executor cluster holds constant by adding partitions — stays
-  * fixed, exactly how the layout extrapolates to 100 TB.
+  * (vs optionally 16x) input (weak scaling in DATA, the complement of
+  * ScalingBench's scaling in CORES). Buckets grow with the corpus
+  * (64 -> 256 -> 1024) so per-segment size — the thing a 1000-executor
+  * cluster holds constant by adding partitions — stays fixed, exactly how
+  * the layout extrapolates to 100 TB.
   *
   * Expectation at scale: build THROUGHPUT (docs/s) stays flat as data grows
   * (every stage is per-partition work + one range exchange whose volume is
@@ -14,23 +15,24 @@ import java.nio.file.{Files, Paths}
   * dense terms (inherent — more matching docs per query), so query is
   * reported as observed with that framing, not claimed flat.
   *
-  * Interleaved rounds (1x, 4x, 1x, 4x) under the quiet-host gate so
-  * co-tenant drift cancels pairwise; reports the best round per size and the
-  * PAIRED throughput ratios.
+  * Interleaved rounds (1x, 4x[, 16x], 1x, 4x[, 16x]) under the quiet-host
+  * gate so co-tenant drift cancels pairwise; reports the best round per size
+  * and the PAIRED adjacent-rung throughput ratios.
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_DATASCALE_ROUNDS
-  * (default 2).
+  * (default 2), SPARK_GRAFT_DATASCALE_16X=1 adds the 5.12M-doc rung.
   */
 object DataScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_DATASCALE_ROUNDS", "2").toInt
+    val with16x = sys.env.get("SPARK_GRAFT_DATASCALE_16X").contains("1")
     val spark = graft.spark.Sessions.local(32, 64, "graft-datascale")
     spark.sparkContext.setLogLevel("WARN")
 
     def freshDir(tag: String): String =
       Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-ds-$tag").toString
-    // /dev/shm is RAM — a leaked index dir (two of the five are 256-replica
+    // /dev/shm is RAM — a leaked index dir (the larger rungs are multi-GB
     // builds) stays resident after the JVM exits; delete as soon as the
     // round's queries are done
     def withDir[T](tag: String)(f: String => T): T = {
@@ -54,44 +56,56 @@ object DataScaleBench {
       Sample(n, b, nq, q)
     }
 
-    val pairs = (1 to rounds).map { r =>
-      (one(64, 64, s"round $r 1x"), one(256, 256, s"round $r 4x"))
+    // (label, replicas, buckets): replicas x 5,000 docs at sf0.1
+    val sizes = Seq(("1x", 64, 64), ("4x", 256, 256)) ++
+      (if (with16x) Seq(("16x", 1024, 1024)) else Nil)
+    val runs: Seq[Seq[Sample]] = (1 to rounds).map { r =>
+      sizes.map { case (label, reps, bk) => one(reps, bk, s"round $r $label") }
     }
     // best per METRIC independently — the round with the best build is not
     // necessarily the round with the best query wall
-    val best1 = pairs.map(_._1).maxBy(_.buildRate)
-    val best4 = pairs.map(_._2).maxBy(_.buildRate)
-    val bestQ1 = pairs.map(_._1).maxBy(_.qps)
-    val bestQ4 = pairs.map(_._2).maxBy(_.qps)
-    // paired per-round throughput ratios (4x rate / 1x rate); 1.0 = perfectly flat
-    val buildRatios = pairs.map { case (a, b) => b.buildRate / a.buildRate }.sorted
-    val queryRatios = pairs.map { case (a, b) => b.qps / a.qps }.sorted
+    def bestBuild(i: Int) = runs.map(_(i)).maxBy(_.buildRate)
+    def bestQuery(i: Int) = runs.map(_(i)).maxBy(_.qps)
+    // paired per-round adjacent-rung throughput ratios; 1.0 = perfectly flat
+    def ratios(i: Int, f: Sample => Double): Seq[Double] =
+      runs.map(row => f(row(i + 1)) / f(row(i))).sorted
     // true median: mean of the middle two on even-length lists (with the
     // default rounds=2, taking xs(size/2) would report the BETTER sample)
     def median(xs: Seq[Double]) =
       if (xs.size % 2 == 1) xs(xs.size / 2) else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
 
+    // rows are spliced into a stripMargin template: the doubled leading pipe
+    // survives as the table's "|" (stripMargin eats the first one)
+    val tableRows = sizes.indices.map { i =>
+      val b = bestBuild(i); val q = bestQuery(i)
+      f"|| ${sizes(i)._1} | ${b.nDocs}%,d | ${b.buildSec}%.2f s | ${b.buildRate}%,.0f | ${q.querySec}%.2f s | ${q.qps}%.1f |"
+    }.mkString("\n")
+    val ratioLines = sizes.indices.dropRight(1).map { i =>
+      val br = ratios(i, _.buildRate); val qr = ratios(i, _.qps)
+      f"${sizes(i)._1} -> ${sizes(i + 1)._1}: build rate ratio ${br.map(r => f"$r%.2f").mkString(", ")} (median ${median(br)}%.2f); query qps ratio ${qr.map(r => f"$r%.2f").mkString(", ")}"
+    }.mkString("\n")
+
     // NOTE: replaceSection CLOBBERS the whole section — BENCH/BASELINE.md's
     // current body carries hand-written turbulence-aware interpretation over
     // multiple runs; re-add it after any rerun (the BenchReport gotcha).
     val md =
-      f"""## Data linearity — same job, same 32 cores, 1x vs 4x corpus (weak scaling in data)
+      s"""## Data linearity — same job, same 32 cores, 1x vs 4x corpus (weak scaling in data)
          |
-         |Buckets grow with the corpus (64 -> 256) so per-segment size stays fixed —
+         |Buckets grow with the corpus (64 -> 256${if (with16x) " -> 1024" else ""}) so per-segment size stays fixed —
          |the 100 TB layout discipline (a cluster adds partitions, not bigger ones).
          |Interleaved rounds under the quiet-host gate; paired ratios cancel drift.
          |
          || corpus | docs | best build | docs/s | best query (200 q) | qps |
          ||---|---|---|---|---|---|
-         || 1x | ${best1.nDocs}%,d | ${best1.buildSec}%.2f s | ${best1.buildRate}%,.0f | ${bestQ1.querySec}%.2f s | ${bestQ1.qps}%.1f |
-         || 4x | ${best4.nDocs}%,d | ${best4.buildSec}%.2f s | ${best4.buildRate}%,.0f | ${bestQ4.querySec}%.2f s | ${bestQ4.qps}%.1f |
+         $tableRows
          |
-         |Paired per-round BUILD throughput ratios (4x/1x, 1.0 = perfectly
-         |data-linear): ${buildRatios.map(r => f"$r%.2f").mkString(", ")} — median ${median(buildRatios)}%.2f.
-         |Query qps ratios: ${queryRatios.map(r => f"$r%.2f").mkString(", ")} (dense-term posting
-         |lists are 4x longer at 4x corpus, so per-query WORK grows with data by
-         |design — the relevant scale lever for query is ScalingBench's core
-         |scaling + segment-parallel fan-out, not data-flat qps).
+         |Paired per-round ADJACENT-RUNG throughput ratios (4x-rate / 1x-rate,
+         |1.0 = perfectly data-linear):
+         |$ratioLines
+         |(dense-term posting lists lengthen with the corpus, so per-query WORK
+         |grows with data by design — the relevant scale lever for query is
+         |ScalingBench's core scaling + segment-parallel fan-out, not data-flat
+         |qps).
          |""".stripMargin
     BenchReport.replaceSection("## Data linearity — same job, same 32 cores, 1x vs 4x corpus (weak scaling in data)", md)
     println(md)
