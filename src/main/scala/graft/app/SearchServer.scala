@@ -284,6 +284,16 @@ object SearchServer {
       respond(ex, code, "text/plain", body)
     })
 
+    // Built-in search UI (the engine-side twin of the reference's React GUI
+    // — see SearchUi). The "/" context is the JDK server's catch-all for
+    // otherwise-unmatched paths, so it owns the 404 for unknown routes.
+    server.createContext("/", (ex: HttpExchange) => {
+      ex.getRequestURI.getPath match {
+        case "/" | "/ui" => respond(ex, 200, "text/html; charset=utf-8", SearchUi.Page)
+        case p => respond(ex, 404, "text/plain", s"not found: $p")
+      }
+    })
+
     server.createContext("/search", (ex: HttpExchange) => {
       val t0 = System.nanoTime()
       metrics.searches.increment()

@@ -97,6 +97,31 @@ class ServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("built-in UI: served at / and /ui, speaks the API contract; unknown paths 404") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "alpha bravo", "repoA", "en")).toDF("doc_id", "text", "source", "lang")
+    val dir = Files.createTempDirectory("graft-server-ui").toString
+    SegmentIndex.build(docs, dir, buckets = 1)
+    val meta = SegmentIndex.readMeta(dir)
+    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
+    val server = SearchServer.start(new SegmentSearch.ServingEngine(segs, meta),
+      _ => Some(SearchServer.DocRow("alpha bravo", "repoA", "en")), port = 0)
+    val base = s"http://127.0.0.1:${server.port}"
+    try {
+      Seq("/", "/ui").foreach { p =>
+        val (code, body) = get(s"$base$p")
+        assert(code == 200, p)
+        assert(body.contains("<!doctype html>") && body.contains("graft search"), p)
+        // the page drives the documented endpoints — it must reference them all
+        Seq("/search?", "/health", "/suggest?", "/didyoumean?").foreach(e =>
+          assert(body.contains(e), s"$p missing $e"))
+      }
+      val (nf, nfBody) = get(s"$base/definitely-not-a-route")
+      assert(nf == 404 && nfBody.contains("not found"))
+    } finally server.stop()
+  }
+
   test("phrase extension: /search?phrase= filters to adjacent matches; q= untouched") {
     val sp = spark
     import sp.implicits._
