@@ -56,9 +56,14 @@ object DataScaleBench {
       Sample(n, b, nq, q)
     }
 
-    // (label, replicas, buckets): replicas x 5,000 docs at sf0.1
-    val sizes = Seq(("1x", 64, 64), ("4x", 256, 256)) ++
-      (if (with16x) Seq(("16x", 1024, 1024)) else Nil)
+    // (label, replicas, buckets): replicas x 5,000 docs at sf0.1. Rungs are
+    // factors of the 64-replica base; buckets scale with the corpus so
+    // per-segment size stays fixed. SPARK_GRAFT_DATASCALE_RUNGS="1,4,16,64"
+    // overrides (64x = 20.48M docs / 4,096 buckets).
+    val rungs: Seq[Int] = sys.env.get("SPARK_GRAFT_DATASCALE_RUNGS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(if (with16x) Seq(1, 4, 16) else Seq(1, 4))
+    val sizes = rungs.map(f => (s"${f}x", 64 * f, 64 * f))
     val runs: Seq[Seq[Sample]] = (1 to rounds).map { r =>
       sizes.map { case (label, reps, bk) => one(reps, bk, s"round $r $label") }
     }
@@ -91,7 +96,7 @@ object DataScaleBench {
     val md =
       s"""## Data linearity — same job, same 32 cores, 1x vs 4x corpus (weak scaling in data)
          |
-         |Buckets grow with the corpus (64 -> 256${if (with16x) " -> 1024" else ""}) so per-segment size stays fixed —
+         |Buckets grow with the corpus (${sizes.map(_._3).mkString(" -> ")}) so per-segment size stays fixed —
          |the 100 TB layout discipline (a cluster adds partitions, not bigger ones).
          |Interleaved rounds under the quiet-host gate; paired ratios cancel drift.
          |
