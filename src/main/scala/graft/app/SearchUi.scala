@@ -83,6 +83,9 @@ object SearchUi {
       |  if(!last||$("mode").value!=="q"){$("sugg").style.display="none";return}
       |  suggTimer=setTimeout(function(){
       |    fetch("/suggest?q="+encodeURIComponent(last)+"&k=8").then(function(r){return r.json()}).then(function(s){
+      |      // drop out-of-order responses: the prefix this answer is for
+      |      // must still be the token under the cursor
+      |      if($("q").value.trim().split(/\s+/).pop()!==last)return;
       |      var box=$("sugg");box.innerHTML="";
       |      (s.suggestions||[]).forEach(function(t){
       |        var d=document.createElement("div");
@@ -95,10 +98,19 @@ object SearchUi {
       |  },150)});
       |document.addEventListener("click",function(e){if(!$("sugg").contains(e.target))$("sugg").style.display="none"});
       |function highlight(snippet,terms){
-      |  var h=esc(snippet);
-      |  terms.forEach(function(t){if(!t||t[0]==="-")return;
-      |    h=h.replace(new RegExp("("+t.replace(/[.*+?^${}()|[\]\\]/g,"\\$&")+")","gi"),"<mark>$1</mark>")});
-      |  return h}
+      |  // single pass over the RAW text with one alternation, escaping each
+      |  // piece as it is emitted — sequential per-term replaces over
+      |  // accumulating HTML would re-match inside inserted <mark> tags and
+      |  // esc() entities (terms like "mark" or "amp" corrupt the output)
+      |  var pats=terms.filter(function(t){return t&&t[0]!=="-"})
+      |    .map(function(t){return t.replace(/[.*+?^${}()|[\]\\]/g,"\\$&")});
+      |  if(!pats.length)return esc(snippet);
+      |  var re=new RegExp("("+pats.join("|")+")","gi"),out="",last=0,m;
+      |  while((m=re.exec(snippet))!==null){
+      |    out+=esc(snippet.slice(last,m.index))+"<mark>"+esc(m[0])+"</mark>";
+      |    last=m.index+m[0].length;
+      |    if(m[0].length===0)re.lastIndex++}
+      |  return out+esc(snippet.slice(last))}
       |function run(){
       |  var q=$("q").value.trim();if(!q)return;
       |  var mode=$("mode").value,k=Math.min(50,Math.max(1,+$("k").value||10));

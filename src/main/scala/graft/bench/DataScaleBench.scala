@@ -83,7 +83,7 @@ object DataScaleBench {
     // survives as the table's "|" (stripMargin eats the first one)
     val tableRows = sizes.indices.map { i =>
       val b = bestBuild(i); val q = bestQuery(i)
-      f"|| ${sizes(i)._1} | ${b.nDocs}%,d | ${b.buildSec}%.2f s | ${b.buildRate}%,.0f | ${q.querySec}%.2f s | ${q.qps}%.1f |"
+      f"|| ${sizes(i)._1} | ${b.nDocs}%,d | ${sizes(i)._3}%,d | ${b.buildSec}%.2f s | ${b.buildRate}%,.0f | ${q.querySec}%.2f s | ${q.qps}%.1f |"
     }.mkString("\n")
     val ratioLines = sizes.indices.dropRight(1).map { i =>
       val br = ratios(i, _.buildRate); val qr = ratios(i, _.qps)
@@ -93,15 +93,18 @@ object DataScaleBench {
     // NOTE: replaceSection CLOBBERS the whole section — BENCH/BASELINE.md's
     // current body carries hand-written turbulence-aware interpretation over
     // multiple runs; re-add it after any rerun (the BenchReport gotcha).
+    // section key is rung-agnostic so reruns with different RUNGS replace
+    // the same section instead of appending a second one
+    val sectionKey = "## Data linearity — same job, same 32 cores, weak scaling in data"
     val md =
-      s"""## Data linearity — same job, same 32 cores, 1x vs 4x corpus (weak scaling in data)
+      s"""$sectionKey
          |
          |Buckets grow with the corpus (${sizes.map(_._3).mkString(" -> ")}) so per-segment size stays fixed —
          |the 100 TB layout discipline (a cluster adds partitions, not bigger ones).
          |Interleaved rounds under the quiet-host gate; paired ratios cancel drift.
          |
-         || corpus | docs | best build | docs/s | best query (200 q) | qps |
-         ||---|---|---|---|---|---|
+         || corpus | docs | buckets | best build | docs/s | best query (200 q) | qps |
+         ||---|---|---|---|---|---|---|
          $tableRows
          |
          |Paired per-round ADJACENT-RUNG throughput ratios (4x-rate / 1x-rate,
@@ -112,7 +115,7 @@ object DataScaleBench {
          |ScalingBench's core scaling + segment-parallel fan-out, not data-flat
          |qps).
          |""".stripMargin
-    BenchReport.replaceSection("## Data linearity — same job, same 32 cores, 1x vs 4x corpus (weak scaling in data)", md)
+    BenchReport.replaceSection(sectionKey, md)
     println(md)
     spark.stop()
   }

@@ -59,6 +59,12 @@ object AudioHeaders {
       if (size < 0 || i + 8 + size > b.length) return None
       if (tag(b, i, "fmt ")) {
         if (size < 16) return None
+        // PCM-family only (1 = PCM, 3 = IEEE float, 0xFFFE = extensible):
+        // for compressed formats (ADPCM, MP3-in-RIFF) blockAlign is the
+        // compressed block size, so dataSize/blockAlign would be a silently
+        // wrong frame count — those stay behind the labeled stub
+        val audioFormat = u16le(b, i + 8)
+        if (audioFormat != 1 && audioFormat != 3 && audioFormat != 0xfffe) return None
         channels = u16le(b, i + 10)
         rate = u32le(b, i + 12).toInt
         blockAlign = u16le(b, i + 20)

@@ -72,17 +72,22 @@ object VideoHeaders {
           if (cs < chdr || j + cs > end) return None
           if (ct == "mvhd") {
             val p = j + chdr
-            if (p + 4 > end) return None
+            // bounds are the mvhd BOX's own end — checking against the
+            // enclosing moov would let a short mvhd read its sibling's bytes
+            val boxEnd = j + cs.toInt
+            if (p + 4 > boxEnd) return None
             val version = b(p) & 0xff
             val (timescale, duration) =
               if (version == 0) {
-                if (p + 20 > end) return None
+                if (p + 20 > boxEnd) return None
                 (u32be(b, p + 12), u32be(b, p + 16))
               } else if (version == 1) {
-                if (p + 32 > end) return None
+                if (p + 32 > boxEnd) return None
                 (u32be(b, p + 20), u64be(b, p + 24))
               } else return None
-            return if (timescale <= 0 || duration < 0) None
+            // v1 duration is a u64: reject values whose micros would
+            // overflow Long rather than return wrapped garbage
+            return if (timescale <= 0 || duration < 0 || duration > Long.MaxValue / 1000000L) None
             else Some(Mp4Meta(brand, timescale, duration, duration * 1000000L / timescale))
           }
           j += cs.toInt

@@ -40,7 +40,7 @@ class ServerSpec extends SparkTestBase {
     SegmentIndex.build(docs, dir, buckets = 2)
 
     val meta = SegmentIndex.readMeta(dir)
-    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
+    val segs = SegmentIndex.liveSegmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
     val engine = new SegmentSearch.ServingEngine(segs, meta)
     val docMap = spark.read.parquet(s"$dir/docstore")
       .select("doc_id", "text", "source", "lang")
@@ -104,7 +104,7 @@ class ServerSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-server-ui").toString
     SegmentIndex.build(docs, dir, buckets = 1)
     val meta = SegmentIndex.readMeta(dir)
-    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
+    val segs = SegmentIndex.liveSegmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
     val server = SearchServer.start(new SegmentSearch.ServingEngine(segs, meta),
       _ => Some(SearchServer.DocRow("alpha bravo", "repoA", "en")), port = 0)
     val base = s"http://127.0.0.1:${server.port}"
@@ -134,7 +134,7 @@ class ServerSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-server-phrase").toString
     SegmentIndex.build(docs, dir, buckets = 2)
     val meta = SegmentIndex.readMeta(dir)
-    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
+    val segs = SegmentIndex.liveSegmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
     val engine = new SegmentSearch.ServingEngine(segs, meta)
     val docMap = spark.read.parquet(s"$dir/docstore")
       .select("doc_id", "text", "source", "lang")
@@ -221,7 +221,7 @@ class ServerSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-server-ext").toString
     SegmentIndex.build(docs, dir, buckets = 2)
     val meta = SegmentIndex.readMeta(dir)
-    val segs = SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
+    val segs = SegmentIndex.liveSegmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq
     val engine = new SegmentSearch.ServingEngine(segs, meta)
     val docMap = spark.read.parquet(s"$dir/docstore")
       .select("doc_id", "text", "source", "lang")
@@ -314,7 +314,7 @@ class ServerSpec extends SparkTestBase {
       // same response a docMap-pinned server would produce
       val docMap = SearchServer.docMapFromStore(spark, dir)
       val engine = new SegmentSearch.ServingEngine(
-        SegmentIndex.segmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq,
+        SegmentIndex.liveSegmentFiles(dir).map(SegmentIndex.loadSegment(_)).toIndexedSeq,
         SegmentIndex.readMeta(dir))
       val pinned = SearchServer.start(engine, docMap.get, port = 0)
       try {

@@ -68,6 +68,20 @@ class AudioHeadersSpec extends SparkTestBase {
     val zeroAlign = good.clone()
     zeroAlign(32) = 0; zeroAlign(33) = 0
     assert(AudioHeaders.parseWav(zeroAlign).isEmpty)
+    // compressed formats (ADPCM 0x11, MP3 0x55): blockAlign is the
+    // compressed block size, so dataSize/blockAlign would be a silently
+    // wrong frame count — must fall back to the stub, not mis-decode
+    Seq(0x11, 0x55).foreach { fmt =>
+      val comp = good.clone()
+      comp(20) = (fmt & 0xff).toByte; comp(21) = 0
+      assert(AudioHeaders.parseWav(comp).isEmpty, s"audioFormat 0x${fmt.toHexString}")
+    }
+    // IEEE float (3) and extensible (0xFFFE) are PCM-family: accepted
+    Seq(3, 0xfffe).foreach { fmt =>
+      val ok = good.clone()
+      ok(20) = (fmt & 0xff).toByte; ok(21) = ((fmt >> 8) & 0xff).toByte
+      assert(AudioHeaders.parseWav(ok).nonEmpty, s"audioFormat 0x${fmt.toHexString}")
+    }
   }
 
   test("audioHeaderMeta: closed-form metadata from real synthesized RIFF bytes") {

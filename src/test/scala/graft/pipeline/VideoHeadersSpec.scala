@@ -79,6 +79,21 @@ class VideoHeadersSpec extends SparkTestBase {
     val overrun = good.clone()
     overrun(20) = 0x7f // moov size high byte -> enormous
     assert(VideoHeaders.parseMp4(overrun).isEmpty)
+    // a SHORT mvhd (cs=8, empty payload) must not read its sibling box's
+    // bytes as timescale/duration — bounds are the mvhd box's own end
+    val shortMvhd = w32(8L) ++ tag("mvhd")
+    val sibling = w32(40L) ++ tag("udta") ++ Array.fill(32)(7.toByte)
+    val moovShort = w32((8 + shortMvhd.length + sibling.length).toLong) ++ tag("moov") ++ shortMvhd ++ sibling
+    assert(VideoHeaders.parseMp4(ftyp ++ moovShort).isEmpty)
+    // v1 duration whose micros overflow Long: rejected, not wrapped negative
+    val hugeDur = Long.MaxValue / 1000000L + 1L
+    val mvhdHuge = {
+      val body = w32(0x01000000L) ++ w64(0L) ++ w64(0L) ++ w32(90000L) ++ w64(hugeDur) ++
+        Array.fill(80)(0.toByte)
+      w32(8L + body.length) ++ tag("mvhd") ++ body
+    }
+    val moovHuge = w32(8L + mvhdHuge.length) ++ tag("moov") ++ mvhdHuge
+    assert(VideoHeaders.parseMp4(ftyp ++ moovHuge).isEmpty)
   }
 
   test("videoHeaderMeta: closed-form metadata from real synthesized ISO-BMFF bytes") {
