@@ -35,7 +35,7 @@ object SearchUi {
       |form{display:flex;flex-wrap:wrap;gap:8px;margin-bottom:6px}
       |.qbox{position:relative;flex:1 1 280px}
       |input,select{font:inherit;color:inherit;background:var(--bg);border:1px solid var(--line);border-radius:8px;padding:8px 10px}
-      |#q{width:100%}#k{width:70px}#lang,#source{width:110px}
+      |#q{width:100%}#k{width:70px}#lang,#source{width:110px}#apikey{width:110px}
       |button{font:inherit;border:0;border-radius:8px;padding:8px 16px;background:var(--acc);color:#fff;cursor:pointer}
       |#sugg{position:absolute;top:100%;left:0;right:0;z-index:9;background:var(--bg);border:1px solid var(--line);border-radius:8px;margin-top:2px;display:none}
       |#sugg div{padding:6px 10px;cursor:pointer}#sugg div:hover{background:var(--chip)}
@@ -63,6 +63,7 @@ object SearchUi {
       |<input id="k" type="number" min="1" max="50" value="10" title="results">
       |<input id="lang" placeholder="lang" title="filter: lang">
       |<input id="source" placeholder="source" title="filter: source">
+      |<input id="apikey" placeholder="api key" title="X-Api-Key (multi-tenant gateway)" autocomplete="off">
       |<button>Search</button>
       |</form>
       |<div id="dym"></div><div id="stat"></div><div id="res"></div>
@@ -71,7 +72,13 @@ object SearchUi {
       |"use strict";
       |var $=function(id){return document.getElementById(id)};
       |function esc(s){var d=document.createElement("span");d.textContent=s;return d.innerHTML}
-      |fetch("/health").then(function(r){
+      |// relative URLs: the page works at any mount (engine server root or
+      |// the multi-tenant gateway); an API key, when supplied, rides every
+      |// request as the X-Api-Key header (the gateway's only auth channel)
+      |function api(url){
+      |  var k=$("apikey")?$("apikey").value.trim():"";
+      |  return fetch(url,k?{headers:{"X-Api-Key":k}}:{})}
+      |api("health").then(function(r){
       |  var el=$("health");
       |  if(r.ok){el.className="ok";el.textContent="serving"}
       |  else{el.className="bad";el.textContent="not ready"}
@@ -82,7 +89,7 @@ object SearchUi {
       |  var last=v.split(/\s+/).pop();
       |  if(!last||$("mode").value!=="q"){$("sugg").style.display="none";return}
       |  suggTimer=setTimeout(function(){
-      |    fetch("/suggest?q="+encodeURIComponent(last)+"&k=8").then(function(r){return r.json()}).then(function(s){
+      |    api("suggest?q="+encodeURIComponent(last)+"&k=8").then(function(r){return r.json()}).then(function(s){
       |      // drop out-of-order responses: the prefix this answer is for
       |      // must still be the token under the cursor
       |      if($("q").value.trim().split(/\s+/).pop()!==last)return;
@@ -95,6 +102,7 @@ object SearchUi {
       |          $("q").value=parts.join(" ");box.style.display="none";run()};
       |        box.appendChild(d)});
       |      box.style.display=s.suggestions&&s.suggestions.length?"block":"none"})
+      |    .catch(function(){$("sugg").style.display="none"})
       |  },150)});
       |document.addEventListener("click",function(e){if(!$("sugg").contains(e.target))$("sugg").style.display="none"});
       |function highlight(snippet,terms){
@@ -114,12 +122,12 @@ object SearchUi {
       |function run(){
       |  var q=$("q").value.trim();if(!q)return;
       |  var mode=$("mode").value,k=Math.min(50,Math.max(1,+$("k").value||10));
-      |  var url="/search?"+mode+"="+encodeURIComponent(q)+"&k="+k;
+      |  var url="search?"+mode+"="+encodeURIComponent(q)+"&k="+k;
       |  if($("lang").value.trim())url+="&lang="+encodeURIComponent($("lang").value.trim());
       |  if($("source").value.trim())url+="&source="+encodeURIComponent($("source").value.trim());
       |  var t0=performance.now();
       |  $("stat").textContent="searching\u2026";$("dym").style.display="none";
-      |  fetch(url).then(function(r){
+      |  api(url).then(function(r){
       |    if(!r.ok)throw new Error("search failed with "+r.status);
       |    return r.json()
       |  }).then(function(data){
@@ -133,13 +141,14 @@ object SearchUi {
       |        (h.source?'<span class="chip">'+esc(h.source)+"</span>":"")+
       |        (h.lang?'<span class="chip">'+esc(h.lang)+"</span>":"")+
       |        '</div><div class="snip">'+highlight(h.snippet||"",terms)+"</div></div>"}).join("");
-      |    if(mode==="q")fetch("/didyoumean?q="+encodeURIComponent(q)).then(function(r){return r.json()}).then(function(d){
+      |    if(mode==="q")api("didyoumean?q="+encodeURIComponent(q)).then(function(r){return r.json()}).then(function(d){
       |      var fixed=(d.terms||[]).map(function(t){return t.suggestion});
       |      if(fixed.length&&(d.terms||[]).some(function(t){return t.suggestion!==t.term})){
       |        var s=fixed.join(" ");
       |        $("dym").innerHTML="Did you mean: <a>"+esc(s)+"</a>?";
       |        $("dym").style.display="block";
       |        $("dym").querySelector("a").onclick=function(){$("q").value=s;run()}}})
+      |      .catch(function(){})
       |  }).catch(function(e){$("stat").textContent=e.message;$("res").innerHTML=""})}
       |$("f").addEventListener("submit",function(e){e.preventDefault();run()});
       |</script>

@@ -194,6 +194,17 @@ object TenantServer {
       respond(ex, code, "text/plain", body)
     })
 
+    // The same built-in UI the engine server ships (SearchUi uses relative
+    // URLs and sends the page's api-key field as X-Api-Key, so it works
+    // against this gateway's auth unchanged); "/" doubles as the 404 for
+    // unknown routes, exactly like SearchServer.
+    server.createContext("/", (ex: HttpExchange) => {
+      ex.getRequestURI.getPath match {
+        case "/" | "/ui" => respond(ex, 200, "text/html; charset=utf-8", SearchUi.Page)
+        case p => respond(ex, 404, "text/plain", s"not found: $p")
+      }
+    })
+
     def presentedKey(ex: HttpExchange, params: Map[String, String]): Option[String] =
       Option(ex.getRequestHeaders.getFirst("X-Api-Key")) // header only — never a query param
 

@@ -113,9 +113,11 @@ class ServerSpec extends SparkTestBase {
         val (code, body) = get(s"$base$p")
         assert(code == 200, p)
         assert(body.contains("<!doctype html>") && body.contains("graft search"), p)
-        // the page drives the documented endpoints — it must reference them all
-        Seq("/search?", "/health", "/suggest?", "/didyoumean?").foreach(e =>
+        // the page drives the documented endpoints — it must reference them
+        // all, as RELATIVE urls (the same page mounts on the tenant gateway)
+        Seq("\"search?", "\"health\"", "\"suggest?", "\"didyoumean?").foreach(e =>
           assert(body.contains(e), s"$p missing $e"))
+        assert(!body.contains("\"/search"), s"$p must use relative endpoint urls")
       }
       val (nf, nfBody) = get(s"$base/definitely-not-a-route")
       assert(nf == 404 && nfBody.contains("not found"))

@@ -154,6 +154,12 @@ class TenantSpec extends SparkTestBase {
       }
       assert(healthy, "/health never returned 200 OK")
 
+      // the gateway serves the same built-in UI as the engine server (the
+      // page's relative URLs + X-Api-Key field work against gateway auth)
+      val (cUi, ui) = get(s"$base/")
+      assert(cUi == 200 && ui.contains("graft search") && ui.contains("apikey"), ui.take(120))
+      assert(get(s"$base/not-a-route")._1 == 404)
+
       // catalog listing (decoded ids)
       val (cT, tenants) = get(s"$base/tenants")
       assert(cT == 200 && tenants.contains("\"acme\"") &&
