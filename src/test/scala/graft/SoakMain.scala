@@ -97,6 +97,27 @@ object SoakMain {
         }
         graft.TestSweep.rmrf(dirInc)
       }
+      // dataflow tier vs the oracle too (a Spark job per query — sampled,
+      // not every trial; enable densely with SPARK_GRAFT_SOAK_DATAFLOW=1)
+      val dataflowEvery = if (sys.env.get("SPARK_GRAFT_SOAK_DATAFLOW").contains("1")) 1 else 10
+      if (t % dataflowEvery == 0) {
+        val eng = new graft.search.SearchEngine(
+          graft.index.IndexBuilder.build(docsDF(docs)))
+        for (q <- queries.take(3)) {
+          val exp = ref.searchScored(q)
+          val got = eng.searchScored(q)
+          if (got.map(_._1) != exp.map(_._1)) {
+            System.err.println(s"[soak] DATAFLOW RANK MISMATCH seed=$seed trial=$t q='$q'\n got=$got\n exp=$exp")
+            sys.exit(1)
+          }
+          got.zip(exp).foreach { case ((_, a), (_, b)) =>
+            if (math.abs(a - b) >= 1e-9) {
+              System.err.println(s"[soak] DATAFLOW SCORE DRIFT seed=$seed trial=$t q='$q': $a vs $b")
+              sys.exit(1)
+            }
+          }
+        }
+      }
       graft.TestSweep.rmrf(dir)
       t += 1
       if (t % 20 == 0) println(s"[soak] $t/$trials clean")
