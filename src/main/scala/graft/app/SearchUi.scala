@@ -35,7 +35,7 @@ object SearchUi {
       |form{display:flex;flex-wrap:wrap;gap:8px;margin-bottom:6px}
       |.qbox{position:relative;flex:1 1 280px}
       |input,select{font:inherit;color:inherit;background:var(--bg);border:1px solid var(--line);border-radius:8px;padding:8px 10px}
-      |#q{width:100%}#k{width:70px}#lang,#source{width:110px}#apikey{width:110px}
+      |#q{width:100%}#k{width:70px}#lang,#source{width:110px}#apikey,#tenant{width:110px}
       |button{font:inherit;border:0;border-radius:8px;padding:8px 16px;background:var(--acc);color:#fff;cursor:pointer}
       |#sugg{position:absolute;top:100%;left:0;right:0;z-index:9;background:var(--bg);border:1px solid var(--line);border-radius:8px;margin-top:2px;display:none}
       |#sugg div{padding:6px 10px;cursor:pointer}#sugg div:hover{background:var(--chip)}
@@ -63,6 +63,7 @@ object SearchUi {
       |<input id="k" type="number" min="1" max="50" value="10" title="results">
       |<input id="lang" placeholder="lang" title="filter: lang">
       |<input id="source" placeholder="source" title="filter: source">
+      |<input id="tenant" placeholder="tenant" title="tenant id (multi-tenant gateway)">
       |<input id="apikey" placeholder="api key" title="X-Api-Key (multi-tenant gateway)" autocomplete="off">
       |<button>Search</button>
       |</form>
@@ -125,6 +126,7 @@ object SearchUi {
       |  var url="search?"+mode+"="+encodeURIComponent(q)+"&k="+k;
       |  if($("lang").value.trim())url+="&lang="+encodeURIComponent($("lang").value.trim());
       |  if($("source").value.trim())url+="&source="+encodeURIComponent($("source").value.trim());
+      |  if($("tenant").value.trim())url+="&tenant="+encodeURIComponent($("tenant").value.trim());
       |  var t0=performance.now();
       |  $("stat").textContent="searching\u2026";$("dym").style.display="none";
       |  api(url).then(function(r){

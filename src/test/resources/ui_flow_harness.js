@@ -18,9 +18,12 @@ function el(id) {
   };
 }
 const ids = {};
-["q","mode","k","lang","source","apikey","sugg","dym","stat","res","health","f"]
+["q","mode","k","lang","source","tenant","apikey","sugg","dym","stat","res","health","f"]
   .forEach(i => ids[i] = el(i));
 ids.mode.value = "q"; ids.k.value = "10";
+if (process.env.GRAFT_UI_APIKEY) ids.apikey.value = process.env.GRAFT_UI_APIKEY;
+if (process.env.GRAFT_UI_TENANT) ids.tenant.value = process.env.GRAFT_UI_TENANT;
+const FLOWS = process.env.GRAFT_UI_FLOWS || "all";
 global.document = {
   getElementById: id => ids[id],
   createElement: () => {
@@ -60,6 +63,7 @@ global.window = global;
   if (!/<mark>/.test(ids.res.innerHTML)) throw new Error("no highlighting");
   console.log("search flow OK:", ids.stat.textContent);
 
+  if (FLOWS === "search") { console.log("UI HARNESS: ALL FLOWS OK"); return; }
   // suggest flow (debounced input listener the page registered)
   ids.q.value = "alp";
   ids.q.listeners["input"]();

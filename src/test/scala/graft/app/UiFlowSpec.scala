@@ -61,4 +61,40 @@ class UiFlowSpec extends SparkTestBase {
       assert(out.toString.contains("UI HARNESS: ALL FLOWS OK"), out.toString)
     } finally server.stop()
   }
+
+  test("UI page script searches through the tenant gateway with the api-key field (node)") {
+    val node = nodeOnPath
+    assume(node.isDefined, "no node runtime on PATH — UI flow drive skipped")
+
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq(
+      (1L, "alpha bravo charlie", "acme", "en"),
+      (2L, "alpha bravo delta", "acme", "en"),
+      (3L, "alpha foxtrot", "acme", "fr")
+    ).toDF("doc_id", "text", "source", "lang")
+    val root = Files.createTempDirectory("graft-uiflow-tenant").toString
+    graft.index.TenantCatalog.buildAll(corpus, root, buckets = 2)
+    val key = ApiKeys.issue(root, "acme", "read", ratePerSec = 1000, burst = 1000)
+    val server = TenantServer.start(root, port = 0, auth = ApiKeys.load(root))
+    try {
+      val harness = {
+        val tmp = Files.createTempFile("graft-ui-harness", ".js")
+        val in = getClass.getResourceAsStream("/ui_flow_harness.js")
+        try Files.write(tmp, in.readAllBytes()) finally in.close()
+        tmp.toString
+      }
+      val out = new StringBuilder
+      val exit = scala.sys.process.Process(
+        Seq(node.get, harness),
+        None,
+        "GRAFT_UI_BASE" -> s"http://127.0.0.1:${server.port}",
+        "GRAFT_UI_APIKEY" -> key,
+        "GRAFT_UI_TENANT" -> "acme",
+        "GRAFT_UI_FLOWS" -> "search" // the gateway mounts /search only
+      ).!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+      assert(exit == 0, s"node harness (gateway) failed:\n$out")
+      assert(out.toString.contains("UI HARNESS: ALL FLOWS OK"), out.toString)
+    } finally server.stop()
+  }
 }
