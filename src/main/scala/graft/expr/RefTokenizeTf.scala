@@ -108,12 +108,41 @@ object RefTokenizeTf {
       while (i < size) { ks(i) = keys(order(i)); vs(i) = cnts(order(i)); i += 1 }
       (ks, vs)
     }
+
+    /** Pack entries straight into the [[graft.index.TfBin]] layout (first-
+      * occurrence order) — no intermediate boxed arrays, no MapData.
+      */
+    def emitBin(): Array[Byte] = {
+      import graft.index.TfBin
+      var bytes = 0
+      var i = 0
+      while (i < size) {
+        val kl = keys(order(i)).numBytes
+        bytes += TfBin.varintSize(kl) + kl + TfBin.varintSize(cnts(order(i)))
+        i += 1
+      }
+      val out = new Array[Byte](bytes)
+      var pos = 0
+      i = 0
+      while (i < size) {
+        val slot = order(i)
+        val k = keys(slot)
+        val kl = k.numBytes
+        pos = TfBin.writeVarint(out, pos, kl)
+        k.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += kl
+        pos = TfBin.writeVarint(out, pos, cnts(slot))
+        i += 1
+      }
+      out
+    }
   }
 
-  /** One pass: byte-wise reference tokenization, counting term frequencies
-    * directly (first-occurrence key order — deterministic for a given text).
+  /** Shared single-pass core: byte-wise reference tokenization, counting
+    * term frequencies (first-occurrence key order — deterministic for a
+    * given text). Returns (dl, counter).
     */
-  def tokenizeCounts(s: UTF8String): InternalRow = {
+  private def countTokens(s: UTF8String): (Int, TfCounter) = {
     val bytes = s.getBytes // private copy (or sole owner) — views below are safe
     val n = bytes.length
     val counts = new TfCounter
@@ -147,12 +176,26 @@ object RefTokenizeTf {
       i += 1
     }
     if (start >= 0) flush(n)
+    (dl, counts)
+  }
 
+  def tokenizeCounts(s: UTF8String): InternalRow = {
+    val (dl, counts) = countTokens(s)
     val (keys, vals) = counts.emit()
     new GenericInternalRow(Array[Any](
       dl,
       new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
     ))
+  }
+
+  /** Binary-packed twin (struct<dl, tfbin>) — the docstore build path.
+    * Identical tokenization; the tf payload goes straight to the
+    * [[graft.index.TfBin]] layout instead of a catalyst MapData (profiled:
+    * parquet's nested-map encode/decode dominated the build stages).
+    */
+  def tokenizeCountsBin(s: UTF8String): InternalRow = {
+    val (dl, counts) = countTokens(s)
+    new GenericInternalRow(Array[Any](dl, counts.emitBin()))
   }
 
   private def slice(bytes: Array[Byte], from: Int, until: Int): UTF8String = {
@@ -168,10 +211,44 @@ object RefTokenizeTf {
     UTF8String.fromBytes(tok)
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ref_tokenize_tf",
       (exprs: Seq[Expression]) => RefTokenizeTf(exprs.head),
       "scala_udf"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ref_tokenize_tfbin",
+      (exprs: Seq[Expression]) => RefTokenizeTfBin(exprs.head),
+      "scala_udf"
+    )
+  }
+}
+
+/** Fused tokenize + tf-count emitting the packed binary payload
+  * (struct<dl: int, tfbin: binary>) — the docstore build path. Same token
+  * semantics as [[RefTokenizeTf]] (shared core); see
+  * [[graft.index.TfBin]] for the layout and the why.
+  */
+case class RefTokenizeTfBin(child: Expression) extends UnaryExpression {
+  require(child.dataType == StringType, s"ref_tokenize_tfbin expects STRING, got ${child.dataType}")
+
+  override def dataType: DataType = RefTokenizeTfBin.outType
+  override def prettyName: String = "ref_tokenize_tfbin"
+
+  override def nullSafeEval(input: Any): Any =
+    RefTokenizeTf.tokenizeCountsBin(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.RefTokenizeTf.tokenizeCountsBin($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RefTokenizeTfBin =
+    copy(child = newChild)
+}
+
+object RefTokenizeTfBin {
+  val outType: StructType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("tfbin", BinaryType, nullable = false)
+  ))
 }

