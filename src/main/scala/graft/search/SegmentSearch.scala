@@ -86,6 +86,21 @@ object SegmentSearch {
     sidecarCache.computeIfAbsent(key, _ => DocSidecar.openBucket(path))
   }
 
+  /** Segment-file fan-out Dataset: files sliced straight into tasks via
+    * `parallelize(files, n)` — r6: the old `createDataset(...).repartition(n)`
+    * paid a full Exchange stage (map + fetch) in EVERY batch job before any
+    * search work started. Slice count keeps the one-segment-per-task
+    * granularity up to 4x core count (straggler rebalance), grouping only
+    * past that.
+    */
+  private def segmentFileDs(
+      spark: SparkSession,
+      files: Seq[String]
+  ): org.apache.spark.sql.Dataset[String] = {
+    val n = math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+    spark.createDataset(spark.sparkContext.parallelize(files, n))(Encoders.STRING)
+  }
+
   final case class QueryHit(qid: Int, docId: Long, score: Double)
 
   /** The ONE did-you-mean pick rule (the oracle contract shared by all
@@ -146,9 +161,7 @@ object SegmentSearch {
     // segments-per-core shortens the straggler tail — with 2 segments/task a
     // single slow pair doubles the stage wall; single-segment tasks let the
     // scheduler rebalance
-    val fileDs = spark
-      .createDataset(files)(Encoders.STRING)
-      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
+    val fileDs = segmentFileDs(spark, files)
 
     val idfs = batchIdfs(spark, indexDir, meta, files, fileDs, parsed.flatMap(_._2.terms).distinct)
     val bc = spark.sparkContext.broadcast((parsed, idfs))
@@ -200,9 +213,7 @@ object SegmentSearch {
     if (files.isEmpty) return terms.zipWithIndex.map { case (t, i) => (i + 1L, t, t, 0L) }
     import spark.implicits._
     val tbc = spark.sparkContext.broadcast(tset)
-    val dfs: Map[String, Long] = spark
-      .createDataset(files)(Encoders.STRING)
-      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
+    val dfs: Map[String, Long] = segmentFileDs(spark, files)
       .mapPartitions { paths =>
         val ts = tbc.value
         paths.flatMap { p =>
@@ -269,9 +280,7 @@ object SegmentSearch {
     val files = SegmentIndex.liveSegmentFiles(indexDir)
     if (files.isEmpty) return Nil // repartition(0) would throw on an empty index
     import spark.implicits._
-    val expanded = spark
-      .createDataset(files)(Encoders.STRING)
-      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
+    val expanded = segmentFileDs(spark, files)
       .mapPartitions { paths =>
         paths.flatMap { p =>
           val dict = loadCached(p).terms
@@ -386,9 +395,7 @@ object SegmentSearch {
     val avgdl = meta.avgdl
 
     import spark.implicits._
-    val fileDs = spark
-      .createDataset(files)(Encoders.STRING)
-      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
+    val fileDs = segmentFileDs(spark, files)
 
     val idfs = batchIdfs(spark, indexDir, meta, files, fileDs, parsed.flatMap(_._2).distinct)
     val bc = spark.sparkContext.broadcast((parsed, idfs))
@@ -446,9 +453,7 @@ object SegmentSearch {
     val p = norm.head
     val files = SegmentIndex.liveSegmentFiles(indexDir)
     import spark.implicits._
-    spark
-      .createDataset(files)(Encoders.STRING)
-      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
+    segmentFileDs(spark, files)
       .mapPartitions { paths =>
         paths.flatMap { f =>
           loadCached(f).terms.iterator.collect {
@@ -493,9 +498,7 @@ object SegmentSearch {
     val avgdl = meta.avgdl
 
     import spark.implicits._
-    val fileDs = spark
-      .createDataset(files)(Encoders.STRING)
-      .repartition(math.max(1, math.min(files.size, 4 * spark.sparkContext.defaultParallelism)))
+    val fileDs = segmentFileDs(spark, files)
 
     val idfs = batchIdfs(spark, indexDir, meta, files, fileDs, parsed.flatMap(_._2.terms).distinct)
     val bc = spark.sparkContext.broadcast((parsed, idfs, lang, source))
@@ -621,6 +624,34 @@ object SegmentSearch {
       val out = scala.collection.mutable.ArrayBuffer[String]()
       var i = lo
       while (i < v.length && v(i).startsWith(p)) { out += v(i); i += 1 }
+      out.toSeq
+    }
+
+    // Reversed-term dictionary (r6, VERDICT r5 #4): every vocab term
+    // REVERSED, sorted — a `*bar` request becomes a range scan on `rab`
+    // instead of an O(vocab) walk per request. Built lazily once per
+    // serving generation (the SymSpell discipline), only when the first
+    // leading-wildcard request arrives; memory = one extra String per term.
+    private lazy val reversedVocab: Array[String] = {
+      val v = sortedVocab
+      val arr = new Array[String](v.length)
+      var i = 0
+      while (i < v.length) { arr(i) = v(i).reverse; i += 1 }
+      java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[String]())
+      arr
+    }
+
+    /** All vocabulary terms whose REVERSED form has `rp` as prefix (i.e.
+      * terms ending with rp.reverse), returned in the reversed dictionary's
+      * order — callers needing byte-lex order sort the (small) match set.
+      */
+    private def suffixRange(rp: String): Seq[String] = {
+      val v = reversedVocab
+      var lo = java.util.Arrays.binarySearch(v.asInstanceOf[Array[AnyRef]], rp)
+      if (lo < 0) lo = -lo - 1
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = lo
+      while (i < v.length && v(i).startsWith(rp)) { out += v(i).reverse; i += 1 }
       out.toSeq
     }
     private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -759,13 +790,25 @@ object SegmentSearch {
         case None => Nil
         case Some(g) =>
           // a literal leading chunk bounds the scan to its dictionary range
-          // (`foo*bar` walks only foo*); a leading '*' walks the sorted
-          // vocab once — still one array, never per-segment maps
+          // (`foo*bar` walks only foo*); a leading '*' with a literal TAIL
+          // (`*bar`) range-scans the REVERSED dictionary (r6) — matches are
+          // re-sorted byte-lex so the capped set and score order are
+          // identical to the forward walk; only an unanchored pattern
+          // (`*a*`) still walks the whole (one, global, sorted) vocab
           val lit = g.takeWhile(_ != '*')
-          val cands: Seq[String] =
-            if (lit.nonEmpty) prefixRange(lit)
-            else scala.collection.immutable.ArraySeq.unsafeWrapArray(sortedVocab)
-          cands.iterator.filter(graft.core.Glob.matches(g, _)).take(maxTerms).toSeq
+          if (lit.nonEmpty)
+            prefixRange(lit).iterator
+              .filter(graft.core.Glob.matches(g, _)).take(maxTerms).toSeq
+          else {
+            val tail = g.reverse.takeWhile(_ != '*').reverse
+            if (tail.nonEmpty)
+              suffixRange(tail.reverse)
+                .filter(graft.core.Glob.matches(g, _))
+                .sorted.take(maxTerms)
+            else
+              sortedVocab.iterator
+                .filter(graft.core.Glob.matches(g, _)).take(maxTerms).toSeq
+          }
       }
 
     /** Typo-tolerant top-k over segments — EXTENSION (the reference's own

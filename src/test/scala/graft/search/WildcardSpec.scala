@@ -134,4 +134,36 @@ class WildcardSpec extends SparkTestBase {
     // ADDITIVE param, never a change to q= semantics
     assert(QueryParser.parse("wat*er").terms == Seq("wat", "er"))
   }
+
+  test("reversed-dictionary leading wildcard: same hits/cap semantics as the forward walk") {
+    // r6: `*bar` range-scans a reversed sorted vocab instead of walking
+    // every term; this asserts the new path is indistinguishable from the
+    // dataflow tier (uncapped), that the cap still takes the byte-lex-FIRST
+    // matches (the forward walk's semantics), and that an unanchored `*a*`
+    // still answers through the full-walk fallback.
+    val eng = new SearchEngine(IndexBuilder.build(docsDF(docs)))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(r.fieldIndex("doc_id")), r.getDouble(r.fieldIndex("score"))))
+        .sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-wildrev").toString
+    graft.index.SegmentIndex.build(docsDF(docs), dir, buckets = 3)
+    val meta = graft.index.SegmentIndex.readMeta(dir)
+    val segs = graft.index.SegmentIndex.liveSegmentFiles(dir, meta)
+      .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
+    val serving = new SegmentSearch.ServingEngine(segs, meta)
+    Seq("*er", "*ter", "*a*", "*zzz").foreach { pat =>
+      val sv = serving.searchWildcard(pat, 10).sortBy(_._1)
+      val df = rows(eng.wildcardScoredDF(pat)).sortBy(-_._2).take(10).sortBy(_._1)
+      assert(sv.map(_._1) == df.map(_._1), s"pattern '$pat' docIds differ")
+      sv.zip(df).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) <= 1e-9, s"'$pat'") }
+    }
+    // capped: reversed-path matches must be re-sorted byte-lex before the
+    // cap, so maxTerms=1 expands exactly the byte-lex-smallest match —
+    // identical to what the forward walk's first match would be
+    val capped = serving.searchWildcard("*er", 10, maxTerms = 1)
+    val firstMatch = segs.flatMap(_.terms.keysIterator).distinct.sorted
+      .filter(t => Glob.matches("*er", t)).head
+    assert(capped.nonEmpty)
+    assert(capped == serving.searchWildcard(firstMatch, 10))
+  }
 }
