@@ -21,7 +21,7 @@ object FuzzyScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def engineFor(vocab: Int): SegmentSearch.ServingEngine = {
+    def engineFor(vocab: Int, depth: Int = 1): SegmentSearch.ServingEngine = {
       val dir = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "graft-fuzzy").toString
       val docs = spark.range(1, vocab + 1)
@@ -33,7 +33,7 @@ object FuzzyScaleBench {
       val meta = SegmentIndex.readMeta(dir)
       val segs = SegmentIndex.liveSegmentFiles(dir, meta).map(SegmentIndex.loadSegment(_)).toIndexedSeq
       scala.util.Try(scala.sys.process.Process(Seq("rm", "-rf", dir)).!)
-      new SegmentSearch.ServingEngine(segs, meta)
+      new SegmentSearch.ServingEngine(segs, meta, symspellDepth = depth)
     }
 
     def perReq(e: SegmentSearch.ServingEngine, dist: Int, reps: Int): Double = {
@@ -48,15 +48,22 @@ object FuzzyScaleBench {
 
     val eSmall = engineFor(vSmall)
     val eBig = engineFor(vSmall * factor)
+    // r6: depth-2 engines — maxDist=2 through the deletion neighborhood
+    val e2Small = engineFor(vSmall, depth = 2)
+    val e2Big = engineFor(vSmall * factor, depth = 2)
     Workload.awaitQuietHost("fuzzy bench", capMs = 120000)
     val symSmall = perReq(eSmall, dist = 1, reps = 4000)
     val symBig = perReq(eBig, dist = 1, reps = 4000)
     val scanSmall = perReq(eSmall, dist = 2, reps = 200)
     val scanBig = perReq(eBig, dist = 2, reps = 200)
+    val sym2Small = perReq(e2Small, dist = 2, reps = 2000)
+    val sym2Big = perReq(e2Big, dist = 2, reps = 2000)
     println(f"""{"vocab_small":$vSmall,"vocab_big":${vSmall * factor},""" +
       f""""symspell_us_small":$symSmall%.1f,"symspell_us_big":$symBig%.1f,""" +
       f""""scan_us_small":$scanSmall%.1f,"scan_us_big":$scanBig%.1f,""" +
-      f""""symspell_growth":${symBig / symSmall}%.2f,"scan_growth":${scanBig / scanSmall}%.2f}""")
+      f""""symspell2_us_small":$sym2Small%.1f,"symspell2_us_big":$sym2Big%.1f,""" +
+      f""""symspell_growth":${symBig / symSmall}%.2f,"scan_growth":${scanBig / scanSmall}%.2f,""" +
+      f""""symspell2_growth":${sym2Big / sym2Small}%.2f}""")
     spark.stop()
   }
 }

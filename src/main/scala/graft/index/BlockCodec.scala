@@ -122,6 +122,22 @@ object BlockCodec {
     * at 32 threads). Byte-identical output to encode() by construction
     * (same grouping, same deltas).
     */
+  /** Varint into a plain byte array at `pos` (r6): the encode hot loop went
+    * through ByteArrayOutputStream, whose per-byte `write` is synchronized —
+    * up to ~9 monitor-guarded virtual calls per posting on the segment-write
+    * stage. Same bytes, straight-line stores.
+    */
+  @inline private def putVarLong(buf: Array[Byte], pos0: Int, value: Long): Int = {
+    var pos = pos0
+    var v = value
+    while ((v & ~0x7fL) != 0L) {
+      buf(pos) = ((v & 0x7f) | 0x80).toByte; pos += 1
+      v >>>= 7
+    }
+    buf(pos) = v.toByte
+    pos + 1
+  }
+
   def encodeColumnar(
       docIds: Array[Long],
       tfs: Array[Int],
@@ -129,10 +145,12 @@ object BlockCodec {
       n: Int
   ): IndexedSeq[Block] = {
     val out = ArrayBuffer[Block]()
+    // worst case 10 bytes per varint, 3 varints per posting
+    val buf = new Array[Byte](BlockSize * 30)
     var off = 0
     while (off < n) {
       val cnt = math.min(BlockSize, n - off)
-      val buf = new ByteArrayOutputStream(cnt * 4)
+      var pos = 0
       var prev = 0L
       var maxTf = 0
       var minDlOverTf = Double.MaxValue
@@ -143,16 +161,17 @@ object BlockCodec {
         val dl = dls(off + i)
         val delta = if (i == 0) d else d - prev
         require(i == 0 || delta > 0, "postings must be strictly docId-ascending")
-        writeVarLong(buf, delta)
-        writeVarLong(buf, tf.toLong)
-        writeVarLong(buf, dl.toLong)
+        pos = putVarLong(buf, pos, delta)
+        pos = putVarLong(buf, pos, tf.toLong)
+        pos = putVarLong(buf, pos, dl.toLong)
         prev = d
         if (tf > maxTf) maxTf = tf
         val r = dl.toDouble / tf
         if (r < minDlOverTf) minDlOverTf = r
         i += 1
       }
-      out += Block(docIds(off), docIds(off + cnt - 1), cnt, maxTf, minDlOverTf, buf.toByteArray)
+      out += Block(docIds(off), docIds(off + cnt - 1), cnt, maxTf, minDlOverTf,
+        java.util.Arrays.copyOf(buf, pos))
       off += cnt
     }
     out.toIndexedSeq

@@ -1060,20 +1060,26 @@ object SegmentIndex {
         dict += ((inv.key(slot).getBytes, pn.toLong, offset,
           (counting.count - offset).toInt))
       }
-      // dictionary + footer
+      // dictionary + footer — entries assembled locally and bulk-written
+      // (same per-byte digest-chain argument as the block headers above)
       val dictOffset = counting.count
       out.writeInt(dict.length)
+      var entry = new Array[Byte](256)
       dict.foreach { case (tb, df, offset, len) =>
         // The dictionary length field is an unsigned short; the tokenizer
         // permits unbounded alnum runs, so fail the BUILD loudly rather than
         // let a silent writeShort truncation desynchronize the whole reader.
         require(tb.length <= 0xffff,
           s"term exceeds dictionary limit (${tb.length} UTF-8 bytes > 65535) in bucket $bucket")
-        out.writeShort(tb.length)
-        out.write(tb)
-        out.writeLong(df)
-        out.writeLong(offset)
-        out.writeInt(len)
+        val need = 2 + tb.length + 8 + 8 + 4
+        if (entry.length < need) entry = new Array[Byte](need)
+        val eb = java.nio.ByteBuffer.wrap(entry)
+        eb.putShort(tb.length.toShort)
+        eb.put(tb)
+        eb.putLong(df)
+        eb.putLong(offset)
+        eb.putInt(len)
+        out.write(entry, 0, need)
       }
       out.writeLong(dictOffset)
       out.flush()
@@ -1106,14 +1112,22 @@ object SegmentIndex {
     val blocks =
       if (pfor) BlockCodec.encodeColumnarPfor(docIds, tfs, dls, n)
       else BlockCodec.encodeColumnar(docIds, tfs, dls, n)
+    // r6: assemble each 36-byte block header locally and bulk-write it —
+    // DataOutputStream.writeInt/Long/Double emit byte-at-a-time, and every
+    // byte crossed the Counting -> Digest (per-byte sha update) -> Buffered
+    // chain; one header = one write call now. Identical bytes.
+    val hdr = new Array[Byte](36)
+    val hb = java.nio.ByteBuffer.wrap(hdr) // big-endian, like DataOutputStream
     out.writeInt(blocks.length)
     blocks.foreach { b =>
-      out.writeLong(b.minDoc)
-      out.writeLong(b.maxDoc)
-      out.writeInt(b.count)
-      out.writeInt(b.maxTf)
-      out.writeDouble(b.minDlOverTf)
-      out.writeInt(b.bytes.length)
+      hb.clear()
+      hb.putLong(b.minDoc)
+      hb.putLong(b.maxDoc)
+      hb.putInt(b.count)
+      hb.putInt(b.maxTf)
+      hb.putDouble(b.minDlOverTf)
+      hb.putInt(b.bytes.length)
+      out.write(hdr)
       out.write(b.bytes)
     }
   }

@@ -591,15 +591,20 @@ object SegmentSearch {
   final class ServingEngine(
       val segments: IndexedSeq[LoadedSegment],
       val meta: SegmentIndex.Meta,
-      parallelSegments: Boolean = true
+      parallelSegments: Boolean = true,
+      // deletion-index depth for the fuzzy family: 1 (default) answers
+      // maxDist=1 without a vocab scan; 2 (opt-in per generation — r6,
+      // VERDICT r5 #5 — ~5-6x the depth-1 index memory) extends that to
+      // maxDist=2. Radii past the depth fall back to the dictionary scan.
+      symspellDepth: Int = 1
   ) {
     private val idfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
     // SymSpell deletion neighborhood (SURVEY §2.14's 100 TB shape for the
     // fuzzy family): built once per serving generation, and ONLY when the
     // first fuzzy/did-you-mean request arrives (lazy) — per-request cost is
-    // then O(|term|) probes + the verified candidate set, not O(vocab)
+    // then O(|term|^depth) probes + the verified candidate set, not O(vocab)
     private lazy val symspell: SymSpell =
-      SymSpell.build(segments.iterator.flatMap(_.terms.keysIterator))
+      SymSpell.build(segments.iterator.flatMap(_.terms.keysIterator), symspellDepth)
     // Byte-lex-sorted global vocabulary — the in-memory twin of the v5
     // dictionary footer's on-disk sort order: prefix expansion and suggest
     // become an O(log V) binary search + an O(|matches|) range walk instead
@@ -837,12 +842,12 @@ object SegmentSearch {
       val terms = QueryParser.parse(query).terms
       if (terms.isEmpty) return Nil
       def dfOf(c: String): Long = segments.iterator.flatMap(_.terms.get(c)).map(_.df).sum
-      if (maxDist == 1) {
-        // SymSpell path: per term, O(|t|) probes + a verified candidate set
-        // whose dfs are summed with per-segment hash gets — nothing here is
-        // proportional to vocabulary size
+      if (maxDist <= symspellDepth) {
+        // SymSpell path: per term, O(|t|^depth) probes + a verified candidate
+        // set whose dfs are summed with per-segment hash gets — nothing here
+        // is proportional to vocabulary size
         terms.zipWithIndex.map { case (t, i) =>
-          val cands = symspell.neighbors(t) // byte-lex sorted, lev<=1 verified
+          val cands = symspell.neighbors(t, maxDist) // byte-lex sorted, verified
           val pick = pickSuggestion(t, cands.view.map(c => (c, dfOf(c))))
           (i + 1L, t, pick._1, pick._2)
         }
@@ -886,8 +891,8 @@ object SegmentSearch {
       if (norm.size != 1) return Nil
       val t = norm.head
       val all =
-        if (maxDist == 1) symspell.neighbors(t) // O(|t|) probes, not O(vocab)
-        else // fallback: the deletion index is depth-1; larger radii scan
+        if (maxDist <= symspellDepth) symspell.neighbors(t, maxDist) // probes, not O(vocab)
+        else // fallback: radii past the built deletion depth scan
           segments.iterator
             .flatMap(_.terms.keysIterator.filter(c =>
               graft.core.EditDistance.within(c, t, maxDist)))

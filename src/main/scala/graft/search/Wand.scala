@@ -178,17 +178,22 @@ object Wand {
       ties = h :: ties; nTies += 1
     }
 
-    def offer(h: SegmentHit): Unit = {
+    /** Primitive-args twin (r6): dense queries offer nearly every doc, so a
+      * SegmentHit per CANDIDATE was pure young-gen churn — the object now
+      * materializes only when the hit actually enters the heap or tie
+      * buffer. Logic unchanged.
+      */
+    def offer(docId: Long, score: Double): Unit = {
       if (heap.size < k) {
-        heap.enqueue(h)
+        heap.enqueue(SegmentHit(docId, score))
         if (heap.size == k && shared != null) shared.publish(heap.head.score)
-      } else if (h.score > heap.head.score) {
+      } else if (score > heap.head.score) {
         val evicted = heap.dequeue()
-        heap.enqueue(h)
+        heap.enqueue(SegmentHit(docId, score))
         if (shared != null) shared.publish(heap.head.score)
         if (evicted.score >= threshold) addTie(evicted)
-      } else if (h.score >= threshold) { // within epsilon of kth but not above
-        addTie(h)
+      } else if (score >= threshold) { // within epsilon of kth but not above
+        addTie(SegmentHit(docId, score))
       }
     }
     def results: Seq[SegmentHit] = heap.toSeq ++ ties
@@ -319,7 +324,7 @@ object Wand {
             var s = 0.0
             var j = 0
             while (j < n) { s += cursors(j).score(avgdl); j += 1 }
-            top.offer(SegmentHit(target, s))
+            top.offer(target, s)
           }
           var a = 0
           while (a < n) {
@@ -426,7 +431,7 @@ object Wand {
             s += arr(m).score(avgdl)
             m += 1
           }
-          top.offer(SegmentHit(pivotDoc, s))
+          top.offer(pivotDoc, s)
         } else {
           while (m < n && arr(m).curDoc == pivotDoc) m += 1
         }

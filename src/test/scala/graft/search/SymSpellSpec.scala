@@ -80,4 +80,42 @@ class SymSpellSpec extends SparkTestBase {
       if (brute2.isEmpty) Nil else eng.search(graft.core.ParsedQuery(brute2, Nil, isOr = true), 100)
     assert(via2 == explicit2)
   }
+
+  test("depth-2 neighborhood == brute lev<=2 scan, exhaustively (r6 opt-in depth)") {
+    val vocab = randomVocab(400, seed = 23)
+    val ss = SymSpell.build(vocab.iterator, depth = 2)
+    val probes = vocab.take(80) ++ Seq("", "a", "ab", "abcd", "dddd", "abcde", "zzz", "dcba")
+    probes.foreach { q =>
+      val brute1 = vocab.filter(c => EditDistance.within(c, q, 1)).sorted
+      val brute2 = vocab.filter(c => EditDistance.within(c, q, 2)).sorted
+      assert(ss.neighbors(q, 1) == brute1, s"probe '$q' d=1")
+      assert(ss.neighbors(q, 2) == brute2, s"probe '$q' d=2")
+    }
+  }
+
+  test("serving engine at symspellDepth=2 answers maxDist=2 identically to the scan engine") {
+    val docs = (1L to 40L).map { i =>
+      i -> (i % 3 match {
+        case 0 => "alpha beta gamma"
+        case 1 => "alpbx beta"
+        case _ => "gamma delta"
+      })
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-symspell2").toString
+    graft.index.SegmentIndex.build(docsDF(docs), dir, buckets = 2)
+    val meta = graft.index.SegmentIndex.readMeta(dir)
+    val segs = graft.index.SegmentIndex.liveSegmentFiles(dir, meta)
+      .map(graft.index.SegmentIndex.loadSegment(_)).toIndexedSeq
+    val deep = new SegmentSearch.ServingEngine(segs, meta, symspellDepth = 2)
+    val scan = new SegmentSearch.ServingEngine(segs, meta, symspellDepth = 1)
+    Seq("alpha", "alp", "alpb", "gamm", "qq", "bexa").foreach { q =>
+      assert(deep.searchFuzzy(q, 50, maxDist = 2) == scan.searchFuzzy(q, 50, maxDist = 2),
+        s"fuzzy d2 '$q'")
+      assert(deep.didYouMean(q, maxDist = 2) == scan.didYouMean(q, maxDist = 2),
+        s"dym d2 '$q'")
+      // depth-2 index still answers d=1 exactly
+      assert(deep.searchFuzzy(q, 50, maxDist = 1) == scan.searchFuzzy(q, 50, maxDist = 1),
+        s"fuzzy d1 '$q'")
+    }
+  }
 }
