@@ -13,7 +13,9 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("plans/r06")
     val suffix = args.lift(1).getOrElse("after")
-    val names = if (args.length > 2) args.drop(2).toSeq
+    val names =
+      if (args.length > 2 && args(2) == "all") graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 2) args.drop(2).toSeq
       else Seq("q_fuzzy_topk", "q_didyoumean", "q_substring_dups", "q_bm25_topk")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.spark.Sessions.local(8, 8, "graft-plan-dump")
