@@ -730,6 +730,7 @@ object SegmentIndex {
     */
   private def storeWriter(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
     df.write
+      .option("compression", sys.props.getOrElse("graft.docstore.codec", "snappy"))
       .option("parquet.enable.dictionary#text", "false")
       .option("parquet.enable.dictionary#sha", "false")
       .option("parquet.enable.dictionary#tfbin", "false")

@@ -823,8 +823,10 @@ object SegmentSearch {
       * DuckDB `levenshtein` semantics), then scores the union OR-mode in
       * byte-lex term order — exactly `searchPrefix`'s discipline. Round 5:
       * maxDist=1 (the default) rides the precomputed SymSpell deletion
-      * neighborhood (O(|term|) probes per request); larger radii fall back
-      * to the dictionary scan.
+      * neighborhood (O(|term|) probes per request); round 6: a generation
+      * built with `symspellDepth = 2` extends that to maxDist=2
+      * (O(|term|^2) probes); radii past the built depth fall back to the
+      * dictionary scan.
       */
     def searchFuzzy(term: String, k: Int, maxDist: Int = 1, maxTerms: Int = Int.MaxValue): Seq[(Long, Double)] = {
       val expanded = expandFuzzy(term, maxDist, maxTerms)
