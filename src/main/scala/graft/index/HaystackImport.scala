@@ -182,7 +182,11 @@ object HaystackImport {
       .groupBy(col("doc_id"))
       .agg(
         map_from_entries(sort_array(collect_list(struct(col("term"), col("tf"))))).as("tfmap"),
-        sum(col("tf")).cast("int").as("dl"))
+        // dl stays LONG through the aggregate: each tf is i32, so a doc's
+        // total can overflow Int — the fit is checked below and the cast
+        // happens only after it passes (ADVICE r5: a silent wrap could
+        // cancel in the avgdl cross-check)
+        sum(col("tf")).as("dl"))
 
     // fail-fast integrity (cheap aggregate jobs, see scaladoc):
     val nDocs = docs.count()
@@ -192,8 +196,15 @@ object HaystackImport {
     require(orphans == 0L,
       s"postings.bin references $orphans docIds absent from docs.jsonl: $hsDir")
     // coalesce: an index whose postings.bin has zero terms (all docs empty)
-    // sums over zero rows -> NULL
-    val sumDl = perDoc.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+    // sums over zero rows -> NULL. maxDl rides the same aggregate: fail
+    // fast on a per-doc token total the docstore's int dl cannot hold,
+    // like the other integrity checks.
+    val aggRow = perDoc
+      .agg(coalesce(sum(col("dl")), lit(0L)), coalesce(max(col("dl")), lit(0L))).head()
+    val sumDl = aggRow.getLong(0)
+    val maxDl = aggRow.getLong(1)
+    require(maxDl <= Int.MaxValue,
+      s"a document's total term frequency ($maxDl) exceeds Int range: $hsDir")
     val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
     require(math.abs(avgdl - hs.avgdl) <= 1e-9 * math.max(1.0, math.abs(hs.avgdl)),
       s"postings imply avgdl=$avgdl but index_meta.json says ${hs.avgdl}: $hsDir")

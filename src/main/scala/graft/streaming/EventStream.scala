@@ -216,14 +216,16 @@ object EventStream {
     * equivalent — consumers dedupe, and the downstream exact-Jaccard
     * verify is idempotent anyway).
     *
-    * `maxBucket` (<= 0 disables, mirroring `lshCandidatePairs`) is BOTH
-    * the skew guard and the state bound: a saturated bucket stops
-    * accumulating and stops emitting — at 100 TB state per bucket is
-    * O(maxBucket) ids, never O(corpus). Semantics vs batch differ under
-    * saturation by construction (batch drops an over-cap bucket
-    * RETROACTIVELY; a stream cannot retract emitted pairs — it keeps the
-    * first maxBucket members' pairs). Below the cap the candidate SETS are
-    * identical (spec-asserted).
+    * `maxBucket` is BOTH the skew guard and the state bound: a saturated
+    * bucket stops accumulating and stops emitting — at 100 TB state per
+    * bucket is O(maxBucket) ids, never O(corpus). The DEFAULT is a
+    * positive bound (r6, ADVICE r5: the documented bounded-state contract
+    * must hold for callers who take the defaults); pass <= 0 explicitly to
+    * disable, e.g. for exact batch-parity testing. Semantics vs batch
+    * differ under saturation by construction (batch drops an over-cap
+    * bucket RETROACTIVELY; a stream cannot retract emitted pairs — it
+    * keeps the first maxBucket members' pairs). Below the cap the
+    * candidate SETS are identical (spec-asserted).
     */
   def nearDupCandidateStream(
       spark: SparkSession,
@@ -231,7 +233,7 @@ object EventStream {
       outDir: String,
       checkpointDir: String,
       w: Int = 5,
-      maxBucket: Int = 0
+      maxBucket: Int = 1024
   ): StreamingQuery = {
     import spark.implicits._
     val docs = spark.readStream

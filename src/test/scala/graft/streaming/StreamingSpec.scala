@@ -53,7 +53,9 @@ class StreamingSpec extends SparkTestBase {
 
     val outDir = Files.createTempDirectory("graft-neardup-out").toString
     val ckDir = Files.createTempDirectory("graft-neardup-ck").toString
-    EventStream.nearDupCandidateStream(spark, dir, outDir, ckDir, w = 5)
+    // maxBucket = 0 EXPLICITLY: exact uncapped batch parity is the thing
+    // under test (the production default is a positive state bound — r6)
+    EventStream.nearDupCandidateStream(spark, dir, outDir, ckDir, w = 5, maxBucket = 0)
     val streamed = spark.read.parquet(outDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
