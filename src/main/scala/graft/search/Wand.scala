@@ -405,11 +405,25 @@ object Wand {
       var j = 0
       while (j <= pivotIdx) { blockUb += arr(j).blockUb; j += 1 }
 
+      // Skip window target (computed only when the block-max predicate
+      // holds — it is an O(prefix) loop on the hot path): the earliest
+      // prefix block boundary, pivot+1, and the first post-pivot cursor's
+      // doc. The post-pivot cap is a SAFETY bound, not just an
+      // optimization: a doc at or past it is covered by cursors whose UB
+      // is NOT in the prefix blockUb sum.
+      //
+      // r6 FIX: the round-5 code forced forward progress here with
+      // `if (d <= arr(0).curDoc) d = arr(0).curDoc + 1` — which OVERRODE
+      // the post-pivot cap exactly when a post-pivot cursor was parked on
+      // the SAME doc as arr(0) (all cursors aligned on one doc, pivot
+      // mid-prefix): the doc's true bound includes the post-pivot
+      // cursor's contribution, exceeds theta, and the doc was skipped
+      // unsafely — reproduced as missing members of large equal-score tie
+      // groups (RoundTripSoak / WandTieSpec). When the window cannot
+      // advance safely (skipTarget <= arr(0).curDoc), fall through to
+      // normal evaluation instead.
+      var skipTarget = Long.MinValue
       if (blockUb <= theta && theta > Double.NegativeInfinity) {
-        // Safe skip: every doc in [arr(0).curDoc, d) is covered only by
-        // the prefix cursors' CURRENT blocks (UB sum <= theta), because d is
-        // capped at the earliest prefix block boundary, pivot+1, and the
-        // first post-pivot cursor's doc.
         var d = pivotDoc + 1
         var m = 0
         while (m <= pivotIdx) {
@@ -419,8 +433,13 @@ object Wand {
         }
         if (pivotIdx + 1 < n && arr(pivotIdx + 1).curDoc < d)
           d = arr(pivotIdx + 1).curDoc
-        if (d <= arr(0).curDoc) d = arr(0).curDoc + 1
-        arr(0).advanceTo(d)
+        skipTarget = d
+      }
+
+      if (skipTarget > arr(0).curDoc) {
+        // Safe skip: every doc in [arr(0).curDoc, skipTarget) is covered
+        // only by the prefix cursors' CURRENT blocks (UB sum <= theta).
+        arr(0).advanceTo(skipTarget)
         repair()
       } else if (arr(0).curDoc == pivotDoc) {
         // fully evaluate pivotDoc
