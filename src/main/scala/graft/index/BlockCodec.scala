@@ -265,56 +265,87 @@ object BlockCodec {
     v
   }
 
-  /** One packed column: choose the cost-minimal width (ties -> narrower),
-    * pack, patch. All values must be > 0 (slot 0 marks an exception).
+  /** One packed column into `buf` at `pos0`: choose the cost-minimal width
+    * (ties -> narrower), pack, patch; returns the new position. All values
+    * must be > 0 (slot 0 marks an exception).
+    *
+    * Byte-identical to the ByteArrayOutputStream version it replaces (r6:
+    * PforMicro digests match). Two kernel changes: the width scan buckets
+    * per-value bit lengths and exception costs once and walks suffix sums —
+    * O(m + 64) instead of O(m * maxBits) bitLen calls — and bytes go into a
+    * plain array instead of through BAOS's synchronized per-byte `write`.
+    * The cost function is unchanged, so the chosen width (and therefore
+    * every byte) is unchanged.
     */
-  private def writePacked(out: ByteArrayOutputStream, values: Array[Long], m: Int): Unit = {
+  private def putPacked(buf: Array[Byte], pos0: Int, values: Array[Long], m: Int): Int = {
+    val cnt = new Array[Int](65)
+    val excCost = new Array[Int](65)
     var maxBits = 0
     var i = 0
     while (i < m) {
-      require(values(i) > 0, s"pfor packed values must be positive, got ${values(i)}")
-      val bl = bitLen(values(i))
+      val v = values(i)
+      require(v > 0, s"pfor packed values must be positive, got $v")
+      val bl = bitLen(v)
       if (bl > maxBits) maxBits = bl
+      cnt(bl) += 1
+      excCost(bl) += varintLen(i.toLong) + varintLen(v)
       i += 1
     }
+    // walk widths maxBits -> 0 accumulating suffix sums; `<=` keeps the
+    // narrower width on cost ties, matching the ascending-strict-< original
     var bestW = 0
     var bestCost = Int.MaxValue
-    var w = 0
-    while (w <= maxBits) {
-      var excBytes = 0
-      var nExc = 0
+    var nExcW = 0
+    var excBytesW = 0
+    var w = maxBits
+    while (w >= 0) {
+      val cost = 1 + varintLen(nExcW.toLong) + ((m.toLong * w + 7) >> 3).toInt + excBytesW
+      if (cost <= bestCost) { bestCost = cost; bestW = w }
+      if (w > 0) { nExcW += cnt(w); excBytesW += excCost(w) }
+      w -= 1
+    }
+    var nExc = 0
+    var b = bestW + 1
+    while (b <= maxBits) { nExc += cnt(b); b += 1 }
+    var pos = pos0
+    buf(pos) = bestW.toByte; pos += 1
+    pos = putVarLong(buf, pos, nExc.toLong)
+    val packedLen = ((m.toLong * bestW + 7) >> 3).toInt
+    if (bestW > 0 && bestW <= 56) {
+      // slots are consecutive w-bit fields in little-endian bit order, so a
+      // sequential bit accumulator emits the identical bytes without the
+      // per-value writeBits byte-straddling loop (exception slots stay 0)
+      var acc = 0L
+      var bits = 0
+      var p = pos
       i = 0
       while (i < m) {
-        if (w == 0 || bitLen(values(i)) > w) {
-          nExc += 1; excBytes += varintLen(i.toLong) + varintLen(values(i))
-        }
+        val v = values(i)
+        if (bitLen(v) <= bestW) acc |= v << bits
+        bits += bestW
+        while (bits >= 8) { buf(p) = acc.toByte; p += 1; acc >>>= 8; bits -= 8 }
         i += 1
       }
-      val cost = 1 + varintLen(nExc.toLong) + ((m.toLong * w + 7) >> 3).toInt + excBytes
-      if (cost < bestCost) { bestCost = cost; bestW = w }
-      w += 1
+      if (bits > 0) buf(p) = acc.toByte
+    } else if (bestW > 0) {
+      java.util.Arrays.fill(buf, pos, pos + packedLen, 0.toByte)
+      i = 0
+      while (i < m) {
+        if (bitLen(values(i)) <= bestW)
+          writeBits(buf, (pos.toLong << 3) + i.toLong * bestW, values(i), bestW)
+        i += 1
+      }
     }
-    out.write(bestW)
-    var nExc = 0
-    i = 0
-    while (i < m) { if (bestW == 0 || bitLen(values(i)) > bestW) nExc += 1; i += 1 }
-    writeVarLong(out, nExc.toLong)
-    val packed = new Array[Byte](((m.toLong * bestW + 7) >> 3).toInt)
-    i = 0
-    while (i < m) {
-      if (bestW > 0 && bitLen(values(i)) <= bestW)
-        writeBits(packed, i.toLong * bestW, values(i), bestW)
-      i += 1
-    }
-    out.write(packed, 0, packed.length)
+    pos += packedLen
     i = 0
     while (i < m) {
       if (bestW == 0 || bitLen(values(i)) > bestW) {
-        writeVarLong(out, i.toLong)
-        writeVarLong(out, values(i))
+        pos = putVarLong(buf, pos, i.toLong)
+        pos = putVarLong(buf, pos, values(i))
       }
       i += 1
     }
+    pos
   }
 
   private def readPacked(r: ByteReader, m: Int): Array[Long] = {
@@ -322,7 +353,25 @@ object BlockCodec {
     val nExc = r.readVarLong().toInt
     val out = new Array[Long](m)
     val base = r.position
-    if (w > 0) {
+    if (w > 0 && w <= 56) {
+      // sequential bit-accumulator fast path (r6): bytes enter the 64-bit
+      // accumulator once each instead of per-value readBits re-reads. Safe
+      // while w + 7 spare bits fit the accumulator, i.e. w <= 56 — every
+      // realistic column (deltas/tfs/dls) is far narrower.
+      val bytes = r.bytes
+      val mask = (1L << w) - 1
+      var acc = 0L
+      var bits = 0
+      var p = base
+      var i = 0
+      while (i < m) {
+        while (bits < w) { acc |= (bytes(p) & 0xffL) << bits; p += 1; bits += 8 }
+        out(i) = acc & mask
+        acc >>>= w
+        bits -= w
+        i += 1
+      }
+    } else if (w > 0) {
       var i = 0
       while (i < m) { out(i) = readBits(r.bytes, base, i.toLong * w, w); i += 1 }
     }
@@ -347,14 +396,18 @@ object BlockCodec {
       n: Int
   ): IndexedSeq[Block] = {
     val out = ArrayBuffer[Block]()
+    // reusable per-block scratch (r6): worst case per packed column is the
+    // zero-exception layout at w = 64 -> 2 + 8*m bytes (the cost-minimal
+    // choice can never exceed it), plus <= 10 bytes for the leading varint
+    val buf = new Array[Byte](10 + 3 * (2 + 8 * BlockSize))
+    val deltas = new Array[Long](BlockSize)
+    val tfl = new Array[Long](BlockSize)
+    val dll = new Array[Long](BlockSize)
     var off = 0
     while (off < n) {
       val cnt = math.min(BlockSize, n - off)
       var maxTf = 0
       var minDlOverTf = Double.MaxValue
-      val deltas = new Array[Long](cnt - 1)
-      val tfl = new Array[Long](cnt)
-      val dll = new Array[Long](cnt)
       var i = 0
       while (i < cnt) {
         val d = docIds(off + i)
@@ -372,12 +425,12 @@ object BlockCodec {
         if (r < minDlOverTf) minDlOverTf = r
         i += 1
       }
-      val buf = new ByteArrayOutputStream(cnt * 3)
-      writeVarLong(buf, docIds(off))
-      writePacked(buf, deltas, cnt - 1)
-      writePacked(buf, tfl, cnt)
-      writePacked(buf, dll, cnt)
-      out += Block(docIds(off), docIds(off + cnt - 1), cnt, maxTf, minDlOverTf, buf.toByteArray, pfor = true)
+      var pos = putVarLong(buf, 0, docIds(off))
+      pos = putPacked(buf, pos, deltas, cnt - 1)
+      pos = putPacked(buf, pos, tfl, cnt)
+      pos = putPacked(buf, pos, dll, cnt)
+      out += Block(docIds(off), docIds(off + cnt - 1), cnt, maxTf, minDlOverTf,
+        java.util.Arrays.copyOf(buf, pos), pfor = true)
       off += cnt
     }
     out.toIndexedSeq
